@@ -1,0 +1,29 @@
+"""iamsystem_python_spark — a from-scratch PySpark-native engine with the
+query/data-processing capabilities of scossin/iamsystem_python, rebuilt as a
+distributed near-duplicate detection + annotation pipeline.
+
+Layers
+------
+- ``core``       pure-Python row kernels (tokenizer, trie, window matcher,
+                 fuzzy normalizers) executed *inside* Arrow batches — never
+                 per-row Python UDFs at the Spark layer.
+- ``operators``  DataFrame-level operators: annotate, dedup (exact / MinHash-
+                 LSH / SimHash / n-gram Jaccard / embedding cosine),
+                 similarity search, text stats, connected components.
+- ``sources``    readers + the deterministic synthetic code-corpus generator.
+- ``functions``  pure-column helpers built on pyspark.sql.functions.
+- ``plans``      pipeline configuration + checkpoint/resume manifests.
+- ``streaming``  structured-streaming variants of the stateless stages.
+
+Reference parity: scossin/iamsystem_python v0.6.1 (read-only at
+/root/reference). Citations in docstrings are file:line into that repo.
+"""
+
+__version__ = "0.1.0"
+
+from iamsystem_python_spark.core.matcher import Matcher  # noqa: F401
+from iamsystem_python_spark.core.tokenize import (  # noqa: F401
+    english_tokenizer,
+    french_tokenizer,
+    code_tokenizer,
+)

@@ -1,0 +1,3 @@
+"""Pure-Python row kernels (no pyspark imports) — executed inside Arrow
+batches by the Spark operators. Keeping this layer Spark-free makes it
+unit-testable at reference speed and broadcast-serializable."""

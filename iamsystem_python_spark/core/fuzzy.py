@@ -1,0 +1,328 @@
+"""Fuzzy / synonym per-token expansion algorithms.
+
+Parity targets in /root/reference/src/iamsystem/fuzzy/:
+  exact.py:9-20 (ExactMatch), abbreviations.py:26-88 (Abbreviations),
+  spellwise.py:59-138 (string distance; re-implemented natively — spellwise is
+  not available here), simstring.py:28-92 (char-ngram similarity; pysimstring
+  not available — re-implemented natively), norm_fun.py:13-55 (WordNormalizer),
+  regex.py:17-71 (FuzzyRegex), cache.py:18-77 (CacheFuzzyAlgos),
+  api.py:150-218 (NormLabelAlgo / StringDistance gates).
+
+A synonym ("syn") is a tuple of normalized words (fuzzy/api.py:22-29); the
+matcher merges per-token results from all algos into (syn, [algo names])
+pairs (matcher.py:269-289 — implemented in core.matcher.get_synonyms).
+
+Scale note: at the Spark layer these run once per *distinct* token via the
+distinct-token expansion join (SURVEY.md O1), so per-word cost is amortized
+across the corpus — the relational generalization of CacheFuzzyAlgos.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+from iamsystem_python_spark.core.tokenize import Token
+
+SynType = Tuple[str, ...]
+NO_SYN: List[SynType] = []
+
+
+def word_to_syn(word: str) -> SynType:
+    return tuple(word.split(" "))
+
+
+class FuzzyAlgo:
+    """Base: maps one document token to keyword-token synonyms."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
+        raise NotImplementedError
+
+    # context-free algos only need the word (api.py:150-166)
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        raise NotImplementedError
+
+
+class ExactMatch(FuzzyAlgo):
+    """Identity synonym (exact.py:9-20)."""
+
+    def __init__(self, name: str = "exact"):
+        super().__init__(name)
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
+        return [(token.norm_label,)]
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        return [(word,)]
+
+
+def token_is_upper_case(token: Token) -> bool:
+    """abbreviations.py:21-23."""
+    return token.label.isupper()
+
+
+def token_starts_with_capital(token: Token) -> bool:
+    """First-capital gate used in reference docs (test_doc.py:647-693)."""
+    return token.label[:1].isupper()
+
+
+class Abbreviations(FuzzyAlgo):
+    """Short form → tokenized long form(s) with optional gate on the raw
+    label (abbreviations.py:26-88). Short forms stored lowercased
+    (abbreviations.py:66); lookup by norm_label."""
+
+    def __init__(
+        self,
+        name: str = "abbs",
+        token_is_an_abbreviation: Callable[[Token], bool] = lambda token: True,
+    ):
+        super().__init__(name)
+        self.is_token_an_abbreviation = token_is_an_abbreviation
+        self.abbs: Dict[str, List[SynType]] = defaultdict(list)
+
+    def add(self, short_form: str, long_form: str, tokenizer) -> None:
+        tokens = tokenizer.tokenize(long_form)
+        self.abbs[short_form.lower()].append(
+            tuple(t.norm_label for t in tokens)
+        )
+
+    def add_tokenized_long_form(self, short_form: str, long_form: Sequence[str]) -> None:
+        self.abbs[short_form.lower()].append(tuple(long_form))
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
+        if not self.is_token_an_abbreviation(token):
+            return NO_SYN
+        return self.get_syns_of_word(token.norm_label)
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        return self.abbs.get(word, NO_SYN)
+
+
+class WordNormalizer(FuzzyAlgo):
+    """Stem/lemma equivalence (norm_fun.py:13-55): index dictionary unigrams
+    by norm_fun(word); look a document word up by its own normalization."""
+
+    def __init__(self, name: str, norm_fun: Callable[[str], str]):
+        super().__init__(name)
+        self.norm_fun = norm_fun
+        self.words: Dict[str, List[SynType]] = defaultdict(list)
+
+    def add_words(self, words: Iterable[str]) -> None:
+        for word in words:
+            self.words[self.norm_fun(word)].append(word_to_syn(word))
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
+        return self.get_syns_of_word(token.norm_label)
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        return self.words.get(self.norm_fun(word), NO_SYN)
+
+
+class FuzzyRegex(FuzzyAlgo):
+    """Token matching a regex rewritten to a placeholder token that appears
+    literally in keywords (regex.py:17-71)."""
+
+    def __init__(self, name: str, pattern: str, pattern_name: str):
+        super().__init__(name)
+        import re
+
+        self.pattern_name = pattern_name
+        self.r = re.compile(pattern)
+
+    def token_matches_pattern(self, token: Token) -> bool:
+        return bool(self.r.match(token.label))
+
+    def replace_pattern_in_label(self, label: str, tokenizer) -> str:
+        """Keyword-side rewrite (regex.py:39-56)."""
+        from iamsystem_python_spark.core.tokenize import replace_offsets_by_new_str
+
+        tokens = tokenizer.tokenize(label)
+        repl = [
+            ((t.start, t.end), self.pattern_name)
+            for t in sorted(tokens, key=lambda t: t.start)
+            if self.r.match(t.label)
+        ]
+        return replace_offsets_by_new_str(label, repl)
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
+        if self.token_matches_pattern(token):
+            return [word_to_syn(self.pattern_name)]
+        return NO_SYN
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        if self.r.match(word):
+            return [word_to_syn(self.pattern_name)]
+        return NO_SYN
+
+
+# ---------------------------------------------------------------------------
+# String distance algorithms — native replacements for the spellwise /
+# pysimstring wrappers (spellwise.py:59-138, simstring.py:28-92), with the
+# same gates: min_nb_char (default 5, spellwise.py:67) and words2ignore.
+# ---------------------------------------------------------------------------
+
+
+def levenshtein(a: str, b: str, max_distance: int) -> int:
+    """Banded Levenshtein; returns max_distance + 1 when exceeded."""
+    if abs(len(a) - len(b)) > max_distance:
+        return max_distance + 1
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            row_min = min(row_min, cur[j])
+        if row_min > max_distance:
+            return max_distance + 1
+        prev = cur
+    return prev[-1]
+
+
+class StringDistance(FuzzyAlgo):
+    """Common gates (api.py:170-218)."""
+
+    def __init__(self, name: str, min_nb_char: int = 5, words2ignore: Optional[Iterable[str]] = None):
+        super().__init__(name)
+        self.min_nb_char = min_nb_char
+        self.words2ignore: Set[str] = set(words2ignore) if words2ignore else set()
+
+    def _is_a_word_to_ignore(self, word: str) -> bool:
+        return len(word) < self.min_nb_char or word in self.words2ignore
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
+        return self.get_syns_of_word(token.norm_label)
+
+
+class LevenshteinAlgo(StringDistance):
+    """Approximate match against dictionary unigrams by edit distance —
+    native analogue of SpellWiseWrapper(LEVENSHTEIN) (spellwise.py:59-138).
+    Candidates pre-bucketed by length so lookup only scans lengths within
+    ±max_distance."""
+
+    def __init__(
+        self,
+        max_distance: int = 1,
+        name: str = "levenshtein",
+        min_nb_char: int = 5,
+        words2ignore: Optional[Iterable[str]] = None,
+        measure: str = "levenshtein",  # accepted for build()-config compat
+    ):
+        super().__init__(name, min_nb_char, words2ignore)
+        self.max_distance = max_distance
+        self._by_len: Dict[int, List[str]] = defaultdict(list)
+
+    def add_words(self, words: Iterable[str]) -> None:
+        # words shorter than min_nb_char are not indexed either
+        # (spellwise.py:115-118 filters added words the same way)
+        for w in words:
+            if len(w) >= self.min_nb_char:
+                self._by_len[len(w)].append(w)
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        if self._is_a_word_to_ignore(word):
+            return NO_SYN
+        out: List[SynType] = []
+        for length in range(len(word) - self.max_distance, len(word) + self.max_distance + 1):
+            for cand in self._by_len.get(length, ()):
+                if levenshtein(word, cand, self.max_distance) <= self.max_distance:
+                    out.append((cand,))
+        return out
+
+
+def _char_ngrams(word: str, n: int = 3) -> Set[str]:
+    """Char n-grams with boundary padding (simstring's feature set)."""
+    padded = ("\x01" * (n - 1)) + word + ("\x02" * (n - 1))
+    return {padded[i : i + n] for i in range(len(padded) - n + 1)}
+
+
+class NgramSimilarity(StringDistance):
+    """Char-3-gram similarity lookup against dictionary unigrams — native
+    analogue of SimStringWrapper / CP-Merge (simstring.py:28-92). Measures:
+    jaccard | dice | cosine | overlap (simstring.py:18-25). Uses an inverted
+    ngram→word index, so lookup touches only words sharing ≥1 ngram."""
+
+    def __init__(
+        self,
+        threshold: float = 0.5,
+        measure: str = "jaccard",
+        name: str = "simstring",
+        ngram: int = 3,
+        min_nb_char: int = 5,
+        words2ignore: Optional[Iterable[str]] = None,
+        words: Optional[Iterable[str]] = None,
+    ):
+        super().__init__(name, min_nb_char, words2ignore)
+        self.threshold = threshold
+        self.measure = measure
+        self.n = ngram
+        self._index: Dict[str, Set[str]] = defaultdict(set)
+        self._grams: Dict[str, Set[str]] = {}
+        if words is not None:
+            self.add_words(words)
+
+    def add_words(self, words: Iterable[str]) -> None:
+        for w in words:
+            grams = _char_ngrams(w, self.n)
+            self._grams[w] = grams
+            for g in grams:
+                self._index[g].add(w)
+
+    def _sim(self, a: Set[str], b: Set[str]) -> float:
+        inter = len(a & b)
+        if self.measure == "jaccard":
+            return inter / len(a | b)
+        if self.measure == "dice":
+            return 2.0 * inter / (len(a) + len(b))
+        if self.measure == "cosine":
+            return inter / ((len(a) * len(b)) ** 0.5)
+        if self.measure == "overlap":
+            return inter / min(len(a), len(b))
+        raise ValueError(f"unknown measure {self.measure!r}")
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        if self._is_a_word_to_ignore(word):
+            return NO_SYN
+        grams = _char_ngrams(word, self.n)
+        cands: Set[str] = set()
+        for g in grams:
+            cands |= self._index.get(g, set())
+        return [(c,) for c in sorted(cands) if self._sim(grams, self._grams[c]) >= self.threshold]
+
+
+class CacheFuzzyAlgos(FuzzyAlgo):
+    """Memoize context-free algos keyed by norm_label, 100k-word cap
+    (cache.py:18-77)."""
+
+    MAX_WORDS = 100_000
+
+    def __init__(self, name: str = "cache"):
+        super().__init__(name)
+        self.algos: List[FuzzyAlgo] = []
+        self._cache: Dict[str, List[Tuple[SynType, str]]] = {}
+
+    def add_algo(self, algo: FuzzyAlgo) -> None:
+        self.algos.append(algo)
+        self._cache.clear()
+
+    def get_syns_of_word(self, word: str) -> List[Tuple[SynType, str]]:
+        """Fan one word through all algos, tagged (syn, algo_name)
+        (cache.py:59-77)."""
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        out: List[Tuple[SynType, str]] = []
+        for algo in self.algos:
+            for syn in algo.get_syns_of_word(word):
+                out.append((syn, algo.name))
+        if len(self._cache) < self.MAX_WORDS:
+            self._cache[word] = out
+        return out
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:  # pragma: no cover
+        return [syn for syn, _ in self.get_syns_of_word(token.norm_label)]

@@ -1,0 +1,673 @@
+"""Window matcher kernel: states, strategies, annotations, Matcher facade.
+
+Parity targets in /root/reference/src/iamsystem/:
+  matcher/util.py:14-85 (StateTransition), matcher/strategy.py:25-335
+  (Window / LargeWindow / NoOverlap), matcher/annotation.py:33-311
+  (Annotation, rm_nested_annots, create_annot, replace_annots),
+  matcher/matcher.py:56-504 (Matcher + build), brat/formatter.py:12-86,
+  brat/util.py:7-16, matcher/printannot.py:9-37.
+
+This module is pure Python and runs row-at-a-time *inside* Arrow batches
+(operators/annotate.py); the Matcher object is compiled once on the driver
+and broadcast.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import (
+    Callable,
+    Dict,
+    Iterable,
+    List,
+    Optional,
+    Sequence,
+    Set,
+    Tuple,
+    Union,
+)
+
+from iamsystem_python_spark.core.fuzzy import (
+    Abbreviations,
+    CacheFuzzyAlgos,
+    ExactMatch,
+    FuzzyAlgo,
+    FuzzyRegex,
+    LevenshteinAlgo,
+    NgramSimilarity,
+    SynType,
+    WordNormalizer,
+)
+from iamsystem_python_spark.core.stopwords import (
+    NegativeStopwords,
+    NoStopwords,
+    Stopwords,
+)
+from iamsystem_python_spark.core.tokenize import (
+    Token,
+    Tokenizer,
+    french_tokenizer,
+    group_continuous_seq,
+    offsets_overlap,
+    get_span_seq_id,
+    remove_trailing_stopwords,
+    replace_offsets_by_new_str,
+)
+from iamsystem_python_spark.core.trie import EMPTY_NODE, Node, Trie
+
+ANNOT_VERSION = "0.4.0"  # mirrors reference __annot_version__ (__init__.py:60)
+
+SynAlgos = Tuple[SynType, List[str]]
+
+_START_TOKEN = Token(start=-1, end=-1, label="START_TOKEN", norm_label="START_TOKEN", i=-1)
+_END_TOKEN = Token(
+    start=-1, end=-1, label="IAMSYSTEM_END_TOKEN", norm_label="IAMSYSTEM_END_TOKEN", i=-1
+)
+
+
+class StateTransition:
+    """Backward-linked list of (node, token, algos) — matcher/util.py:14-85.
+    Identity/hash = node_num: a newer transition to the same node replaces an
+    older one (issue #11 semantics, strategy.py:93-97)."""
+
+    __slots__ = ("node", "token", "previous_trans", "algos", "w_bucket", "id")
+
+    def __init__(
+        self,
+        previous_trans: Optional["StateTransition"],
+        node: Node,
+        token: Token,
+        algos: List[str],
+        count_not_stopword: int,
+    ):
+        self.node = node
+        self.token = token
+        self.previous_trans = previous_trans
+        self.algos = algos
+        self.w_bucket = count_not_stopword
+        self.id = node.node_num
+
+    def is_obsolete(self, count_not_stopword: int, w: int) -> bool:
+        """Window expiry (util.py:47-54); start state never obsolete."""
+        return (
+            w - (count_not_stopword - self.w_bucket) < 0
+        ) and self.previous_trans is not None
+
+    def __eq__(self, other) -> bool:
+        return self.id == other.id
+
+    def __hash__(self) -> int:
+        return self.id
+
+    @classmethod
+    def create_first_trans(cls, initial_state: Node) -> "StateTransition":
+        return cls(None, initial_state, _START_TOKEN, [], -1)
+
+
+# ---------------------------------------------------------------------------
+# Annotation — annotation.py:33-187 + span.py:13-89
+# ---------------------------------------------------------------------------
+
+
+class Annotation:
+    def __init__(
+        self,
+        tokens: List[Token],
+        algos: List[List[str]],
+        node: Node,
+        keywords: List[Tuple[str, Optional[str]]],
+        stop_tokens: List[Token],
+        text: Optional[str] = None,
+    ):
+        self.tokens = tokens
+        self.algos = algos
+        self._node = node
+        self._keywords = keywords  # [(label, kb_id or None)]
+        self._doc_stop_tokens = stop_tokens
+        self.text = text
+
+    # Span properties (span.py:24-56)
+    @property
+    def start(self) -> int:
+        return self.tokens[0].start
+
+    @property
+    def end(self) -> int:
+        return self.tokens[-1].end
+
+    @property
+    def start_i(self) -> int:
+        return self.tokens[0].i
+
+    @property
+    def end_i(self) -> int:
+        return self.tokens[-1].i
+
+    @property
+    def tokens_label(self) -> str:
+        return " ".join(t.label for t in self.tokens)
+
+    @property
+    def label(self) -> str:
+        return self.tokens_label
+
+    @property
+    def tokens_norm_label(self) -> str:
+        return " ".join(t.norm_label for t in self.tokens)
+
+    @property
+    def keywords(self) -> List[Tuple[str, Optional[str]]]:
+        return self._keywords
+
+    @property
+    def kw_strings(self) -> List[str]:
+        """str(keyword): 'label' or 'label (kb_id)' (keywords.py:26-41)."""
+        return [
+            label if kb_id is None else f"{label} ({kb_id})"
+            for label, kb_id in self._keywords
+        ]
+
+    @property
+    def stop_tokens(self) -> List[Token]:
+        """Stopwords strictly inside the span (annotation.py:82-94)."""
+        inside = [t for t in self._doc_stop_tokens if self.start_i < t.i < self.end_i]
+        inside.sort(key=lambda t: t.i)
+        return inside
+
+    def to_dict(self, text: Optional[str] = None) -> Dict:
+        """annotation.py:110-135."""
+        dic = {
+            "start": self.start,
+            "end": self.end,
+            "label": self.label,
+            "norm_label": self.tokens_norm_label,
+            "tokens": [
+                {"start": t.start, "end": t.end, "label": t.label, "norm_label": t.norm_label}
+                for t in self.tokens
+            ],
+            "algos": self.algos,
+            "kb_ids": [kb for _, kb in self._keywords if kb is not None],
+            "kw_labels": [label for label, _ in self._keywords],
+            "version": ANNOT_VERSION,
+        }
+        if text is not None:
+            dic["substring"] = text[self.start : self.end]
+        return dic
+
+    def to_string(self, text: bool = False, debug: bool = False) -> str:
+        """annotation.py:140-157 / printannot.py:20-37."""
+        columns = [self.annot_to_str()]
+        if text:
+            columns.append(self.text[self.start : self.end])
+        if debug:
+            columns.append(
+                ";".join(
+                    f"{t.norm_label}({','.join(a)})"
+                    for t, a in zip(self.tokens, self.algos)
+                )
+            )
+        return "\t".join(columns).replace("\n", "\\n")
+
+    def annot_to_str(self, formatter: str = "contseq") -> str:
+        """'text-span \\t offsets \\t keywords' (printannot.py:20-37).
+        Falls back to the token formatter when text is missing."""
+        fmt = "token" if self.text is None else formatter
+        text_span, offsets = self.brat_text_and_offsets(fmt)
+        return "\t".join([text_span, offsets, ";".join(self.kw_strings)])
+
+    def brat_text_and_offsets(self, formatter: str = "contseq") -> Tuple[str, str]:
+        """Brat formatters (brat/formatter.py:12-86):
+        contseq | token | contseq_stop | span."""
+        if formatter == "token":
+            offsets = ";".join(f"{t.start} {t.end}" for t in self.tokens)
+            return " ".join(t.label for t in self.tokens), offsets
+        if formatter == "span":
+            return self.text[self.start : self.end], f"{self.start} {self.end}"
+        if formatter == "contseq_stop":
+            toks = sorted([*self.tokens, *self.stop_tokens], key=lambda t: t.i)
+            seqs = group_continuous_seq(toks)
+            seqs = remove_trailing_stopwords(seqs, [t.i for t in self.stop_tokens])
+        else:  # contseq (default)
+            seqs = group_continuous_seq(list(self.tokens))
+        spans = [(seq[0].start, seq[-1].end) for seq in seqs]
+        offsets = ";".join(f"{s} {e}" for s, e in spans)
+        label = " ".join(self.text[s:e] for s, e in spans)
+        return label, offsets
+
+    def __str__(self) -> str:
+        return self.to_string()
+
+
+def sort_annot(annots: List[Annotation]) -> None:
+    """Order by (start, end) (annotation.py:200-202)."""
+    annots.sort(key=lambda a: (a.start, a.end))
+
+
+def is_shorter_span_of(a: Annotation, b: Annotation) -> bool:
+    """span.py:72-89: overlap + token-offset-sequence containment; exact
+    same-offset ties kept."""
+    if a is b:
+        return False
+    if not offsets_overlap(a.start, a.end, b.start, b.end):
+        return False
+    if a.start == b.start and a.end == b.end:
+        return False
+    return get_span_seq_id(a.tokens) in get_span_seq_id(b.tokens)
+
+
+def is_ancestor_annot_of(a: Annotation, b: Annotation) -> bool:
+    """annotation.py:190-197."""
+    if a is b:
+        return False
+    if a.start != b.start or a.end > b.end:
+        return False
+    return a._node.node_num in b._node.ancestor_ids()
+
+
+def rm_nested_annots(annots: List[Annotation], keep_ancestors: bool = False) -> List[Annotation]:
+    """Remove the shorter of two nested annots (annotation.py:205-249);
+    relies on (start, end) sort order for the early break."""
+    ancest_indices: Set[int] = set()
+    short_indices: Set[int] = set()
+    for i, annot in enumerate(annots):
+        for y in range(i + 1, len(annots)):
+            other = annots[y]
+            if not offsets_overlap(annot.start, annot.end, other.start, other.end):
+                break
+            if is_shorter_span_of(annot, other):
+                short_indices.add(i)
+                if is_ancestor_annot_of(annot, other):
+                    ancest_indices.add(i)
+            if is_shorter_span_of(other, annot):
+                short_indices.add(y)
+    if keep_ancestors:
+        indices_2_remove = short_indices - ancest_indices
+    else:
+        indices_2_remove = short_indices
+    return [a for i, a in enumerate(annots) if i not in indices_2_remove]
+
+
+def replace_annots(text: str, annots: Sequence[Annotation], new_labels: Sequence[str]) -> str:
+    """annotation.py:293-311."""
+    if len(annots) != len(new_labels):
+        raise ValueError("annots and new_labels don't have the same length.")
+    return replace_offsets_by_new_str(
+        text, (((a.start, a.end), lab) for a, lab in zip(annots, new_labels))
+    )
+
+
+def _create_annot(
+    last_trans: StateTransition,
+    stop_tokens: List[Token],
+    keywords: List[Tuple[str, Optional[str]]],
+) -> Annotation:
+    """annotation.py:252-279: unwind linked list, re-sort by token.i."""
+    trans_states: List[StateTransition] = [last_trans]
+    prev = last_trans.previous_trans
+    while prev is not None and prev.previous_trans is not None:
+        trans_states.append(prev)
+        prev = prev.previous_trans
+    trans_states.sort(key=lambda t: t.token.i)
+    node = last_trans.node
+    return Annotation(
+        tokens=[t.token for t in trans_states],
+        algos=[t.algos for t in trans_states],
+        node=node,
+        keywords=keywords,
+        stop_tokens=stop_tokens,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strategies — strategy.py:25-335
+# ---------------------------------------------------------------------------
+
+
+def window_detect(
+    tokens: Sequence[Token],
+    w: int,
+    trie: Trie,
+    get_synonyms: Callable[[Sequence[Token], Token], List[SynAlgos]],
+    is_stop: Callable[[Token], bool],
+    large_window: bool = False,
+) -> List[Annotation]:
+    """WindowMatching.detect (strategy.py:25-99). LargeWindowMatching
+    (strategy.py:102-204) produces identical output via an inverted
+    token→states index; both paths share this implementation — the inverted
+    index only changes which transitions are *inspected*, so we select it
+    when beneficial without duplicating semantics."""
+    annots: List[Annotation] = []
+    first_trans = StateTransition.create_first_trans(trie.root)
+    transitions: Dict[int, StateTransition] = {first_trans.id: first_trans}
+    # inverted index token -> set of transition ids having that child
+    avail: Optional[Dict[str, Set[int]]] = None
+    if large_window:
+        avail = defaultdict(set)
+        for tok in trie.root.children:
+            avail[tok].add(first_trans.id)
+    count_not_stopword = 0
+    stop_tokens: List[Token] = []
+    for token in tokens:
+        if is_stop(token):
+            stop_tokens.append(token)
+            continue
+        count_not_stopword += 1
+        syns_algos = get_synonyms(tokens, token)
+        new_trans: List[StateTransition] = []
+        if avail is None:
+            trans2remove: List[int] = []
+            for trans in transitions.values():
+                if trans.is_obsolete(count_not_stopword, w):
+                    trans2remove.append(trans.id)
+                    continue
+                for syn, algos in syns_algos:
+                    next_node = trans.node.jump_to_node(syn)
+                    if next_node is EMPTY_NODE:
+                        continue
+                    nt = StateTransition(trans, next_node, token, algos, count_not_stopword)
+                    new_trans.append(nt)
+                    if next_node.is_a_final_state():
+                        annots.append(
+                            _create_annot(nt, stop_tokens, _kw_of(trie, next_node))
+                        )
+            for tid in trans2remove:
+                del transitions[tid]
+            for nt in new_trans:
+                transitions[nt.id] = nt
+        else:
+            # LargeWindow: touch only states with a transition on syn[0]
+            seen_new: Set[int] = set()
+            for syn, algos in syns_algos:
+                tids = avail.get(syn[0])
+                if not tids:
+                    continue
+                for tid in list(tids):
+                    trans = transitions.get(tid)
+                    if trans is None:
+                        tids.discard(tid)
+                        continue
+                    if trans.is_obsolete(count_not_stopword, w):
+                        del transitions[tid]
+                        tids.discard(tid)
+                        continue
+                    node = trans.node.jump_to_node(syn)
+                    if node is EMPTY_NODE:
+                        continue
+                    nt = StateTransition(trans, node, token, algos, count_not_stopword)
+                    if nt.id not in seen_new:
+                        seen_new.add(nt.id)
+                        new_trans.append(nt)
+            for nt in new_trans:
+                if nt.node.is_a_final_state():
+                    annots.append(_create_annot(nt, stop_tokens, _kw_of(trie, nt.node)))
+                for child_tok in nt.node.children:
+                    avail[child_tok].add(nt.id)
+                transitions[nt.id] = nt
+    sort_annot(annots)
+    return annots
+
+
+def no_overlap_detect(
+    tokens: Sequence[Token],
+    trie: Trie,
+    get_synonyms: Callable[[Sequence[Token], Token], List[SynAlgos]],
+    is_stop: Callable[[Token], bool],
+) -> List[Annotation]:
+    """NoOverlapMatching.detect (strategy.py:207-335): greedy longest match
+    with backtracking; w ignored."""
+    annots: List[Annotation] = []
+    first_trans = StateTransition.create_first_trans(trie.root)
+    transitions: Set[StateTransition] = {first_trans}
+    stop_tokens: List[Token] = []
+    i = 0
+    started_at = 0
+    n = len(tokens)
+    while i < n + 1:
+        token = tokens[i] if i < n else _END_TOKEN
+        if is_stop(token):
+            stop_tokens.append(token)
+            i += 1
+            started_at += 1
+            continue
+        syns_algos = get_synonyms(tokens, token)
+        new_trans: Set[StateTransition] = set()
+        for trans in transitions:
+            for syn, algos in syns_algos:
+                node = trans.node.jump_to_node(syn)
+                if node is EMPTY_NODE:
+                    continue
+                new_trans.add(StateTransition(trans, node, token, algos, -1))
+        if new_trans:
+            transitions = new_trans
+            i += 1
+        else:
+            if len(transitions) == 1 and first_trans in transitions:
+                i += 1
+                started_at += 1
+                continue
+            last_i = started_at
+            for trans in transitions:
+                # backtrack to the first final state (strategy.py:322-330)
+                cur = trans
+                while not cur.node.is_a_final_state():
+                    cur = cur.previous_trans
+                    if cur.previous_trans is None:  # reached first trans
+                        break
+                if cur.node.is_a_final_state():
+                    annot = _create_annot(cur, stop_tokens, _kw_of(trie, cur.node))
+                    last_i = max(annot.end_i, last_i)
+                    annots.append(annot)
+            i = last_i + 1
+            started_at = started_at + 1
+            transitions = {first_trans}
+    sort_annot(annots)
+    return annots
+
+
+def _kw_of(trie: Trie, node: Node) -> List[Tuple[str, Optional[str]]]:
+    return [trie.keywords[idx] for idx in node.kw_indices]
+
+
+# ---------------------------------------------------------------------------
+# Matcher facade — matcher.py:56-504
+# ---------------------------------------------------------------------------
+
+
+class Matcher:
+    """Public API: compiles keywords + fuzzy config, annotates documents.
+    Pickle-friendly (broadcast to executors as one object)."""
+
+    def __init__(self, tokenizer: Optional[Tokenizer] = None, stopwords=None):
+        self.tokenizer = tokenizer or french_tokenizer()
+        self.stopwords = stopwords if stopwords is not None else Stopwords()
+        self.w = 1
+        self.remove_nested_annots = True
+        self.strategy = "window"  # window | large_window | no_overlap
+        self.fuzzy_algos: List[FuzzyAlgo] = [ExactMatch()]
+        self.trie = Trie()
+
+    # --- dictionary -------------------------------------------------------
+    def add_keywords(self, keywords: Iterable[Union[str, Tuple[str, Optional[str]]]]) -> None:
+        for kw in keywords:
+            if isinstance(kw, str):
+                label, kb_id = kw, None
+            else:
+                label, kb_id = kw
+            self.trie.add_keyword(
+                label, kb_id, self.tokenizer, self.stopwords.is_word_a_stopword
+            )
+
+    def get_keywords_unigrams(self) -> Set[str]:
+        """Distinct non-stop unigrams of all keywords (keywords/util.py:12-24)."""
+        return set(self.trie.get_unigrams())
+
+    def add_stopwords(self, words: Iterable[str]) -> None:
+        self.stopwords.add(words)
+
+    def add_fuzzy_algo(self, algo: FuzzyAlgo) -> None:
+        self.fuzzy_algos.append(algo)
+
+    # --- stopword proxy ----------------------------------------------------
+    def is_token_a_stopword(self, token: Token) -> bool:
+        return self.stopwords.is_token_a_stopword(token)
+
+    # --- synonyms (matcher.py:269-289) -------------------------------------
+    def get_synonyms(self, tokens: Sequence[Token], token: Token) -> List[SynAlgos]:
+        syns_collector: Dict[SynType, List[str]] = defaultdict(list)
+        for algo in self.fuzzy_algos:
+            if isinstance(algo, CacheFuzzyAlgos):
+                for syn, name in algo.get_syns_of_word(token.norm_label):
+                    syns_collector[syn].append(name)
+            else:
+                for syn in algo.get_syns_of_token(token):
+                    syns_collector[syn].append(algo.name)
+        return list(syns_collector.items())
+
+    # --- annotate -----------------------------------------------------------
+    def tokenize(self, text: str) -> List[Token]:
+        return self.tokenizer.tokenize(text)
+
+    def annot_tokens(self, tokens: Sequence[Token]) -> List[Annotation]:
+        if self.strategy == "no_overlap":
+            annots = no_overlap_detect(
+                tokens, self.trie, self.get_synonyms, self.is_token_a_stopword
+            )
+        else:
+            annots = window_detect(
+                tokens,
+                self.w,
+                self.trie,
+                self.get_synonyms,
+                self.is_token_a_stopword,
+                large_window=(self.strategy == "large_window"),
+            )
+        if self.remove_nested_annots:
+            annots = rm_nested_annots(annots, keep_ancestors=False)
+        return annots
+
+    def annot_text(self, text: str) -> List[Annotation]:
+        tokens = self.tokenize(text)
+        annots = self.annot_tokens(tokens)
+        for a in annots:
+            a.text = text
+        return annots
+
+    # --- one-call factory (matcher.py:322-504) ------------------------------
+    @classmethod
+    def build(
+        cls,
+        keywords: Iterable[Union[str, Tuple[str, Optional[str]]]],
+        tokenizer: Optional[Tokenizer] = None,
+        stopwords: Union[None, Iterable[str], Stopwords, NegativeStopwords] = None,
+        w: int = 1,
+        order_tokens: bool = False,
+        negative: bool = False,
+        remove_nested_annots: bool = True,
+        strategy: str = "window",
+        string_distance_ignored_w: Optional[Iterable[str]] = None,
+        abbreviations: Optional[Iterable[Tuple[str, str]]] = None,
+        spellwise: Optional[List[Dict]] = None,
+        simstring: Optional[List[Dict]] = None,
+        normalizers: Optional[List[Dict]] = None,
+        fuzzy_regex: Optional[List[Dict]] = None,
+    ) -> "Matcher":
+        tokenizer = tokenizer or french_tokenizer()
+        if order_tokens:
+            tokenizer = Tokenizer(tokenizer.split, tokenizer.normalize, order_tokens=True)
+        matcher = cls(tokenizer=tokenizer)
+        if stopwords is None:
+            matcher.stopwords = NoStopwords()
+        elif isinstance(stopwords, (Stopwords, NegativeStopwords)):
+            matcher.stopwords = stopwords
+        else:
+            matcher.stopwords = Stopwords(stopwords)
+        first_stopwords = matcher.stopwords
+        matcher.w = w
+        matcher.remove_nested_annots = remove_nested_annots
+        matcher.strategy = strategy.lower()
+
+        # keyword-side FuzzyRegex rewrite must happen before trie insert
+        # (regex.py:39-56); build algos first when fuzzy_regex is configured.
+        regex_algos: List[FuzzyRegex] = []
+        if fuzzy_regex:
+            regex_algos = [FuzzyRegex(**params) for params in fuzzy_regex]
+
+        def rewrite(label: str) -> str:
+            for algo in regex_algos:
+                label = algo.replace_pattern_in_label(label, tokenizer)
+            return label
+
+        kws = []
+        for kw in keywords:
+            if isinstance(kw, str):
+                kws.append(rewrite(kw) if regex_algos else kw)
+            else:
+                label, kb_id = kw
+                kws.append((rewrite(label) if regex_algos else label, kb_id))
+        matcher.add_keywords(kws)
+
+        if negative:
+            matcher.stopwords = NegativeStopwords(
+                words_to_keep=matcher.get_keywords_unigrams()
+            )
+
+        cache = CacheFuzzyAlgos()
+
+        def add_in_cache(algo: FuzzyAlgo) -> None:
+            if cache not in matcher.fuzzy_algos:
+                matcher.add_fuzzy_algo(cache)
+            cache.add_algo(algo)
+
+        if abbreviations is not None:
+            abbs = Abbreviations(name="abbs")
+            matcher.add_fuzzy_algo(abbs)
+            for short_form, long_form in abbreviations:
+                abbs.add(short_form, long_form, tokenizer)
+
+        if normalizers is not None:
+            for params in normalizers:
+                wn = WordNormalizer(**params)
+                wn.add_words(matcher.get_keywords_unigrams())
+                add_in_cache(wn)
+
+        for algo in regex_algos:
+            add_in_cache(algo)
+
+        if spellwise is not None:
+            for params in spellwise:
+                params = dict(params)
+                if "words2ignore" not in params and string_distance_ignored_w is not None:
+                    params["words2ignore"] = string_distance_ignored_w
+                lev = LevenshteinAlgo(**params)
+                lev.add_words(matcher.get_keywords_unigrams())
+                add_in_cache(lev)
+
+        if simstring is not None:
+            for params in simstring:
+                params = dict(params)
+                if "words2ignore" not in params and string_distance_ignored_w is not None:
+                    params["words2ignore"] = string_distance_ignored_w
+                ss = NgramSimilarity(words=matcher.get_keywords_unigrams(), **params)
+                add_in_cache(ss)
+
+        if negative:
+            # keep a word if any fuzzy algo yields a synonym for it
+            # (negative.py:71-112, issue #15)
+            context_free = [
+                a
+                for a in matcher.fuzzy_algos
+                if not isinstance(a, (ExactMatch, CacheFuzzyAlgos))
+            ]
+
+            def keep_fuzzy(token: Token) -> bool:
+                if first_stopwords.is_token_a_stopword(token):
+                    return False
+                for a in context_free:
+                    if list(a.get_syns_of_token(token)):
+                        return True
+                if cache in matcher.fuzzy_algos and cache.get_syns_of_word(token.norm_label):
+                    return True
+                return False
+
+            matcher.stopwords.add_fun_is_a_word_to_keep(keep_fuzzy)
+        return matcher

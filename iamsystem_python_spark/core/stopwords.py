@@ -1,0 +1,67 @@
+"""Stopword predicates.
+
+Parity target: /root/reference/src/iamsystem/stopwords/simple.py:10-50 and
+negative.py:19-112. At the Spark layer these become broadcast sets used in
+``F.filter`` lambdas; inside the kernel they stay plain predicates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Optional, Set
+
+from iamsystem_python_spark.core.tokenize import Token
+
+
+class Stopwords:
+    """Lowercase membership; a whitespace/empty word is always a stopword
+    (simple.py:30)."""
+
+    def __init__(self, stopwords: Optional[Iterable[str]] = None):
+        self.words: Set[str] = set(w.lower() for w in stopwords) if stopwords else set()
+
+    def add(self, words: Iterable[str]) -> None:
+        self.words.update(w.lower() for w in words)
+
+    def is_word_a_stopword(self, word: str) -> bool:
+        word = word.lower()
+        return word in self.words or word.isspace() or len(word) == 0
+
+    def is_token_a_stopword(self, token: Token) -> bool:
+        return self.is_word_a_stopword(token.norm_label)
+
+
+class NoStopwords(Stopwords):
+    """Constant False (simple.py:41-50)."""
+
+    def __init__(self):
+        super().__init__()
+
+    def is_word_a_stopword(self, word: str) -> bool:
+        return False
+
+    def is_token_a_stopword(self, token: Token) -> bool:
+        return False
+
+
+class NegativeStopwords:
+    """Everything is a stopword unless kept (negative.py:19-68).
+    Keep test uses the token's *label* lowercased (negative.py:62), plus
+    user keep-functions (issue #15, negative.py:71-112)."""
+
+    def __init__(self, words_to_keep: Optional[Iterable[str]] = None):
+        self.words_to_keep: Set[str] = set(words_to_keep) if words_to_keep else set()
+        self._keep_funs: List[Callable[[Token], bool]] = []
+
+    def add_words(self, words_to_keep: Iterable[str]) -> None:
+        self.words_to_keep.update(words_to_keep)
+
+    def add_fun_is_a_word_to_keep(self, fun: Callable[[Token], bool]) -> None:
+        self._keep_funs.append(fun)
+
+    def is_word_a_stopword(self, word: str) -> bool:
+        return word.lower() not in self.words_to_keep
+
+    def is_token_a_stopword(self, token: Token) -> bool:
+        if token.label.lower() in self.words_to_keep:
+            return False
+        return not any(fun(token) for fun in self._keep_funs)

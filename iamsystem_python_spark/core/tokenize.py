@@ -1,0 +1,212 @@
+"""Tokenization + normalization kernels.
+
+Parity target: /root/reference/src/iamsystem/tokenization/tokenize.py:23-131
+and normalize.py:10-18. Re-expressed for batch execution: ``Tokenizer.tokenize``
+is row-level, but every function here is also exposed batch-wise
+(``tokenize_batch``) so the Spark layer can run it over a pandas Series
+inside one Arrow batch.
+
+Normalization: the reference uses ``anyascii`` (normalize.py:14-18) with a
+``μ→u`` special case. anyascii is not available in this environment, so we
+fold accents with NFKD-strip, which is equivalent on the Latin-script fixtures
+the reference tests use (é→e, è→e, à→a, ç→c, μ→u via the same special case).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Token model — reference: tokenization/token.py:7-52
+# start/end are end-exclusive character offsets; i is the token index.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Token:
+    start: int
+    end: int
+    label: str
+    norm_label: str
+    i: int
+
+    def as_tuple(self) -> Tuple[int, int, str, str, int]:
+        return (self.start, self.end, self.label, self.norm_label, self.i)
+
+
+# ---------------------------------------------------------------------------
+# Normalizers — reference: tokenization/normalize.py:10-18
+# ---------------------------------------------------------------------------
+
+_MU = "μ"
+
+
+def lower_no_accents(s: str) -> str:
+    """Lowercase + accent fold (reference normalize.py:10-13)."""
+    s = s.replace(_MU, "u")
+    nfkd = unicodedata.normalize("NFKD", s)
+    return "".join(c for c in nfkd if not unicodedata.combining(c)).lower()
+
+
+def lower_only(s: str) -> str:
+    return s.lower()
+
+
+# ---------------------------------------------------------------------------
+# Split functions — reference: tokenize.py:23-44
+# ---------------------------------------------------------------------------
+
+splitFun = Callable[[str], Iterable[Tuple[int, int]]]
+
+
+def split_find_iter_closure(pattern: str) -> splitFun:
+    """Regex split of text into (start, end) offsets (tokenize.py:23-41)."""
+    r = re.compile(pattern)
+
+    def split(text: str) -> Iterable[Tuple[int, int]]:
+        return ((m.start(), m.end()) for m in r.finditer(text))
+
+    return split
+
+
+split_alpha_num = split_find_iter_closure(r"\w+")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer — reference: tokenize.py:47-81 (TokenizerImp)
+# ---------------------------------------------------------------------------
+
+
+class Tokenizer:
+    """Split + per-token normalize → Token(start, end, label, norm_label, i).
+
+    ``order_tokens=True`` reproduces tokenize_and_order_decorator
+    (tokenize.py:117-131): tokens sorted alphabetically by label for
+    order-insensitive matching; offsets keep their original values, ``i``
+    keeps the document position (re-sorted later by create_annot).
+    """
+
+    def __init__(
+        self,
+        split: splitFun = split_alpha_num,
+        normalize: Callable[[str], str] = lower_no_accents,
+        order_tokens: bool = False,
+    ):
+        self.split = split
+        self.normalize = normalize
+        self.order_tokens = order_tokens
+
+    def tokenize(self, text: str) -> List[Token]:
+        tokens = [
+            Token(
+                start=start,
+                end=end,
+                label=text[start:end],
+                norm_label=self.normalize(text[start:end]),
+                i=i,
+            )
+            for i, (start, end) in enumerate(self.split(text))
+        ]
+        if self.order_tokens:
+            # reference sorts by *label* (tokenize.py:128-129)
+            tokens = sorted(tokens, key=lambda t: t.label)
+        return tokens
+
+    def tokenize_batch(self, texts: Sequence[Optional[str]]) -> List[List[Token]]:
+        """Vectorization seam: one call per Arrow batch."""
+        return [self.tokenize(t) if t is not None else [] for t in texts]
+
+
+def french_tokenizer(order_tokens: bool = False) -> Tokenizer:
+    """lower + unaccent (tokenize.py:94-103)."""
+    return Tokenizer(split_alpha_num, lower_no_accents, order_tokens)
+
+
+def english_tokenizer(order_tokens: bool = False) -> Tokenizer:
+    """lower only (tokenize.py:106-111)."""
+    return Tokenizer(split_alpha_num, lower_only, order_tokens)
+
+
+_CODE_SPLIT = split_find_iter_closure(r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]")
+
+
+def code_tokenizer() -> Tokenizer:
+    """Source-code tokenizer for the dedup pipeline: identifiers, numbers and
+    single punctuation marks each become one token; lowercased norm. No
+    reference counterpart (the dedup pipeline is engine-side, SURVEY.md §2-C).
+    """
+    return Tokenizer(_CODE_SPLIT, lower_only)
+
+
+def remove_stopwords(tokens: Sequence[Token], is_stop: Callable[[Token], bool]) -> List[Token]:
+    """tokenize.py:84-91."""
+    return [t for t in tokens if not is_stop(t)]
+
+
+# ---------------------------------------------------------------------------
+# Offset / span utilities — reference: tokenization/util.py
+# ---------------------------------------------------------------------------
+
+
+def offsets_overlap(a_start: int, a_end: int, b_start: int, b_end: int) -> bool:
+    """Interval intersection test (util.py:14-18)."""
+    return (b_start <= a_start <= b_end) or (a_start <= b_start <= a_end)
+
+
+def get_span_seq_id(tokens: Sequence[Token]) -> str:
+    """Unique id for a sequence of offsets (util.py:34-40)."""
+    return ";".join(f"({t.start},{t.end})" for t in tokens)
+
+
+def concat_norm_labels(tokens: Sequence[Token]) -> str:
+    return " ".join(t.norm_label for t in tokens)
+
+
+def concat_labels(tokens: Sequence[Token]) -> str:
+    return " ".join(t.label for t in tokens)
+
+
+def group_continuous_seq(tokens: List[Token]) -> List[List[Token]]:
+    """Gaps-and-islands over token index i (util.py:97-114)."""
+    if not tokens:
+        return []
+    tokens = sorted(tokens, key=lambda t: t.i)
+    seqs: List[List[Token]] = [[tokens[0]]]
+    for tok in tokens[1:]:
+        if seqs[-1][-1].i + 1 == tok.i:
+            seqs[-1].append(tok)
+        else:
+            seqs.append([tok])
+    return seqs
+
+
+def remove_trailing_stopwords(
+    sequences: List[List[Token]], stop_i: Sequence[int]
+) -> List[List[Token]]:
+    """Trim stopword-only tails of each continuous run (util.py:117-134)."""
+    stop = set(stop_i)
+    out: List[List[Token]] = []
+    for seq in sequences:
+        while seq and seq[-1].i in stop:
+            seq = seq[:-1]
+        if seq:
+            out.append(seq)
+    return out
+
+
+def replace_offsets_by_new_str(
+    text: str, offsets_new_str: Iterable[Tuple[Tuple[int, int], str]]
+) -> str:
+    """Splice replacement strings into text; skip overlapped (util.py:55-75)."""
+    parts: List[str] = []
+    i = 0
+    for (start, end), new_str in offsets_new_str:
+        if start < i:
+            continue
+        parts.append(text[i:start] + new_str)
+        i = end
+    parts.append(text[i:])
+    return "".join(parts)

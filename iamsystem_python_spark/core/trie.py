@@ -1,0 +1,141 @@
+"""Dictionary trie (finite-state automaton over normalized token paths).
+
+Parity target: /root/reference/src/iamsystem/tree/trie.py:21-99 and
+tree/nodes.py:16-246. Built once on the driver from the keyword table, then
+broadcast to executors (SURVEY.md D6) — the dictionary is the small side.
+
+Design difference vs the reference: nodes store an int id and live in flat
+lists (children dicts keyed by token string), which pickles compactly for
+``sparkContext.broadcast`` and keeps ancestor sets precomputed for the
+nested-annotation removal join (annotation.py:190-197).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
+
+
+class Node:
+    """FSA state (nodes.py:16-25). Final iff it stores keyword ids
+    (nodes.py:191-193)."""
+
+    __slots__ = ("token", "node_num", "parent", "children", "kw_indices")
+
+    def __init__(self, token: str, node_num: int, parent: Optional["Node"]):
+        self.token = token
+        self.node_num = node_num
+        self.parent = parent
+        self.children: Dict[str, "Node"] = {}
+        self.kw_indices: List[int] = []
+        if parent is not None:
+            parent.children[token] = self
+
+    # δ(state, token) — nodes.py:170-173
+    def goto_node(self, token: str) -> "Node":
+        return self.children.get(token, EMPTY_NODE)
+
+    # δ* over a synonym tuple — nodes.py:175-183
+    def jump_to_node(self, syn: Tuple[str, ...]) -> "Node":
+        node = self
+        for word in syn:
+            node = node.children.get(word, EMPTY_NODE)
+            if node is EMPTY_NODE:
+                return EMPTY_NODE
+        return node
+
+    def is_a_final_state(self) -> bool:
+        return len(self.kw_indices) > 0
+
+    def get_ancestors(self) -> List["Node"]:
+        """Path to root, excluding self and root (nodes.py:201-209)."""
+        out: List["Node"] = []
+        node = self.parent
+        while node is not None and node.parent is not None:
+            out.append(node)
+            node = node.parent
+        return out
+
+    def ancestor_ids(self) -> FrozenSet[int]:
+        return frozenset(n.node_num for n in self.get_ancestors())
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Node({self.token!r}, #{self.node_num}, final={self.is_a_final_state()})"
+
+
+class _EmptyNode(Node):
+    """Sink state sentinel (nodes.py:135)."""
+
+    def __init__(self):
+        super().__init__(token="EMPTY_NODE", node_num=-1, parent=None)
+
+    def goto_node(self, token: str) -> Node:
+        return self
+
+    def jump_to_node(self, syn) -> Node:
+        return self
+
+    def is_a_final_state(self) -> bool:
+        return False
+
+
+EMPTY_NODE = _EmptyNode()
+
+
+class Trie:
+    """trie.py:21-99. ``keywords[i]`` is the i-th added keyword
+    (label, kb_id); nodes reference keywords by index to stay pickle-light."""
+
+    def __init__(self):
+        self._node_count = 0
+        self.root = self._new_node("START_TOKEN", parent=None)
+        self.keywords: List[Tuple[str, Optional[str]]] = []
+
+    def _new_node(self, token: str, parent: Optional[Node]) -> Node:
+        node = Node(token, self._node_count, parent)
+        self._node_count += 1
+        return node
+
+    @property
+    def node_count(self) -> int:
+        return self._node_count
+
+    def add_keyword_with_tokens(
+        self, label: str, kb_id: Optional[str], norm_tokens: Sequence[str]
+    ) -> Optional[int]:
+        """Insert a pre-tokenized path (trie.py:71-91). Returns the keyword
+        index, or None when the token path is empty (trie.py:46-50 warns)."""
+        if not norm_tokens:
+            warnings.warn(
+                f"keyword {label!r} tokenized to an empty sequence; ignored"
+            )
+            return None
+        node = self.root
+        for tok in norm_tokens:
+            child = node.children.get(tok)
+            if child is None:
+                child = self._new_node(tok, parent=node)
+            node = child
+        kw_idx = len(self.keywords)
+        self.keywords.append((label, kb_id))
+        node.kw_indices.append(kw_idx)
+        return kw_idx
+
+    def add_keyword(self, label: str, kb_id: Optional[str], tokenizer, is_stop) -> Optional[int]:
+        """Tokenize label, drop stopwords, insert (trie.py:29-51)."""
+        toks = [
+            t.norm_label for t in tokenizer.tokenize(label) if not is_stop(t.norm_label)
+        ]
+        return self.add_keyword_with_tokens(label, kb_id, toks)
+
+    def get_unigrams(self) -> FrozenSet[str]:
+        """Distinct first-level-and-below tokens of all keywords
+        (keywords/util.py:12-24 computes from labels; equivalent here:
+        every token on any path)."""
+        out = set()
+        stack = list(self.root.children.values())
+        while stack:
+            n = stack.pop()
+            out.add(n.token)
+            stack.extend(n.children.values())
+        return frozenset(out)

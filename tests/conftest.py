@@ -1,0 +1,102 @@
+"""Shared fixtures.
+
+``reference()`` imports the read-only reference library at
+/root/reference/src with stub shims for its unavailable binary deps:
+- anyascii  → NFKD accent fold (identical on the Latin-script fixtures)
+- spellwise → real banded-Levenshtein suggester (our own implementation),
+  so differential tests exercise the fuzzy path with true edit distances
+- pysimstring → import-only stub (simstring differential tests are skipped;
+  our NgramSimilarity is tested against its published measure definitions)
+
+A singleton SparkSession (local[*]) is shared across spark tests.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+import unicodedata
+
+import pytest
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+def _install_stub_modules() -> None:
+    if "anyascii" not in sys.modules:
+        m = types.ModuleType("anyascii")
+        m.anyascii = lambda s: "".join(
+            c
+            for c in unicodedata.normalize("NFKD", s)
+            if not unicodedata.combining(c)
+        )
+        sys.modules["anyascii"] = m
+
+    if "spellwise" not in sys.modules:
+        from iamsystem_python_spark.core.fuzzy import levenshtein
+
+        sw = types.ModuleType("spellwise")
+
+        class _Lev:
+            def __init__(self):
+                self._words = []
+
+            def add_words(self, words):
+                self._words.extend(words)
+
+            def get_suggestions(self, query_word, max_distance=2):
+                out = []
+                for w in self._words:
+                    d = levenshtein(query_word.lower(), w.lower(), max_distance)
+                    if d <= max_distance:
+                        out.append({"word": w, "distance": d})
+                return out
+
+        class _Unsupported:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("phonetic algos unavailable in sandbox")
+
+        sw.Levenshtein = _Lev
+        for name in ("CaverphoneOne", "CaverphoneTwo", "Editex", "Soundex", "Typox"):
+            setattr(sw, name, type(name, (), {"__init__": _Unsupported.__init__}))
+        sys.modules["spellwise"] = sw
+
+    if "pysimstring" not in sys.modules:
+        ps = types.ModuleType("pysimstring")
+        ss = types.ModuleType("pysimstring.simstring")
+        for i, name in enumerate(["exact", "dice", "cosine", "jaccard", "overlap"]):
+            setattr(ss, name, i)
+        ss.writer = object
+        ss.reader = object
+        ps.simstring = ss
+        sys.modules["pysimstring"] = ps
+        sys.modules["pysimstring.simstring"] = ss
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """The reference iamsystem package, importable read-only."""
+    _install_stub_modules()
+    if REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, REFERENCE_SRC)
+    import iamsystem
+
+    return iamsystem
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("iamsystem_python_spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()

@@ -1,0 +1,136 @@
+"""Differential tests: run the reference Matcher (imported read-only from
+/root/reference/src with stub deps — see conftest) and our kernel on the
+same randomized corpora and configs; assert identical annotation sets.
+
+This is the unit-level recall≥0.99 guarantee of BASELINE.md — at matched
+config the two matchers must agree exactly, so any pipeline recall loss can
+only come from the LSH candidate stage, never the matcher."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from iamsystem_python_spark.core.matcher import Matcher
+from iamsystem_python_spark.core.tokenize import english_tokenizer, french_tokenizer
+
+VOCAB = [
+    "insuffisance", "cardiaque", "gauche", "droite", "respiratoire",
+    "renale", "chronique", "aigue", "cancer", "de", "la", "prostate",
+    "du", "poumon", "ulcere", "gastrique", "duodenale", "signes",
+    "patient", "presente", "une", "avec", "sans", "grave", "importante",
+    "fonction", "ventricule", "et", "le", "taux", "calcium", "normal",
+]
+
+KEYWORDS = [
+    ("Insuffisance Cardiaque", "I50.9"),
+    ("Insuffisance Cardiaque Gauche", "I50.1"),
+    ("Insuffisance Respiratoire Chronique", "J96.1"),
+    ("Insuffisance Renale Chronique", "N18"),
+    ("cancer de la prostate", "C61"),
+    ("cancer du poumon", "C34"),
+    ("Ulcere gastrique", None),
+    ("Ulcere duodenale", None),
+    ("calcium", None),
+]
+
+
+def _annot_sig(annots):
+    """Comparable signature: (start, end, norm_label, sorted kw labels)."""
+    return sorted(
+        (a.start, a.end, a.tokens_norm_label, tuple(sorted(
+            kw.label if hasattr(kw, "label") else kw[0] for kw in a.keywords
+        )))
+        for a in annots
+    )
+
+
+def _ref_matcher(reference, **cfg):
+    kws = [
+        reference.Entity(label=lab, kb_id=kb) if kb else reference.Keyword(label=lab)
+        for lab, kb in KEYWORDS
+    ]
+    return reference.Matcher.build(keywords=kws, **cfg)
+
+
+def _our_matcher(**cfg):
+    return Matcher.build(keywords=KEYWORDS, **cfg)
+
+
+def _random_texts(seed: int, n: int = 120):
+    rng = random.Random(seed)
+    texts = []
+    for _ in range(n):
+        k = rng.randint(3, 25)
+        texts.append(" ".join(rng.choice(VOCAB) for _ in range(k)))
+    return texts
+
+
+@pytest.mark.parametrize("w", [1, 2, 5, 100])
+@pytest.mark.parametrize("strategy", ["window", "large_window"])
+def test_differential_window(reference, w, strategy):
+    ref_strategy = {"window": "WINDOW", "large_window": "LARGE_WINDOW"}[strategy]
+    ref = _ref_matcher(reference, w=w, stopwords=["de", "la", "et", "le"],
+                       strategy=ref_strategy)
+    ours = _our_matcher(w=w, stopwords=["de", "la", "et", "le"], strategy=strategy)
+    for text in _random_texts(seed=41 + w):
+        assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), text
+
+
+def test_differential_no_overlap(reference):
+    ref = _ref_matcher(reference, strategy="NO_OVERLAP")
+    ours = _our_matcher(strategy="no_overlap")
+    for text in _random_texts(seed=7):
+        assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), text
+
+
+def test_differential_fuzzy_abbreviations_and_spellwise(reference):
+    from iamsystem.fuzzy.spellwise import ESpellWiseAlgo
+
+    abbs = [("ic", "insuffisance cardiaque"), ("irc", "insuffisance renale chronique")]
+    ref = _ref_matcher(
+        reference,
+        w=2,
+        abbreviations=abbs,
+        spellwise=[dict(measure=ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)],
+    )
+    ours = _our_matcher(w=2, abbreviations=abbs, spellwise=[dict(max_distance=1)])
+    rng = random.Random(99)
+
+    def misspell(word: str) -> str:
+        if len(word) < 6:
+            return word
+        i = rng.randint(1, len(word) - 2)
+        return word[:i] + word[i + 1 :]
+
+    for text in _random_texts(seed=3):
+        noisy = " ".join(
+            misspell(tk) if rng.random() < 0.2 else tk for tk in text.split()
+        )
+        noisy = noisy.replace("insuffisance cardiaque", "ic", 1)
+        assert _annot_sig(ref.annot_text(noisy)) == _annot_sig(ours.annot_text(noisy)), noisy
+
+
+def test_differential_negative_stopwords(reference):
+    ref = _ref_matcher(reference, negative=True, w=1)
+    ours = _our_matcher(negative=True, w=1)
+    for text in _random_texts(seed=13):
+        assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), text
+
+
+def test_differential_order_tokens(reference):
+    ref = _ref_matcher(reference, order_tokens=True, w=3)
+    ours = _our_matcher(order_tokens=True, w=3)
+    for text in _random_texts(seed=17):
+        assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), text
+
+
+def test_differential_to_string_exact(reference):
+    """String-format parity on a no-fuzzy config (str(annot) golden path)."""
+    ref = _ref_matcher(reference, w=1, stopwords=["de", "la"])
+    ours = _our_matcher(w=1, stopwords=["de", "la"])
+    for text in _random_texts(seed=23):
+        assert [str(a) for a in ref.annot_text(text)] == [
+            str(a) for a in ours.annot_text(text)
+        ], text

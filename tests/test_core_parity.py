@@ -1,0 +1,348 @@
+"""Kernel-parity tests: assertions ported from the reference test suite
+(/root/reference/tests/) onto our core kernel — same inputs, same expected
+annotation strings/offsets. Citations are reference test file:line."""
+
+from __future__ import annotations
+
+import pytest
+
+from iamsystem_python_spark.core.fuzzy import (
+    Abbreviations,
+    FuzzyRegex,
+    LevenshteinAlgo,
+    NgramSimilarity,
+    WordNormalizer,
+    levenshtein,
+)
+from iamsystem_python_spark.core.matcher import Matcher, replace_annots
+from iamsystem_python_spark.core.stopwords import NegativeStopwords, Stopwords
+from iamsystem_python_spark.core.tokenize import (
+    Token,
+    english_tokenizer,
+    french_tokenizer,
+    group_continuous_seq,
+    split_alpha_num,
+)
+from iamsystem_python_spark.core.trie import EMPTY_NODE, Trie
+
+
+# --- tokenizer / normalizer — tests/test_toknorm.py -------------------------
+
+
+def test_offsets_and_labels():
+    tok = french_tokenizer()
+    tokens = tok.tokenize("Insuffisance Cardiaque Gauche")
+    assert [t.as_tuple() for t in tokens] == [
+        (0, 12, "Insuffisance", "insuffisance", 0),
+        (13, 22, "Cardiaque", "cardiaque", 1),
+        (23, 29, "Gauche", "gauche", 2),
+    ]
+
+
+def test_accent_fold_and_mu():
+    tok = french_tokenizer()
+    assert tok.tokenize("ulcères")[0].norm_label == "ulceres"
+    # μg→ug special case (test_toknorm.py:130-144 / normalize.py:16-18)
+    assert tok.tokenize("5 μg")[1].norm_label == "ug"
+
+
+def test_english_tokenizer_keeps_accents():
+    tok = english_tokenizer()
+    assert tok.tokenize("Éléphant")[0].norm_label == "éléphant"
+
+
+def test_split_alpha_num_quotes_and_dashes():
+    offs = list(split_alpha_num("l'insuffisance cardio-vasculaire"))
+    words = ["l", "insuffisance", "cardio", "vasculaire"]
+    assert ["l'insuffisance cardio-vasculaire"[s:e] for s, e in offs] == words
+
+
+def test_group_continuous_seq():
+    toks = [Token(0, 1, "a", "a", i) for i in [1, 2, 3, 5, 6]]
+    seqs = group_continuous_seq(toks)
+    assert [[t.i for t in s] for s in seqs] == [[1, 2, 3], [5, 6]]
+
+
+# --- trie — tests/test_tree.py ----------------------------------------------
+
+
+def test_trie_topology():
+    tok = french_tokenizer()
+    trie = Trie()
+    trie.add_keyword("Insuffisance Cardiaque", "I50.9", tok, lambda w: False)
+    trie.add_keyword("Insuffisance Cardiaque Gauche", "I50.1", tok, lambda w: False)
+    # root + insuffisance + cardiaque + gauche
+    assert trie.node_count == 4
+    node = trie.root.goto_node("insuffisance")
+    assert not node.is_a_final_state()
+    node2 = node.goto_node("cardiaque")
+    assert node2.is_a_final_state()
+    assert trie.keywords[node2.kw_indices[0]] == ("Insuffisance Cardiaque", "I50.9")
+    assert node2.goto_node("gauche").is_a_final_state()
+    assert node.goto_node("unknown") is EMPTY_NODE
+    assert EMPTY_NODE.goto_node("x") is EMPTY_NODE
+
+
+def test_trie_stopword_removed_from_path():
+    tok = french_tokenizer()
+    trie = Trie()
+    stop = Stopwords(["le", "la", "de"])
+    trie.add_keyword("Insuffisance de la Cardiaque", None, tok, stop.is_word_a_stopword)
+    assert trie.root.goto_node("insuffisance").goto_node("cardiaque").is_a_final_state()
+
+
+def test_trie_empty_keyword_warns():
+    tok = french_tokenizer()
+    trie = Trie()
+    with pytest.warns(UserWarning):
+        trie.add_keyword("le", None, tok, Stopwords(["le"]).is_word_a_stopword)
+
+
+# --- window detection — tests/test_detect.py ---------------------------------
+
+
+def _build(keywords, **kw):
+    kw.setdefault("tokenizer", french_tokenizer())
+    return Matcher.build(keywords=keywords, **kw)
+
+
+@pytest.mark.parametrize("w,n", [(1, 0), (3, 0), (4, 1)])
+def test_window_sensitivity(w, n):
+    """test_detect.py:130-146."""
+    m = _build(["Insuffisance Cardiaque"], w=w)
+    assert len(m.annot_text("insuffisance de la fonction cardiaque")) == n
+
+
+def test_stopword_transparent_window():
+    """test_detect.py:148-157: stopwords don't consume window budget."""
+    m = _build(["Insuffisance Cardiaque"], w=1, stopwords=["de", "la", "fonction"])
+    annots = m.annot_text("insuffisance de la fonction cardiaque")
+    assert len(annots) == 1
+    assert annots[0].start == 0 and annots[0].end == 37
+
+
+def test_nested_removal():
+    """test_detect.py:84-96: keep the longest."""
+    m = _build(["Insuffisance Cardiaque", "Insuffisance Cardiaque Gauche"], w=1)
+    annots = m.annot_text("Signes d'insuffisance cardiaque gauche")
+    assert len(annots) == 1
+    assert annots[0].tokens_norm_label == "insuffisance cardiaque gauche"
+
+
+def test_nested_kept_when_disabled():
+    m = _build(
+        ["Insuffisance Cardiaque", "Insuffisance Cardiaque Gauche"],
+        w=1,
+        remove_nested_annots=False,
+    )
+    assert len(m.annot_text("Signes d'insuffisance cardiaque gauche")) == 2
+
+
+def test_ambiguity_same_offsets_both_kept():
+    """span.py:81-84: exact same offsets → can't decide → keep both."""
+    m = _build(
+        [
+            ("Insuffisance Respiratoire Chronique", "J96.1"),
+            ("Insuffisance Renale Chronique", "N18"),
+        ],
+        w=1,
+        abbreviations=[("irc", "insuffisance respiratoire chronique"),
+                       ("irc", "insuffisance renale chronique")],
+    )
+    annots = m.annot_text("irc")
+    assert len(annots) == 2
+
+
+def test_repeated_keyword_issue_11():
+    """test_matcher.py:209-226: 'cancer cancer de de la la prostate prostate'
+    with w=3 produces 2 annotations (state replacement semantics)."""
+    m = _build(["cancer de la prostate"], w=3)
+    annots = m.annot_text("cancer cancer de de la la prostate prostate")
+    assert len(annots) == 2
+    assert annots[0].annot_to_str().split("\t")[1] == "7 13;17 19;23 34"
+
+
+def test_window_2_example_readme():
+    """README.md:20-44 golden output."""
+    m = Matcher.build(
+        keywords=["North America", "South America"],
+        stopwords=["and"],
+        abbreviations=[("amer", "America")],
+        spellwise=[dict(max_distance=1)],
+        w=2,
+        tokenizer=english_tokenizer(),
+    )
+    annots = m.annot_text("Northh and south Amer.")
+    assert [str(a) for a in annots] == [
+        "Northh Amer\t0 6;17 21\tNorth America",
+        "south Amer\t11 21\tSouth America",
+    ]
+
+
+def test_order_tokens():
+    """test_matcher.py:318-327."""
+    m = Matcher.build(
+        keywords=["Insuffisance Cardiaque Gauche"],
+        order_tokens=True,
+        w=3,
+        stopwords=["à"],
+    )
+    annots = m.annot_text("cardiaque insuffisance à gauche")
+    assert len(annots) == 1
+    # tokens re-sorted by document position in create_annot
+    assert annots[0].tokens_norm_label == "cardiaque insuffisance gauche"
+
+
+def test_negative_stopwords():
+    """test_matcher.py:347-356: everything not a keyword unigram is a stop."""
+    m = _build(["Insuffisance Cardiaque"], w=1, negative=True)
+    annots = m.annot_text("insuffisance très importante du ventricule cardiaque")
+    assert len(annots) == 1
+
+
+def test_strategy_parity_window_vs_large_window():
+    """test_matcher.py:477-485, 581-590: identical annotations."""
+    for text in [
+        "insuffisance de la fonction cardiaque",
+        "cancer cancer de de la la prostate prostate",
+        "Signes d'insuffisance cardiaque gauche",
+    ]:
+        kws = ["Insuffisance Cardiaque", "cancer de la prostate",
+               "Insuffisance Cardiaque Gauche"]
+        a = _build(kws, w=5, strategy="window").annot_text(text)
+        b = _build(kws, w=5, strategy="large_window").annot_text(text)
+        assert [str(x) for x in a] == [str(x) for x in b]
+
+
+def test_no_overlap_strategy():
+    """test_matcher.py:496-552: greedy longest match, w ignored."""
+    m = _build(["cancer", "cancer de la prostate"], strategy="no_overlap")
+    annots = m.annot_text("cancer de la prostate")
+    assert len(annots) == 1
+    assert annots[0].tokens_norm_label == "cancer de la prostate"
+    # backtracking: 'cancer de la' dead-end → backtrack to 'cancer'
+    m2 = _build(["cancer", "cancer de la prostate"], strategy="no_overlap")
+    annots2 = m2.annot_text("cancer de la glande")
+    assert len(annots2) == 1
+    assert annots2[0].tokens_norm_label == "cancer"
+
+
+# --- fuzzy algos — tests/test_fuzzy.py ---------------------------------------
+
+
+def test_levenshtein_distance():
+    assert levenshtein("kitten", "sitting", 3) == 3
+    assert levenshtein("abc", "abc", 1) == 0
+    assert levenshtein("abc", "zzz", 1) == 2  # capped at max+1
+
+
+def test_levenshtein_algo_gates():
+    lev = LevenshteinAlgo(max_distance=1, min_nb_char=5)
+    lev.add_words(["prostate", "cancer"])
+    assert list(lev.get_syns_of_word("prostatte")) == [("prostate",)]
+    assert list(lev.get_syns_of_word("cancerr")) == [("cancer",)]
+    # word below min_nb_char is ignored
+    assert list(lev.get_syns_of_word("cats")) == []
+
+
+def test_abbreviations_gate():
+    from iamsystem_python_spark.core.fuzzy import token_is_upper_case
+
+    abbs = Abbreviations(token_is_an_abbreviation=token_is_upper_case)
+    abbs.add("ic", "insuffisance cardiaque", french_tokenizer())
+    up = Token(0, 2, "IC", "ic", 0)
+    low = Token(0, 2, "ic", "ic", 0)
+    assert list(abbs.get_syns_of_token(up)) == [("insuffisance", "cardiaque")]
+    assert list(abbs.get_syns_of_token(low)) == []
+
+
+def test_word_normalizer_stem():
+    wn = WordNormalizer("stem", norm_fun=lambda w: w[:3])
+    wn.add_words(["eating"])
+    assert list(wn.get_syns_of_word("eats")) == [("eating",)]
+
+
+def test_fuzzy_regex():
+    """test_doc.py:816-839 golden output."""
+    from iamsystem_python_spark.core.tokenize import (
+        Tokenizer,
+        lower_only,
+        split_find_iter_closure,
+    )
+
+    fr = FuzzyRegex("regex_num", pattern=r"^\d*[.,]?\d*$", pattern_name="numval")
+    tokenizer = Tokenizer(split_find_iter_closure(r"(\w|\.|,)+"), lower_only)
+    m = Matcher.build(
+        keywords=["calcium numval mmol/L"],
+        tokenizer=tokenizer,
+        stopwords=["level", "is", "normal"],
+        fuzzy_regex=[dict(name="regex_num", pattern=r"^\d*[.,]?\d*$",
+                          pattern_name="numval")],
+    )
+    annots = m.annot_text("the blood calcium level is normal: 2.1 mmol/L")
+    # golden from the live reference (test_doc.py:837 comment is stale —
+    # ContSeqFormatter since v0.6.0 returns the merged substring)
+    assert [str(a) for a in annots] == [
+        "calcium 2.1 mmol/L\t10 17;35 45\tcalcium numval mmol/L"
+    ]
+    assert fr.token_matches_pattern(Token(0, 3, "2.1", "2.1", 0))
+
+
+def test_ngram_similarity_jaccard():
+    ss = NgramSimilarity(threshold=0.4, measure="jaccard", min_nb_char=5)
+    ss.add_words(["prostate"])
+    assert ("prostate",) in list(ss.get_syns_of_word("prostat"))
+    assert list(ss.get_syns_of_word("zzzzz")) == []
+
+
+# --- annotation formatting — tests/test_annotation.py / test_brat.py ---------
+
+
+def test_to_dict():
+    m = _build([("Insuffisance Cardiaque", "I50.9")], w=1)
+    text = "insuffisance cardiaque"
+    d = m.annot_text(text)[0].to_dict(text=text)
+    assert d["start"] == 0 and d["end"] == 22
+    assert d["kb_ids"] == ["I50.9"]
+    assert d["kw_labels"] == ["Insuffisance Cardiaque"]
+    assert d["version"] == "0.4.0"
+    assert d["substring"] == text
+
+
+def test_replace_annots():
+    m = _build([("Insuffisance Cardiaque", "I50.9")], w=1)
+    text = "insuffisance cardiaque grave"
+    annots = m.annot_text(text)
+    new = replace_annots(text, annots, ["I50.9"])
+    assert new == "I50.9 grave"
+
+
+def test_brat_formatters():
+    m = _build(["Insuffisance Cardiaque"], w=1, stopwords=["de", "la", "fonction"])
+    text = "insuffisance de la fonction cardiaque"
+    a = m.annot_text(text)[0]
+    # token formatter: one fragment per token
+    assert a.brat_text_and_offsets("token") == (
+        "insuffisance cardiaque",
+        "0 12;28 37",
+    )
+    # span formatter: whole range
+    assert a.brat_text_and_offsets("span") == (text, "0 37")
+    # contseq (default): discontinuous sequences merged
+    assert a.brat_text_and_offsets("contseq") == (
+        "insuffisance cardiaque",
+        "0 12;28 37",
+    )
+
+
+def test_negative_stopwords_fuzzy_keep():
+    """issue #15 (negative.py:71-112): keep misspelled keyword unigrams."""
+    m = Matcher.build(
+        keywords=["Insuffisance Cardiaque"],
+        negative=True,
+        w=1,
+        spellwise=[dict(max_distance=1)],
+        tokenizer=french_tokenizer(),
+    )
+    annots = m.annot_text("insuffisance cardiaqu")
+    assert len(annots) == 1
