@@ -1,0 +1,1 @@
+"""Column-level helpers and numpy batch kernels."""

@@ -1,0 +1,150 @@
+"""Deterministic vectorized hashing kernels (numpy, mod-2^64 wraparound).
+
+These are the batch analogues of iamsystem's per-token work: where the
+reference walks tokens one at a time through a trie
+(/root/reference/src/iamsystem/matcher/strategy.py:25-99), the dedup
+pipeline turns each document into arrays of shingle hashes and folds them
+into MinHash / SimHash signatures — all numpy, no per-row Python at the
+Spark layer (BASELINE.json input_hint mandate).
+
+Everything is seeded and process-independent (no builtin ``hash()``, which
+is salted per interpreter): token ids come from crc32, mixing uses
+splitmix64 constants. Determinism across executors is what makes the
+dup-pair recall metric reproducible.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — good avalanche, vectorized, uint64 in/out."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _SPLITMIX_GAMMA
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+class TokenIdMap:
+    """Memoized token → uint64 id (crc32 + splitmix). Batch-scoped cache —
+    the in-kernel analogue of CacheFuzzyAlgos (fuzzy/cache.py:18-66)."""
+
+    def __init__(self):
+        self._cache: Dict[str, int] = {}
+
+    def ids(self, tokens: Sequence[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                c = zlib.crc32(t.encode("utf-8", "surrogatepass"))
+                v = int(splitmix64(np.array([c], dtype=np.uint64))[0])
+                cache[t] = v
+            out[i] = v
+        return out
+
+
+def shingle_hashes(token_ids: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-token shingle hashes: polynomial mix of k consecutive token
+    ids (mod 2^64), finalized with splitmix64. Returns uint64 array of
+    length max(0, n - k + 1); short docs (< k tokens) hash the whole doc."""
+    n = len(token_ids)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    mult = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * mult + token_ids[j : j + m]
+    return splitmix64(acc)
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple:
+    """(a, b) odd multipliers/offsets for the mod-2^64 affine hash family."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a |= np.uint64(1)  # odd → bijective mod 2^64
+    b = rng.randint(0, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash: sig[i] = min over shingles of (a[i]*x + b[i]) mod 2^64.
+    Empty docs get an all-max sentinel signature."""
+    num_perm = len(a)
+    if len(shingles) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    uniq = np.unique(shingles)
+    with np.errstate(over="ignore"):
+        # (num_perm, n) broadcast — bounded by maxRecordsPerBatch upstream
+        hashed = a[:, None] * uniq[None, :] + b[:, None]
+    return hashed.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """Split signature into bands and hash each band (LSH banding).
+    Returns uint64 array of length num_bands. Band id is mixed into the
+    hash so (band_id, band_hash) joins can use the hash alone."""
+    r = len(sig) // num_bands
+    bands = sig[: num_bands * r].reshape(num_bands, r)
+    acc = np.zeros(num_bands, dtype=np.uint64)
+    mult = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = acc * mult + bands[:, j]
+        acc += np.arange(num_bands, dtype=np.uint64) * _SPLITMIX_GAMMA
+    return splitmix64(acc)
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash: sign of per-bit sums of shingle hashes. Returns a
+    Python int (int64-safe) for a LongType column."""
+    if len(shingles) == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    sums = bits.sum(axis=0, dtype=np.int64)
+    half = len(shingles) / 2.0
+    v = 0
+    for bit in range(64):
+        if sums[bit] > half:
+            v |= 1 << bit
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_blocks(sim: int, num_blocks: int = 4) -> List[int]:
+    """Split a 64-bit simhash into equal bit blocks (for Hamming-distance
+    candidate generation: two hashes within d bits share ≥1 identical block
+    when num_blocks > d)."""
+    u = sim & 0xFFFFFFFFFFFFFFFF
+    width = 64 // num_blocks
+    mask = (1 << width) - 1
+    return [(u >> (i * width)) & mask for i in range(num_blocks)]
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two shingle-hash sets."""
+    ua, ub = np.unique(a), np.unique(b)
+    if len(ua) == 0 and len(ub) == 0:
+        return 1.0
+    inter = len(np.intersect1d(ua, ub, assume_unique=True))
+    return inter / (len(ua) + len(ub) - inter)

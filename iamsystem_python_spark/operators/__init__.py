@@ -1,0 +1,2 @@
+"""DataFrame-level operators. Hot paths are declarative pyspark.sql or
+Arrow-batched pandas UDFs; no per-row Python UDFs anywhere."""

@@ -1,0 +1,112 @@
+"""Connected components over the dup-pair edge list → cluster ids.
+
+Alternating large-star / small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) expressed as DataFrame self-joins:
+
+  large-star: for each node u, connect every strictly-larger neighbor v to
+              min(N(u) ∪ {u})        — keeps the graph, lowers labels
+  small-star: connect every ≤ neighbor to the minimum
+              — converges to a star per component
+
+Each round is two groupBy/min + join stages; ``localCheckpoint(eager=True)``
+per round truncates lineage (SURVEY.md §4: required — iterative self-joins
+otherwise stack exponentially deep plans). Convergence = edge set stable
+(count of changed edges == 0). Deterministic: min-label tie-breaking.
+
+Labels are int64 (doc ids are hashed to int64 first — string comparisons in
+a multi-round shuffle would be needlessly wide at 10^12 scale; the
+id→label map is re-attached at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: for each node u, connect every strictly-larger neighbor v
+    to m = min(N(u) ∪ {u}). Emits (v, m) pairs."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+    out = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient edges (larger → smaller); for each node u with
+    smaller-neighbor set N, m = min(N); emit (v, m) for v ∈ N ∪ {u}, v ≠ m.
+    The (u, m) self-edge is REQUIRED — without it 2-node components vanish."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    joined = oriented.join(mins, "u")
+    neighbor_edges = joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    self_edges = mins.select(F.col("u"), F.col("mn").alias("v"))
+    return (
+        neighbor_edges.union(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(doc_a, doc_b) edge list → (doc_id, cluster_id) assignment, where
+    cluster_id = min doc_id of the component (deterministic, reproducible —
+    the recall metric compares pair sets derived from these assignments).
+
+    Uses localCheckpoint per round: lineage-free, executor-memory-resident.
+    On a real cluster with an unreliable-executor profile, swap for
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` — the
+    pipeline (plans/pipeline.py) exposes that switch.
+    """
+    spark = pairs.sparkSession
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # compact int64 node ids: xxhash64 of doc_id (collision odds at even
+    # 10^10 nodes ≈ 10^-9 per pair; acceptable for clustering labels)
+    id_map = ids.select("doc_id", F.xxhash64("doc_id").alias("node"))
+    id_map = id_map.localCheckpoint(eager=True)
+
+    edges = (
+        pairs.join(id_map.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("node", "u"), "doc_a")
+        .join(id_map.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("node", "v"), "doc_b")
+        .select("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        after_large = _large_star(edges)
+        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        # converged when the edge set is a stable star forest
+        changed = after_small.exceptAll(edges).limit(1).count()
+        edges = after_small
+        if changed == 0:
+            break
+
+    # star forest: every u points at its root v (= component min)
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    membership = roots.select("u", "root").union(
+        roots.select(F.col("root").alias("u"), F.col("root"))
+    ).distinct()
+    # back to doc ids; cluster_id = min doc_id in component
+    labeled = membership.join(
+        id_map.withColumnRenamed("node", "u"), "u"
+    ).select("doc_id", F.col("root"))
+    cluster_min = labeled.groupBy("root").agg(F.min("doc_id").alias("cluster_id"))
+    return labeled.join(cluster_min, "root").select("doc_id", "cluster_id")

@@ -1,0 +1,192 @@
+"""Near-duplicate candidate generation + verification.
+
+All stages are declarative DataFrame ops — Catalyst plans the joins, AQE
+handles residual skew. The relational shapes (SURVEY.md §2-B):
+
+- exact dedup      : groupBy(sha256)                — map-side partial agg
+- LSH banding      : posexplode(bands) → self-equi-join on band hash
+- SimHash blocks   : posexplode(blocks) → self-equi-join, Hamming filter
+- verification     : candidate pairs ⋈ shingle sets, exact Jaccard via
+                     array_intersect/array_union (JVM-side, codegen'd)
+- bucket cap       : degenerate LSH buckets (e.g. license headers) are
+                     capped — the skew backstop the reference hand-rolls as
+                     word gates (fuzzy/api.py:204-208) appears here as a
+                     bucket-size predicate.
+
+doc_id ordering (a < b) canonicalizes pairs so distinct() dedups across
+bands cheaply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iamsystem_python_spark.plans.config import PipelineConfig
+
+
+def exact_dup_groups(sig_df: DataFrame) -> DataFrame:
+    """Exact duplicates by content hash: (sha256, doc_ids, group_size).
+    One shuffle on sha256; partial agg happens map-side."""
+    return (
+        sig_df.groupBy("sha256")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count("*").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def distinct_content_representatives(sig_df: DataFrame) -> DataFrame:
+    """One representative row per distinct content (min doc_id wins —
+    deterministic). Near-dup search runs on this, not the raw table:
+    exact-dup fan-in never inflates the LSH join."""
+    w_min = F.min("doc_id").over(Window.partitionBy("sha256"))
+    return (
+        sig_df.withColumn("_rep", w_min)
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .drop("_rep")
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """MinHash-LSH: explode band hashes, self-join on the hash.
+
+    Returns (doc_a, doc_b) distinct candidate pairs, doc_a < doc_b.
+    Buckets larger than cfg.band_bucket_cap are dropped (logged upstream via
+    lsh_bucket_stats) — a degenerate bucket of B docs would contribute
+    O(B²) pairs; exact dups were already removed, so an over-cap bucket is
+    hash skew, not signal. At 1000-executor scale this predicate is what
+    keeps the shuffle bounded.
+    """
+    bands = sig_df.select(
+        "doc_id", F.explode("bands").alias("band_hash")
+    )
+    # bucket sizes: one groupBy; AQE re-plans the join afterwards
+    sized = bands.groupBy("band_hash").agg(F.count("*").alias("bucket_size"))
+    ok = sized.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.band_bucket_cap)
+    )
+    pruned = bands.join(F.broadcast(ok.select("band_hash")), "band_hash")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(b, "band_hash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_bucket_stats(sig_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-bucket histogram — the per-partition metrics surface
+    (north_rule). Cheap: one groupBy + one agg over bucket sizes."""
+    sizes = (
+        sig_df.select(F.explode("bands").alias("band_hash"))
+        .groupBy("band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.avg("bucket_size").alias("avg_bucket"),
+        F.sum(F.when(F.col("bucket_size") > cfg.band_bucket_cap, 1).otherwise(0)).alias(
+            "n_capped_buckets"
+        ),
+    )
+
+
+def simhash_candidate_pairs(sig_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """SimHash bit-block LSH: two 64-bit hashes within Hamming distance d
+    share ≥1 identical block when num_blocks > d (pigeonhole). Equi-join on
+    (block_id, block_value), then exact popcount filter — all JVM-side
+    (bit ops + AQE), no UDF."""
+    nb = cfg.simhash_num_blocks
+    width = 64 // nb
+    mask = (1 << width) - 1
+    blocks = sig_df.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_value"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_value")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, ["block_id", "block_value"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= cfg.simhash_max_hamming)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs
+
+
+def verify_pairs_jaccard(
+    candidates: DataFrame, sig_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on shingle sets of candidate pairs (the verification
+    stage — SURVEY.md §2-C 'Pair verification'). array_intersect /
+    array_union run in whole-stage codegen; shingle arrays are unique-sorted
+    at signature time."""
+    sh = sig_df.select("doc_id", "shingles")
+    out = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def expand_pairs_through_exact_groups(
+    verified: DataFrame, sig_df: DataFrame
+) -> DataFrame:
+    """Near-dup pairs were computed between content representatives; expand
+    each endpoint back to every doc sharing that content. The rep→member map
+    is linear in corpus size (one row per doc), never quadratic."""
+    rep_map = sig_df.select(
+        F.col("doc_id").alias("member"),
+        F.min("doc_id").over(Window.partitionBy("sha256")).alias("rep"),
+    )
+    out = (
+        verified.join(
+            rep_map.withColumnRenamed("rep", "doc_a").withColumnRenamed("member", "m_a"),
+            "doc_a",
+        )
+        .join(
+            rep_map.withColumnRenamed("rep", "doc_b").withColumnRenamed("member", "m_b"),
+            "doc_b",
+        )
+        .where(F.col("m_a") != F.col("m_b"))
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+        .distinct()
+    )
+    return out

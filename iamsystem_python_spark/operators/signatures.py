@@ -1,0 +1,118 @@
+"""Signature stage: content → tokens → shingles → MinHash + LSH bands +
+SimHash, in ONE ``mapInPandas`` pass (one Arrow batch in, one out; zero
+per-row Python at the Spark layer).
+
+This is the engine's re-expression of the reference's hot path
+(annot_text, /root/reference/src/iamsystem/matcher/matcher.py:291-301):
+tokenize (tokenize.py:47-81) feeds a *window* stage — there a trie walk,
+here k-token shingles + signatures (SURVEY.md §2-C).
+
+Scale notes:
+- executed after ``repartition(xxhash64(repo, path))`` so mega-repo skew is
+  spread before the CPU-heavy stage;
+- per-batch token-id memoization (TokenIdMap) amortizes hashing over
+  repeated identifiers, the in-kernel analogue of CacheFuzzyAlgos
+  (fuzzy/cache.py:18-66);
+- only DISTINCT content should flow in at scale (dedup exact first via
+  sha256 groupBy) — the pipeline (plans/pipeline.py) does this.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iamsystem_python_spark.functions.hashing import (
+    TokenIdMap,
+    band_hashes,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from iamsystem_python_spark.plans.config import PipelineConfig
+
+SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _get_tokenizer(name: str):
+    from iamsystem_python_spark.core.tokenize import (
+        code_tokenizer,
+        english_tokenizer,
+        french_tokenizer,
+    )
+
+    return {"code": code_tokenizer, "english": english_tokenizer,
+            "french": french_tokenizer}[name]()
+
+
+def add_signatures(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """(repo, path, commit, lang, content) → SIGNATURE_SCHEMA rows.
+
+    doc_id = sha256(repo||path||commit); sha256 = sha2(content) is computed
+    JVM-side *before* the kernel and carried through it untouched — the
+    per-row integrity invariant (BASELINE.json input_hint) is therefore
+    verifiable against any later stage by re-hashing content.
+    """
+    k = cfg.shingle_k
+    num_bands = cfg.num_bands
+    tokenizer_name = cfg.tokenizer
+    a, b = minhash_params(cfg.num_perm, cfg.seed)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = _get_tokenizer(tokenizer_name)
+        idmap = TokenIdMap()  # batch-iterator-scoped memo
+        for pdf in batches:
+            out_rows = {name: [] for name in
+                        ("doc_id", "sha256", "repo", "path", "commit", "lang",
+                         "n_tokens", "shingles", "minhash", "bands", "simhash")}
+            contents = pdf["content"].tolist()
+            token_lists = tok.tokenize_batch(contents)
+            for row_i in range(len(pdf)):
+                tokens = [t.norm_label for t in token_lists[row_i]]
+                ids = idmap.ids(tokens)
+                sh = shingle_hashes(ids, k)
+                sig = minhash_signature(sh, a, b)
+                bnd = band_hashes(sig, num_bands)
+                out_rows["doc_id"].append(pdf["doc_id"].iat[row_i])
+                out_rows["sha256"].append(pdf["sha256"].iat[row_i])
+                out_rows["repo"].append(pdf["repo"].iat[row_i])
+                out_rows["path"].append(pdf["path"].iat[row_i])
+                out_rows["commit"].append(pdf["commit"].iat[row_i])
+                out_rows["lang"].append(pdf["lang"].iat[row_i])
+                out_rows["n_tokens"].append(len(tokens))
+                out_rows["shingles"].append(
+                    np.unique(sh).view(np.int64).tolist()
+                )
+                out_rows["minhash"].append(sig.view(np.int64).tolist())
+                out_rows["bands"].append(bnd.view(np.int64).tolist())
+                out_rows["simhash"].append(simhash64(sh))
+            yield pd.DataFrame(out_rows)
+
+    prepared = (
+        df.withColumn("doc_id", F.sha2(F.concat("repo", "path", "commit"), 256))
+        .withColumn("sha256", F.sha2(F.col("content"), 256))
+        # spread mega-repo skew before the CPU-heavy kernel
+        .repartition(cfg.shuffle_partitions, F.xxhash64("repo", "path"))
+        .select("doc_id", "sha256", "repo", "path", "commit", "lang", "content")
+    )
+    return prepared.mapInPandas(kernel, schema=SIGNATURE_SCHEMA)

@@ -1,0 +1,1 @@
+"""Pipeline configuration, stage manifests, checkpoint/resume."""

@@ -1,0 +1,178 @@
+"""End-to-end near-duplicate detection + clustering pipeline, resumable.
+
+Stage graph (north_rule):
+
+  input(repo,path,commit,lang,content)
+    → signatures     (mapInPandas kernel: shingles/MinHash/bands/SimHash)
+    → exact_groups   (sha256 groupBy)
+    → candidates     (LSH band self-join ∪ SimHash block self-join,
+                      on distinct-content representatives only)
+    → verified_pairs (exact Jaccard ≥ threshold)
+    → all_pairs      (expand through exact groups + exact edges)
+    → clusters       (connected components, checkpointed)
+    → metrics        (per-stage row counts, bucket histograms)
+
+Each stage writes parquet under ``<out>/<stage>/`` and a ``_MANIFEST.json``
+with row count + config echo. ``resume=True`` skips any stage whose
+manifest exists — restart loses no completed stage (BASELINE.md
+resumability target). Metrics accumulate to ``<out>/metrics.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iamsystem_python_spark.operators import cc, dedup, signatures
+from iamsystem_python_spark.plans.config import PipelineConfig
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage, "_MANIFEST.json")
+
+
+def _stage_done(out_dir: str, stage: str) -> bool:
+    return os.path.exists(_manifest_path(out_dir, stage))
+
+
+def _write_stage(df: DataFrame, out_dir: str, stage: str, cfg: PipelineConfig) -> Dict:
+    path = os.path.join(out_dir, stage)
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    n = spark.read.parquet(path).count()
+    manifest = {
+        "stage": stage,
+        "rows": n,
+        "seconds": round(time.time() - t0, 3),
+        "config": asdict(cfg),
+    }
+    with open(_manifest_path(out_dir, stage), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def _read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, stage))
+
+
+class NearDupPipeline:
+    """Orchestrates the stage graph. ``run`` returns the cluster DataFrame
+    and writes all intermediates + metrics under ``out_dir``."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(), use_simhash: bool = True):
+        self.cfg = cfg
+        self.use_simhash = use_simhash
+
+    def run(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        out_dir: str,
+        resume: bool = False,
+    ) -> DataFrame:
+        cfg = self.cfg
+        os.makedirs(out_dir, exist_ok=True)
+        metrics: Dict[str, Dict] = {}
+
+        # -- signatures ------------------------------------------------------
+        if not (resume and _stage_done(out_dir, "signatures")):
+            sig = signatures.add_signatures(df, cfg)
+            metrics["signatures"] = _write_stage(sig, out_dir, "signatures", cfg)
+        sig = _read_stage(spark, out_dir, "signatures")
+
+        # -- exact groups ------------------------------------------------------
+        if not (resume and _stage_done(out_dir, "exact_groups")):
+            groups = dedup.exact_dup_groups(sig)
+            metrics["exact_groups"] = _write_stage(groups, out_dir, "exact_groups", cfg)
+
+        # -- candidates (reps only) -------------------------------------------
+        reps = dedup.distinct_content_representatives(sig)
+        if not (resume and _stage_done(out_dir, "candidates")):
+            cand = dedup.lsh_candidate_pairs(reps, cfg)
+            if self.use_simhash:
+                cand = cand.union(dedup.simhash_candidate_pairs(reps, cfg)).distinct()
+            metrics["candidates"] = _write_stage(cand, out_dir, "candidates", cfg)
+        cand = _read_stage(spark, out_dir, "candidates")
+
+        # -- verified pairs ----------------------------------------------------
+        if not (resume and _stage_done(out_dir, "verified_pairs")):
+            verified = dedup.verify_pairs_jaccard(cand, reps, cfg.jaccard_threshold)
+            metrics["verified_pairs"] = _write_stage(
+                verified, out_dir, "verified_pairs", cfg
+            )
+        verified = _read_stage(spark, out_dir, "verified_pairs")
+
+        # -- all pairs: expand through exact groups + exact edges ---------------
+        if not (resume and _stage_done(out_dir, "all_pairs")):
+            near = dedup.expand_pairs_through_exact_groups(verified, sig)
+            exact_edges = (
+                sig.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.min("doc_id").over(Window.partitionBy("sha256")).alias("doc_b"),
+                )
+                .where(F.col("doc_a") != F.col("doc_b"))
+                .select(
+                    F.least("doc_a", "doc_b").alias("doc_a"),
+                    F.greatest("doc_a", "doc_b").alias("doc_b"),
+                    F.lit(1.0).alias("jaccard"),
+                )
+            )
+            all_pairs = near.select("doc_a", "doc_b", "jaccard").union(exact_edges).distinct()
+            metrics["all_pairs"] = _write_stage(all_pairs, out_dir, "all_pairs", cfg)
+        all_pairs = _read_stage(spark, out_dir, "all_pairs")
+
+        # -- clusters ------------------------------------------------------------
+        if not (resume and _stage_done(out_dir, "clusters")):
+            clusters = cc.connected_components(all_pairs.select("doc_a", "doc_b"))
+            metrics["clusters"] = _write_stage(clusters, out_dir, "clusters", cfg)
+        clusters = _read_stage(spark, out_dir, "clusters")
+
+        # -- metrics ---------------------------------------------------------------
+        bucket_stats = dedup.lsh_bucket_stats(sig, cfg).collect()[0].asDict()
+        metrics["lsh_buckets"] = bucket_stats
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=str)
+        return clusters
+
+
+def brute_force_pairs(sig_df: DataFrame, threshold: float) -> DataFrame:
+    """Oracle: ALL pairs with exact shingle-Jaccard ≥ threshold (O(n²) —
+    small-scale only). This is the 'reference cluster assignment' oracle the
+    recall≥0.99 metric compares against (BASELINE.md): near-dup pairs between
+    content representatives, expanded through exact groups, plus the exact
+    intra-group edges themselves (identical content ⇒ jaccard 1.0)."""
+    reps = dedup.distinct_content_representatives(sig_df)
+    a = reps.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = reps.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    near = dedup.expand_pairs_through_exact_groups(pairs, sig_df)
+    exact_edges = (
+        sig_df.select(
+            F.col("doc_id").alias("doc_a"),
+            F.min("doc_id").over(Window.partitionBy("sha256")).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return near.union(exact_edges).distinct()

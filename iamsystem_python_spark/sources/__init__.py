@@ -1,0 +1,1 @@
+"""Sources: parquet/csv readers + deterministic synthetic corpus generator."""

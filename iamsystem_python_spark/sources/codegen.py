@@ -1,0 +1,217 @@
+"""Deterministic synthetic source-code corpus with planted duplicate
+clusters (FIXTURES.md §1). Shape = BASELINE.json input_hint:
+``(repo, path, commit, lang, content)`` plus a ``truth(doc_id, cluster_id)``
+ground-truth table for dup-pair recall scoring.
+
+Generation is seeded and pure-Python; at scale the generator runs
+*distributed*: a range DataFrame of row ids is mapped through a pandas UDF so
+a 100k-row bench corpus is built on executors, not the driver.
+
+Planted structure (seed-stable):
+- ~5%  exact dups      (same content, different repo/path)
+- ~15% near dups       (whitespace/comment churn, identifier rename,
+                        ≤3% random token edits) in clusters of 2-20
+- skew: repo_0000 ("mega-repo") holds ~30% of all rows
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+LANGS = ["python", "java", "c", "js", "text"]
+
+_IDENTIFIERS = [
+    "result", "value", "index", "count", "buffer", "data", "node", "item",
+    "total", "offset", "cursor", "window", "batch", "record", "stream",
+    "handler", "config", "status", "parser", "tokens",
+]
+_KEYWORDS = {
+    "python": ["def", "return", "if", "else", "for", "in", "while", "import",
+               "class", "try", "except", "lambda", "yield", "None", "True"],
+    "java": ["public", "static", "void", "int", "final", "class", "return",
+             "if", "else", "for", "new", "null", "private", "throws"],
+    "c": ["int", "char", "void", "return", "if", "else", "for", "while",
+          "struct", "static", "const", "sizeof", "NULL"],
+    "js": ["function", "return", "const", "let", "var", "if", "else", "for",
+           "of", "async", "await", "null", "true", "export"],
+    "text": ["the", "a", "of", "to", "and", "in", "is", "for", "with", "on"],
+}
+_PUNCT = ["(", ")", "{", "}", "[", "]", ";", ",", "=", "+", "-", "*", "==",
+          "->", ":", "."]
+_COMMENT = {"python": "#", "java": "//", "c": "//", "js": "//", "text": ""}
+
+
+def _base_content(rng: random.Random, lang: str, n_tokens: int) -> str:
+    """A fake but code-shaped file: lines of keyword/ident/punct tokens."""
+    words = _KEYWORDS[lang]
+    lines: List[str] = []
+    produced = 0
+    while produced < n_tokens:
+        line_len = rng.randint(3, 12)
+        toks = []
+        for _ in range(line_len):
+            r = rng.random()
+            if r < 0.35:
+                toks.append(rng.choice(words))
+            elif r < 0.75:
+                toks.append(rng.choice(_IDENTIFIERS) + (str(rng.randint(0, 9)) if rng.random() < 0.3 else ""))
+            elif r < 0.9:
+                toks.append(rng.choice(_PUNCT))
+            else:
+                toks.append(str(rng.randint(0, 9999)))
+        indent = " " * (4 * rng.randint(0, 2))
+        lines.append(indent + " ".join(toks))
+        produced += line_len
+        if rng.random() < 0.1 and _COMMENT[lang]:
+            lines.append(f"{_COMMENT[lang]} {rng.choice(_IDENTIFIERS)} comment {rng.randint(0,99)}")
+    return "\n".join(lines)
+
+
+def _mutate(rng: random.Random, content: str, lang: str) -> str:
+    """Near-dup mutation: whitespace/comment churn, consistent identifier
+    rename, ≤3% random token edits (FIXTURES.md §1)."""
+    kind = rng.random()
+    lines = content.split("\n")
+    if kind < 0.34:  # whitespace/comment churn
+        out = []
+        for ln in lines:
+            if _COMMENT[lang] and ln.lstrip().startswith(_COMMENT[lang]):
+                if rng.random() < 0.5:
+                    continue  # drop comment
+            if rng.random() < 0.3:
+                ln = "  " + ln
+            out.append(ln)
+        if _COMMENT[lang] and rng.random() < 0.7:
+            out.insert(rng.randint(0, len(out)), f"{_COMMENT[lang]} churn {rng.randint(0, 999)}")
+        return "\n".join(out)
+    if kind < 0.67:  # consistent identifier rename
+        src = rng.choice(_IDENTIFIERS)
+        dst = src + "_v" + str(rng.randint(2, 9))
+        return content.replace(src, dst)
+    # ≤3% random token edits
+    toks = content.split(" ")
+    n_edits = max(1, int(len(toks) * 0.03 * rng.random()))
+    for _ in range(n_edits):
+        i = rng.randint(0, len(toks) - 1)
+        toks[i] = rng.choice(_IDENTIFIERS)
+    return " ".join(toks)
+
+
+def _commit_of(repo: str, path: str) -> str:
+    return hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+
+
+def generate_rows(
+    n_rows: int, seed: int = 42, start: int = 0, end: Optional[int] = None
+) -> Iterator[Tuple[str, str, str, str, str, int]]:
+    """Yield (repo, path, commit, lang, content, cluster_id) for row ids in
+    [start, end). Deterministic in (n_rows, seed) regardless of slicing, so
+    executors can each generate a slice. cluster_id == -1 → unique file.
+
+    Cluster plan derived arithmetically from the row id so no global state
+    is needed: rows are grouped into blocks; each block's head is the base
+    file, followers are exact or near dups of it."""
+    if end is None:
+        end = n_rows
+    n_repos = max(2, n_rows // 50)
+
+    def repo_of(rid: int, rng: random.Random) -> str:
+        # skew: ~30% of rows land in repo_0000 (mega-repo)
+        if rng.random() < 0.30:
+            return "repo_0000"
+        return f"repo_{rng.randint(1, n_repos - 1):04d}"
+
+    rid = start
+    while rid < end:
+        rng = random.Random((seed << 20) ^ rid)
+        # block structure: every 20 rows form a potential cluster block
+        block = rid // 20
+        pos = rid % 20
+        block_rng = random.Random((seed << 21) ^ block)
+        # decide block type: 0=unique, 1=exact-dup cluster, 2=near-dup cluster
+        r = block_rng.random()
+        if r < 0.55:
+            block_type = 0
+        elif r < 0.70:
+            block_type = 1
+        else:
+            block_type = 2
+        cluster_size = block_rng.randint(2, 20) if block_type else 1
+        lang = block_rng.choice(LANGS)
+        base_tokens = block_rng.randint(20, 2000)
+
+        if block_type == 0 or pos >= cluster_size:
+            # unique file
+            lang_u = rng.choice(LANGS)
+            content = _base_content(rng, lang_u, rng.randint(20, 2000))
+            cluster_id = -1
+            lang_out = lang_u
+        else:
+            base_rng = random.Random((seed << 22) ^ block)
+            content = _base_content(base_rng, lang, base_tokens)
+            if pos > 0:
+                if block_type == 1:
+                    pass  # exact dup: identical content
+                else:
+                    content = _mutate(rng, content, lang)
+            cluster_id = block
+            lang_out = lang
+        repo = repo_of(rid, rng)
+        path = f"src/{lang_out}/m{rid % 97}/file_{rid}.{ 'py' if lang_out=='python' else lang_out }"
+        yield repo, path, _commit_of(repo, path), lang_out, content, cluster_id
+        rid += 1
+
+
+def generate_corpus_df(spark, n_rows: int, seed: int = 42, partitions: int = 32):
+    """Distributed generation: spark.range → mapInPandas slice generator.
+    Returns DataFrame(repo, path, commit, lang, content, cluster_id)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("cluster_id", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for rid in ids:
+                rows.extend(generate_rows(n_rows, seed, int(rid), int(rid) + 1))
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content", "cluster_id"]
+            )
+
+    return (
+        spark.range(0, n_rows, numPartitions=partitions)
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def truth_pairs(rows: List[Tuple[str, str, str, str, str, int]]):
+    """All intra-cluster (doc_id_a, doc_id_b) pairs from generated rows —
+    the ground truth for dup-pair recall."""
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for repo, path, commit, lang, content, cid in rows:
+        if cid >= 0:
+            doc_id = hashlib.sha256(f"{repo}{path}{commit}".encode()).hexdigest()
+            clusters[cid].append(doc_id)
+    pairs = set()
+    for members in clusters.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
