@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2-B/§2-C)
+over the driver-generated tables; ``oracle_sql()`` gives the DuckDB-runnable
+ANSI-SQL equivalent of each. Spark sides are pure pyspark.sql where possible;
+the matcher queries run the real annotation kernel (operators/annotate.py)
+against a regex-counting SQL oracle.
+
+Every computed column is aliased identically on both sides (the driver's
+compare sorts columns by name before value-hashing).
 """
 
 from __future__ import annotations
@@ -12,27 +15,726 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate clustering over the documents table at
+    sf0.001 — the engine's reason to exist (north_rule)."""
+    from iamsystem_python_spark.operators.dedup_text import near_dup_clusters_sql
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return near_dup_clusters_sql(docs, text_col="text", k=3, num_perm=16,
+                                 num_bands=8, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """Scan + filter + groupBy partial/final agg + sort (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_top_customers(spark, sf_dir):
+    """Join + agg + top-k (broadcastable dim side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum("o_totalprice").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+def q03_region_rollup(spark, sf_dir):
+    """Multi-join star rollup (region ⋈ nation ⋈ customer), broadcast dims."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q04_top_orders_per_customer(spark, sf_dir):
+    """Window function: row_number per partition, top-3."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q05_user_sessions(spark, sf_dir):
+    """Gaps-and-islands sessionization over events (30-min gap)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q06_semi_anti(spark, sf_dir):
+    """Semi + anti join: customers with ≥1 order but no 'O'-status order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    open_cust = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return (
+        with_orders.join(
+            open_cust, with_orders.c_custkey == open_cust.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q07_set_ops(spark, sf_dir):
+    """union / intersect / except over key sets."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    active = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        big.union(building)
+        .distinct()
+        .intersect(active)
+        .exceptAll(c.where(F.col("c_acctbal") < 0).select("c_custkey"))
+        .orderBy("c_custkey")
+    )
+
+
+def q08_scalar_funcs(spark, sf_dir):
+    """String / math / conditional scalar functions over part."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_brand", 1, 5).alias("brand_pfx"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+    ).orderBy("p_partkey")
+
+
+def q09_topk_parts_per_brand(spark, sf_dir):
+    """rank() window with ties."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        p.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+def q10_events_hourly(spark, sf_dir):
+    """Tumbling-window (hourly) aggregation — the batch mirror of the
+    streaming windowed agg (streaming/windowed.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.year("ts").alias("y"),
+            F.dayofyear("ts").alias("doy"),
+            F.hour("ts").alias("h"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("y", "doy", "h", "event_type")
+    )
+
+
+def q11_brand_revenue(spark, sf_dir):
+    """Fact ⋈ broadcast-dim join + agg (lineitem ⋈ part)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q12_priority_matrix(spark, sf_dir):
+    """Conditional aggregation (pivot shape): orders by status × priority."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+            F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias("n_high"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data / dedup queries (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q20_exact_dedup(spark, sf_dir):
+    from iamsystem_python_spark.operators.dedup_text import exact_dup_groups_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups_text(docs).orderBy("sha")
+
+
+def q21_fingerprint(spark, sf_dir):
+    from iamsystem_python_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).orderBy("doc_id")
+
+
+def q22_token_counts(spark, sf_dir):
+    from iamsystem_python_spark.operators.textstats import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs).orderBy("doc_id")
+
+
+def q23_quality(spark, sf_dir):
+    from iamsystem_python_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).orderBy("doc_id")
+
+
+def q24_lang_id(spark, sf_dir):
+    from iamsystem_python_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(docs)
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q25_minhash_pairs(spark, sf_dir):
+    from iamsystem_python_spark.operators.dedup_text import minhash_lsh_pairs_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_sql(
+        docs, k=3, num_perm=16, num_bands=8, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def q26_ngram_jaccard(spark, sf_dir):
+    from iamsystem_python_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3, block_col="source").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q27_neardup_clusters(spark, sf_dir):
+    from iamsystem_python_spark.operators.dedup_text import near_dup_clusters_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters_sql(
+        docs, k=3, num_perm=16, num_bands=8, threshold=0.5
+    ).orderBy("doc_id")
+
+
+def q30_ann_topk(spark, sf_dir):
+    from iamsystem_python_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries_df, k=10).orderBy("query_id", "rank")
+
+
+def q31_embedding_neardup(spark, sf_dir):
+    from iamsystem_python_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.9, block_col="label").orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# matcher-kernel queries (the iamsystem surface, on documents)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = ["hash join", "sort merge", "data stream", "window agg", "table scan"]
+
+
+def _doc_matcher():
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+
+    return Matcher.build(keywords=_KEYWORDS, tokenizer=english_tokenizer(), w=1)
+
+
+def q40_keyword_matches(spark, sf_dir):
+    """Real annotation kernel (mapInPandas) → per-doc keyword match counts.
+    Oracle: regex occurrence counting over the normalized token stream —
+    equivalent for w=1 exact matching with non-self-overlapping keywords."""
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ann = annotate(docs, _doc_matcher(), text_col="text", id_cols=["doc_id"])
+    return (
+        ann.groupBy("doc_id", F.col("norm_label").alias("keyword"))
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("doc_id", "keyword")
+    )
+
+
+def q41_keyword_doc_freq(spark, sf_dir):
+    """Document frequency per dictionary keyword (matcher + distinct agg)."""
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ann = annotate(docs, _doc_matcher(), text_col="text", id_cols=["doc_id"])
+    return (
+        ann.groupBy(F.col("norm_label").alias("keyword"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("keyword")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_customers": q02_top_customers,
+        "q03_region_rollup": q03_region_rollup,
+        "q04_top_orders_per_customer": q04_top_orders_per_customer,
+        "q05_user_sessions": q05_user_sessions,
+        "q06_semi_anti": q06_semi_anti,
+        "q07_set_ops": q07_set_ops,
+        "q08_scalar_funcs": q08_scalar_funcs,
+        "q09_topk_parts_per_brand": q09_topk_parts_per_brand,
+        "q10_events_hourly": q10_events_hourly,
+        "q11_brand_revenue": q11_brand_revenue,
+        "q12_priority_matrix": q12_priority_matrix,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_token_counts": q22_token_counts,
+        "q23_quality": q23_quality,
+        "q24_lang_id": q24_lang_id,
+        "q25_minhash_pairs": q25_minhash_pairs,
+        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q27_neardup_clusters": q27_neardup_clusters,
+        "q30_ann_topk": q30_ann_topk,
+        "q31_embedding_neardup": q31_embedding_neardup,
+        "q40_keyword_matches": q40_keyword_matches,
+        "q41_keyword_doc_freq": q41_keyword_doc_freq,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+
+def _shingle_sql(k: int) -> str:
+    t = _TOKENS_SQL
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({t}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({t}, i, i + {k} - 1), ' ')) "
+        f"ELSE [array_to_string({t}, ' ')] END)"
+    )
+
+
+def _minhash_oracle_sql(k: int, num_perm: int, num_bands: int, threshold: float) -> str:
+    from iamsystem_python_spark.functions.sqlhash import P, perm_params
+
+    r = num_perm // num_bands
+    sig_exprs = ",\n    ".join(
+        f"list_aggregate(list_transform(h, x -> ({a} * x + {b}) % {P}), 'min') AS sig_{i}"
+        for i, (a, b) in enumerate(perm_params(num_perm, 42))
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, concat_ws(',', '{b}', {cols}) AS band_key FROM sig".format(
+            b=band,
+            cols=", ".join(f"sig_{band * r + j}::VARCHAR" for j in range(r)),
+        )
+        for band in range(num_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> (('0x' || substring(sha256(s), 1, 15))::UBIGINT % {P})::BIGINT) AS h
+  FROM base
+), sig AS (
+  SELECT doc_id, sh,
+    {sig_exprs}
+  FROM hashed
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _clusters_oracle_sql(k: int, num_perm: int, num_bands: int, threshold: float) -> str:
+    pairs = _minhash_oracle_sql(k, num_perm, num_bands, threshold).replace(
+        "ORDER BY doc_a, doc_b", ""
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+), hop1 AS (
+  SELECT doc_a, least(min(doc_b), doc_a) AS m1 FROM sym GROUP BY doc_a
+), hop2 AS (
+  SELECT s.doc_a, min(h.m1) AS m2
+  FROM sym s JOIN hop1 h ON h.doc_a = s.doc_b
+  GROUP BY s.doc_a
+)
+SELECT h1.doc_a AS doc_id, least(h1.m1, coalesce(h2.m2, h1.m1)) AS cluster_id
+FROM hop1 h1 LEFT JOIN hop2 h2 ON h1.doc_a = h2.doc_a
+ORDER BY doc_id
+"""
+
+
+_LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "une"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "ein"],
+    "es": ["el", "los", "las", "es", "una", "con", "por", "para"],
+}
+
+
+def _hits_sql(words) -> str:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+def _keyword_count_sql(agg_doc: bool) -> str:
+    per_kw = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{kw}' AS keyword, "
+        f"len(regexp_extract_all(s, '\\b{kw}\\b')) AS n_matches FROM t"
+        for kw in _KEYWORDS
+    )
+    base = f"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_filter(regexp_extract_all(lower(text), '\\w+'), x -> x != ''), ' ') AS s
+  FROM documents
+), m AS (
+{per_kw}
+)
+"""
+    if agg_doc:
+        return base + "SELECT doc_id, keyword, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id, keyword"
+    return base + (
+        "SELECT keyword, count(DISTINCT doc_id) AS n_docs FROM m "
+        "WHERE n_matches > 0 GROUP BY keyword ORDER BY keyword"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = _hits_sql(_LANG_WORDS["en"])
+    lang_scores = ", ".join(
+        f"{_hits_sql(w)} AS score_{lang}" for lang, w in _LANG_WORDS.items()
+    )
+    lang_case = (
+        "CASE WHEN greatest(score_en, score_fr, score_de, score_es) <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN score_{lang} = greatest(score_en, score_fr, score_de, score_es) THEN '{lang}'"
+            for lang in _LANG_WORDS
+        )
+        + " END"
+    )
+    return {
+        "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q02_top_customers": """
+SELECT c_custkey, c_name,
+       sum(o_totalprice) AS total_spent,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+""",
+        "q03_region_rollup": """
+SELECT r_name,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+        "q04_top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+        "q05_user_sessions": """
+SELECT user_id,
+       sum(new_sess)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id ORDER BY user_id
+""",
+        "q06_semi_anti": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+ORDER BY c_custkey
+""",
+        "q07_set_ops": """
+SELECT c_custkey FROM (
+  (SELECT DISTINCT c_custkey FROM (
+     SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+     UNION ALL
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   ))
+  INTERSECT
+  (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ORDER BY c_custkey
+""",
+        "q08_scalar_funcs": """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_brand, 1, 5) AS brand_pfx,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       round(p_retailprice * 1.1, 2) AS price_up,
+       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+       abs(p_size - 25) AS size_dev
+FROM part ORDER BY p_partkey
+""",
+        "q09_topk_parts_per_brand": """
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         rank() OVER (PARTITION BY p_brand
+                      ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part
+) WHERE rnk <= 2
+ORDER BY p_brand, rnk, p_partkey
+""",
+        "q10_events_hourly": """
+SELECT year(ts) AS y, dayofyear(ts) AS doy, hour(ts) AS h, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3, 4
+ORDER BY y, doy, h, event_type
+""",
+        "q11_brand_revenue": """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+        "q12_priority_matrix": """
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       count(*) AS n_total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+        "q20_exact_dedup": """
+SELECT sha, group_size, doc_ids FROM (
+  SELECT sha256(text::VARCHAR) AS sha,
+         count(*) AS group_size,
+         list_sort(list(doc_id)) AS doc_ids
+  FROM documents GROUP BY 1
+) WHERE group_size > 1 ORDER BY sha
+""",
+        "q21_fingerprint": """
+SELECT doc_id,
+       sha256(text::VARCHAR) AS sha_raw,
+       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sha_norm
+FROM documents ORDER BY doc_id
+""",
+        "q22_token_counts": f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]{{1,4}}|[^a-z0-9\\s]')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+        "q23_quality": f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({_TOKENS_SQL}) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         {en} AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n_tokens > 0 THEN (n_chars - n_tokens + 1.0) / n_tokens ELSE 0.0 END, 4) AS mean_word_len,
+       n_tokens,
+       round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+       round(
+         (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
+         * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END * 5.0, 1.0))
+         * least(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END * 4.0 + 0.2, 1.0)
+       , 6) AS quality
+FROM b ORDER BY doc_id
+""",
+        "q24_lang_id": f"""
+WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
+SELECT {lang_case} AS lang_pred, count(*) AS n_docs
+FROM s GROUP BY 1 ORDER BY lang_pred
+""",
+        "q25_minhash_pairs": _minhash_oracle_sql(3, 16, 8, 0.5),
+        "q26_ngram_jaccard": f"""
+WITH base AS (
+  SELECT source AS blk, doc_id, {_shingle_sql(3)} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM base a JOIN base b USING (blk)
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+ORDER BY doc_a, doc_b
+""",
+        "q27_neardup_clusters": _clusters_oracle_sql(3, 16, 8, 0.5),
+        "q30_ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+        "q31_embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+ORDER BY id_a, id_b
+""",
+        "q40_keyword_matches": _keyword_count_sql(agg_doc=True),
+        "q41_keyword_doc_freq": _keyword_count_sql(agg_doc=False),
+    }

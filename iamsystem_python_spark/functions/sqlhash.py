@@ -1,0 +1,104 @@
+"""Pure-SQL (JVM-side, whole-stage-codegen) MinHash construction.
+
+Two MinHash implementations exist in this engine, intentionally:
+
+1. The numpy kernel (functions/hashing.py) — fastest per byte, used by the
+   big NearDupPipeline (plans/pipeline.py).
+2. This pure pyspark.sql.functions variant — every step is a Catalyst
+   expression, so the *identical* computation can be written in ANSI SQL and
+   run by DuckDB. This is what the driver-contract queries use: the oracle
+   is then an exact value-level check of the whole MinHash-LSH pipeline,
+   not a weaker rows-only check.
+
+Portability trick: shingle hash = first 15 hex chars of sha256(shingle)
+parsed as an integer (60 bits, fits int64 in both engines), then affine
+permutations mod a 31-bit prime (products stay < 2^62 — no overflow in
+either engine).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 31-bit prime; a*x with x < P stays under 2^62
+P = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def perm_params(num_perm: int, seed: int = 42) -> List[Tuple[int, int]]:
+    """Deterministic (a, b) pairs, a ∈ [1, P), b ∈ [0, P) — generated with a
+    simple LCG so the same list can be produced anywhere (incl. inside the
+    SQL oracle generator)."""
+    out = []
+    state = seed & 0x7FFFFFFF or 1
+    for _ in range(num_perm):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (P - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % P
+        out.append((a, b))
+    return out
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def shingles_col(tokens: Column, k: int) -> Column:
+    """Distinct k-token shingles (space-joined strings). Docs shorter than
+    k tokens yield their whole token sequence as one shingle."""
+    n = F.size(tokens)
+    whole = F.array(F.array_join(tokens, " "))
+    rolled = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k) + F.lit(1)),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+    return F.array_distinct(F.when(n >= k, rolled).otherwise(whole))
+
+
+def shingle_hashes_col(shingles: Column) -> Column:
+    """Portable 60-bit hash of each shingle, reduced mod P:
+    conv(substr(sha2(s,256),1,15),16,10) % P — identical in DuckDB as
+    ('0x' || substring(sha256(s),1,15))::UBIGINT % P."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+        % F.lit(P),
+    )
+
+
+def minhash_sig_cols(hashes: Column, num_perm: int, seed: int = 42) -> List[Column]:
+    """One column per permutation: min((a*h + b) % P) over the doc's shingle
+    hashes. Kept as separate columns (not an array) so band grouping below
+    is a plain multi-column groupBy — fully codegen'd."""
+    def make(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P)
+
+    return [
+        F.array_min(F.transform(hashes, make(a, b)))
+        for a, b in perm_params(num_perm, seed)
+    ]
+
+
+def sql_oracle_minhash_exprs(num_perm: int, seed: int = 42, k: int = 3) -> dict:
+    """DuckDB SQL snippets mirroring the column builders above, keyed by
+    stage — used by __spark_entry__.oracle_sql() to assemble oracles."""
+    tokens = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    shingles = (
+        f"list_distinct(CASE WHEN len({tokens}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({tokens}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({tokens}, i, i + {k} - 1), ' ')) "
+        f"ELSE [array_to_string({tokens}, ' ')] END)"
+    )
+    hashes = (
+        f"list_transform({shingles}, s -> "
+        f"(('0x' || substring(sha256(s), 1, 15))::UBIGINT % {P})::BIGINT)"
+    )
+    sig_exprs = [
+        f"list_aggregate(list_transform(h, x -> ({a} * x + {b}) % {P}), 'min')"
+        for a, b in perm_params(num_perm, seed)
+    ]
+    return {"tokens": tokens, "shingles": shingles, "hashes": hashes, "sigs": sig_exprs}

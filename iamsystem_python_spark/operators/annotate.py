@@ -1,0 +1,117 @@
+"""Distributed annotation: the Spark surface of the reference's hot path.
+
+``annotate(df, matcher, text_col)`` ≡ one ``matcher.annot_text`` per row
+(/root/reference/src/iamsystem/matcher/matcher.py:291-301), executed as a
+single ``mapInPandas`` pass: the compiled Matcher (trie + fuzzy config +
+stopwords) is captured in the UDF closure, which Spark broadcasts with the
+task; all per-token work happens inside the Arrow batch.
+
+Output: one row per annotation (exploded), carrying provenance columns —
+the DataFrame re-expression of ``Annotation`` objects
+(annotation.py:33-187):
+
+  (id_cols..., start, end, start_i, end_i, label, norm_label,
+   kw_labels: array<string>, kb_ids: array<string>,
+   algos: array<array<string>>, brat_offsets: string)
+
+Scale: the dictionary is the small side (≤ millions of keywords) — compiled
+once on the driver, shipped once per executor. Documents are the 10^12-scale
+side and stream through in Arrow batches. No shuffle is introduced; the
+operator is a narrow map.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iamsystem_python_spark.core.matcher import Matcher
+
+ANNOTATION_FIELDS = [
+    T.StructField("start", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+    T.StructField("start_i", T.IntegerType()),
+    T.StructField("end_i", T.IntegerType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("norm_label", T.StringType()),
+    T.StructField("kw_labels", T.ArrayType(T.StringType())),
+    T.StructField("kb_ids", T.ArrayType(T.StringType())),
+    T.StructField("algos", T.ArrayType(T.ArrayType(T.StringType()))),
+    T.StructField("brat_offsets", T.StringType()),
+]
+
+
+def annotate(
+    df: DataFrame,
+    matcher: Matcher,
+    text_col: str = "content",
+    id_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Annotate ``df[text_col]`` with the compiled matcher; returns one row
+    per annotation with ``id_cols`` carried through."""
+    id_cols = list(id_cols) if id_cols is not None else [
+        c for c in df.columns if c != text_col
+    ]
+    in_schema = df.select(*id_cols, text_col).schema
+    out_schema = T.StructType(
+        [in_schema[c] for c in id_cols] + ANNOTATION_FIELDS
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[dict] = []
+            texts = pdf[text_col].tolist()
+            for row_i, text in enumerate(texts):
+                if text is None:
+                    continue
+                for a in matcher.annot_text(text):
+                    row = {c: pdf[c].iat[row_i] for c in id_cols}
+                    row.update(
+                        start=a.start,
+                        end=a.end,
+                        start_i=a.start_i,
+                        end_i=a.end_i,
+                        label=a.tokens_label,
+                        norm_label=a.tokens_norm_label,
+                        kw_labels=[lab for lab, _ in a.keywords],
+                        kb_ids=[kb for _, kb in a.keywords if kb is not None],
+                        algos=a.algos,
+                        brat_offsets=a.brat_text_and_offsets("contseq")[1],
+                    )
+                    rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[*id_cols, *[f.name for f in ANNOTATION_FIELDS]],
+            )
+
+    return df.select(*id_cols, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def contains_keyword(
+    df: DataFrame,
+    matcher: Matcher,
+    text_col: str = "content",
+) -> DataFrame:
+    """Filter: rows whose text contains ≥1 dictionary match — the minimal
+    end-to-end slice of SURVEY.md §7.3 ('find all files containing keyword
+    X, fuzzy'). Implemented as a boolean mapInPandas column so the filter
+    short-circuits inside the kernel (first match wins)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flags = []
+            for text in pdf[text_col].tolist():
+                if text is None:
+                    flags.append(False)
+                    continue
+                flags.append(bool(matcher.annot_text(text)))
+            out = pdf.copy()
+            out["_match"] = flags
+            yield out
+
+    schema = T.StructType(df.schema.fields + [T.StructField("_match", T.BooleanType())])
+    return df.mapInPandas(kernel, schema=schema).where(F.col("_match")).drop("_match")

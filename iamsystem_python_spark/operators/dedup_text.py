@@ -1,0 +1,156 @@
+"""Dedup operators over a generic text table — the SQL-expressible variants
+(each has an exact DuckDB oracle in __spark_entry__). The heavy numpy-kernel
+pipeline lives in plans/pipeline.py; these share its relational shapes:
+exact hash-groupBy, MinHash-LSH band self-join, n-gram Jaccard verification.
+
+All pure pyspark.sql.functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iamsystem_python_spark.functions import sqlhash
+
+
+def exact_dup_groups_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: (sha256, group_size, doc_ids sorted) for groups > 1."""
+    return (
+        df.select("doc_id", F.sha2(F.col(text_col).cast("string"), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def minhash_signatures_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, shingles, sig_0..sig_{n-1}) via the portable SQL MinHash."""
+    toks = sqlhash.tokens_col(F.col(text_col))
+    sh = sqlhash.shingles_col(toks, k)
+    out = df.select("doc_id", sh.alias("shingles"))
+    hashes = sqlhash.shingle_hashes_col(F.col("shingles"))
+    out = out.withColumn("h", hashes)
+    for i, c in enumerate(sqlhash.minhash_sig_cols(F.col("h"), num_perm, seed)):
+        out = out.withColumn(f"sig_{i}", c)
+    return out.drop("h")
+
+
+def minhash_lsh_pairs_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact shingle-Jaccard verification.
+    Bands are multi-column groupings of r consecutive sig columns; the
+    self-join key is the band's concatenated signature — a plain equi-join
+    Catalyst can shuffle-hash or broadcast as sizes dictate."""
+    r = num_perm // num_bands
+    sig = minhash_signatures_sql(df, text_col, k, num_perm, seed)
+    bands = None
+    for band in range(num_bands):
+        cols = [F.col(f"sig_{band * r + j}") for j in range(r)]
+        key = F.concat_ws(",", F.lit(band), *[c.cast("string") for c in cols])
+        part = sig.select("doc_id", key.alias("band_key"))
+        bands = part if bands is None else bands.union(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "shingles")
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str = "source",
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs within blocks (blocked all-pairs:
+    the quadratic join is bounded per block — the classic blocking-key
+    pattern when LSH is overkill for small within-group comparisons)."""
+    toks = sqlhash.tokens_col(F.col(text_col))
+    sh = sqlhash.shingles_col(toks, n)
+    base = df.select(F.col(block_col).alias("blk"), "doc_id", sh.alias("sh"))
+    a = base.select("blk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select("blk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_clusters_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairs → clusters via min-label star contraction, SQL-expressible for
+    small diameters: each doc's cluster = min(doc_id) over its verified
+    neighborhood closure of depth 2 (dup clusters are near-cliques after
+    verification, so two hops reach the minimum). For arbitrary graphs use
+    operators.cc.connected_components; this variant exists because the
+    driver oracle must be runnable as one DuckDB SQL statement."""
+    pairs = minhash_lsh_pairs_sql(df, text_col, k, num_perm, num_bands, threshold)
+    sym = pairs.select("doc_a", "doc_b").union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    # hop 1: min neighbor (incl. self)
+    hop1 = sym.groupBy("doc_a").agg(F.least(F.min("doc_b"), F.first("doc_a")).alias("m1"))
+    # hop 2: min over neighbors' m1
+    hop2 = (
+        sym.join(hop1.withColumnRenamed("doc_a", "doc_b"), "doc_b")
+        .groupBy("doc_a")
+        .agg(F.min("m1").alias("m2"))
+    )
+    return (
+        hop1.join(hop2, "doc_a", "left")
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least("m1", F.coalesce("m2", "m1")).alias("cluster_id"),
+        )
+    )

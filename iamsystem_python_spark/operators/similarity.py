@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k per query — the baseline; pure
+  pyspark.sql (F.zip_with dot product + window rank), no UDF.
+- lsh_bucketed_topk: random-hyperplane LSH pre-filter, then exact rerank —
+  the scale path: candidates share ≥1 of `num_tables` sign-pattern buckets,
+  so the join is equi on (table, bucket) instead of a full cross.
+- cosine_neardup_pairs: near-dup by embedding cosine within blocks.
+
+At 10^12 scale the bucketed variant is the only viable one: the cross join
+in brute force is O(n·q); LSH makes it O(candidates). Both share the same
+rerank expression so results are directly comparable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query side, rank with a
+    window. Returns (query_id, neighbor_id, rank, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    it = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("i_vec"))
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("i_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(dim: int, bits: int, num_tables: int, seed: int = 42) -> List[List[List[float]]]:
+    """Deterministic random hyperplanes [table][bit][dim]."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_tables, bits, dim)).tolist()
+
+
+def lsh_bucketed_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: sign-pattern bucket join then exact cosine rerank.
+    Bucket code per table = bits of sign(v·h_i) — computed as a SQL
+    expression over the array column (no UDF)."""
+    planes = hyperplanes(dim, bits, num_tables, seed)
+
+    def bucket_expr(vec, table: int):
+        code = F.lit(0)
+        for bit in range(bits):
+            h = planes[table][bit]
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in h]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            code = code + F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        return code
+
+    def with_buckets(df, id_alias, vec_alias):
+        rows = []
+        for t in range(num_tables):
+            rows.append(
+                df.select(
+                    F.col(id_col).alias(id_alias),
+                    F.col(vec_col).alias(vec_alias),
+                    F.lit(t).alias("table_id"),
+                    bucket_expr(F.col(vec_col), t).alias("bucket"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.union(r)
+        return out
+
+    it = with_buckets(items, "neighbor_id", "i_vec")
+    q = with_buckets(queries, "query_id", "q_vec")
+    cand = (
+        it.join(q, ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "i_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_col(F.col("q_vec"), F.col("i_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    block_col: Optional[str] = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked (quadratic only within
+    a block). block_col=None ⇒ full cross join (test scale only)."""
+    base = df.select(
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    a = base.select("blk", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = base.select("blk", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

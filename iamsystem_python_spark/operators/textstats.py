@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2-C /
+task brief): language-ID, quality scoring, token counting, fingerprinting.
+
+All pure pyspark.sql.functions — whole-stage codegen, no UDFs — and each has
+an exact ANSI-SQL twin in __spark_entry__.oracle_sql(). These run on the
+driver-generated ``documents`` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small, fixed stopword profiles for the n-gram language heuristic;
+# word-boundary regexes keep Spark and DuckDB semantics identical.
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "une"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "ein"],
+    "es": ["el", "los", "las", "es", "una", "con", "por", "para"],
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def _hits(text: Column, words) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-profile hit counts;
+    'und' (undetermined) when every profile scores 0. Ties break by the
+    fixed profile order en > fr > de > es (deterministic)."""
+    t = F.col(text_col)
+    scored = df
+    for lang, words in LANG_PROFILES.items():
+        scored = scored.withColumn(f"score_{lang}", _hits(t, words))
+    best = F.greatest(*[F.col(f"score_{k}") for k in LANG_PROFILES])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_PROFILES:  # first max wins — mirrors CASE WHEN order
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + composite score.
+    The composite mirrors C4/Gopher-style filters: penalize very short docs,
+    punctuation walls, and stopword deserts."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != F.lit(""))
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_CLASS), F.lit(0)))
+    n_stop = _hits(t, LANG_PROFILES["en"])
+    mean_word_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    score = (
+        F.when(n_tokens >= 20, F.lit(1.0)).otherwise(n_tokens / 20.0)
+        * (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        * F.least(stop_ratio * 4.0 + F.lit(0.2), F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword proxy count (word chunks of
+    ≤4 chars via regex) — the two standard budget estimators."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    # BPE-ish: count 1-4 char alphanumeric chunks + single non-space symbols
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]{1,4}|[^a-z0-9\s]"), F.lit(0))
+    )
+    return df.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-invariant document fingerprint: sha256 of the
+    whitespace-collapsed, lowercased text (catches whitespace-churn dups
+    that byte-level sha misses)."""
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.sha2(t.cast("string"), 256).alias("sha_raw"),
+        F.sha2(norm, 256).alias("sha_norm"),
+    )

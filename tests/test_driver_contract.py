@@ -1,0 +1,86 @@
+"""Mirror of the driver's correctness gate: run every __spark_entry__
+query AND its DuckDB oracle at sf0.01, compare row count + values
+(column-name-sorted, row-sorted, float-tolerant) — so mismatches surface
+here before the driver records them."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).reset_index(drop=True)
+    # canonicalize list/array cells to tuples for sorting/compare
+    for c in pdf.columns:
+        if len(pdf) and isinstance(pdf[c].iloc[0], (list, np.ndarray)):
+            pdf[c] = pdf[c].apply(lambda v: tuple(v))
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return pdf
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) or isinstance(y, float):
+                ok = (
+                    (x is None and y is None)
+                    or (isinstance(x, float) and isinstance(y, float)
+                        and (math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)))
+                )
+                assert ok, f"{name}.{c}[{i}]: {x!r} != {y!r}"
+            else:
+                assert str(x) == str(y), f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_vs_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    if sql is None:
+        assert len(spark_pdf) >= 0  # rows-only check, like the driver
+        return
+    duck_pdf = duck.execute(sql).fetchdf()
+    _compare(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n >= 0
+    assert set(df.columns) == {"doc_id", "cluster_id"}
