@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also runs the near-dup pipeline over a generated code corpus
+($SPARK_GRAFT_DEDUP_ROWS rows, default 20000) and reports files/sec — the
+north-rule throughput number. Set SPARK_GRAFT_SCALING=1 to add a local[8]
+vs local[32] scaling-efficiency measurement (writes BENCH/scaling.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+DEDUP_ROWS = int(os.environ.get("SPARK_GRAFT_DEDUP_ROWS", "20000"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q04_top_orders_per_customer",
+    "q05_user_sessions",
+    "q10_events_hourly",
+    "q11_brand_revenue",
+    "q20_exact_dedup",
+    "q22_token_counts",
+    "q24_lang_id",
+    "q25_minhash_pairs",
+    "q27_neardup_clusters",
+    "q30_ann_topk",
+    "q40_keyword_matches",
+]
+
+
+def make_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("iamsystem_python_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+
+def run_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qmap[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_dedup_pipeline(spark, n_rows: int, out_dir: str) -> dict:
+    """Generate corpus (not timed) then run the full near-dup pipeline
+    (timed) → files/sec."""
+    import shutil
+
+    from iamsystem_python_spark.plans.config import PipelineConfig
+    from iamsystem_python_spark.plans.pipeline import NearDupPipeline
+    from iamsystem_python_spark.sources.codegen import generate_corpus_df
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    if not os.path.exists(corpus_path):
+        generate_corpus_df(spark, n_rows, seed=42, partitions=32).drop(
+            "cluster_id"
+        ).write.mode("overwrite").parquet(corpus_path)
+    df = spark.read.parquet(corpus_path)
+    pipe_dir = os.path.join(out_dir, "pipe")
+    shutil.rmtree(pipe_dir, ignore_errors=True)
+    cfg = PipelineConfig(shuffle_partitions=int(CPUS))
+    t0 = time.time()
+    NearDupPipeline(cfg).run(spark, df, pipe_dir)
+    secs = time.time() - t0
+    return {"rows": n_rows, "seconds": round(secs, 3),
+            "files_per_sec": round(n_rows / secs, 1)}
+
+
+def scaling_run(out_dir: str) -> dict:
+    """Same dedup job at local[8] and local[32] → efficiency =
+    throughput(32) / (4 × throughput(8)) (BASELINE.md sandbox proxy)."""
+    results = {}
+    for cpus in ("8", "32"):
+        spark = make_spark(cpus)
+        try:
+            r = run_dedup_pipeline(spark, DEDUP_ROWS, os.path.join(out_dir, f"c{cpus}"))
+            results[f"local[{cpus}]"] = r
+        finally:
+            spark.stop()
+    t8 = results["local[8]"]["files_per_sec"]
+    t32 = results["local[32]"]["files_per_sec"]
+    results["scaling_efficiency"] = round(t32 / (4.0 * t8), 4)
+    return results
+
+
+def main() -> None:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    work = os.environ.get("SPARK_GRAFT_WORK", "/tmp/spark_graft_bench")
+    os.makedirs(work, exist_ok=True)
+
+    spark = make_spark(CPUS)
+    try:
+        qtimes = run_queries(spark)
+        dedup = run_dedup_pipeline(spark, DEDUP_ROWS, os.path.join(work, f"c{CPUS}"))
+    finally:
+        spark.stop()
+
+    out = {
+        "metric": "headline-queries+neardup-pipeline wall clock",
+        "value": round(sum(qtimes.values()) + dedup["seconds"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "dedup_pipeline": dedup,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = scaling_run(work)
+        out["scaling"] = scaling
+        with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
+            json.dump(scaling, f, indent=2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

