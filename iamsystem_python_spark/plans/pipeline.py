@@ -103,7 +103,10 @@ class NearDupPipeline:
 
         # -- verified pairs ----------------------------------------------------
         if not (resume and _stage_done(out_dir, "verified_pairs")):
-            verified = dedup.verify_pairs_jaccard(cand, reps, cfg.jaccard_threshold)
+            docs_with_id = df.withColumn(
+                "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
+            )
+            verified = dedup.verify_pairs_recompute(cand, docs_with_id, cfg)
             metrics["verified_pairs"] = _write_stage(
                 verified, out_dir, "verified_pairs", cfg
             )
@@ -147,7 +150,8 @@ def brute_force_pairs(sig_df: DataFrame, threshold: float) -> DataFrame:
     small-scale only). This is the 'reference cluster assignment' oracle the
     recall≥0.99 metric compares against (BASELINE.md): near-dup pairs between
     content representatives, expanded through exact groups, plus the exact
-    intra-group edges themselves (identical content ⇒ jaccard 1.0)."""
+    intra-group edges themselves (identical content ⇒ jaccard 1.0).
+    sig_df must carry shingles (add_signatures(..., include_shingles=True))."""
     reps = dedup.distinct_content_representatives(sig_df)
     a = reps.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = reps.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

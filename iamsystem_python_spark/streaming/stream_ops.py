@@ -1,0 +1,95 @@
+"""Structured Streaming operators.
+
+The reference is batch-only; its window-state eviction (`is_obsolete`,
+/root/reference/src/iamsystem/matcher/util.py:47-54) is the in-kernel
+analogue of watermark-based state expiry — these operators make that
+correspondence concrete (SURVEY.md §2-B 'Streaming' row):
+
+- ``streaming_annotate``   : the matcher kernel over a stream — stateless
+  per-row, so the same mapInPandas kernel works on streaming DataFrames.
+- ``streaming_exact_dedup``: drop duplicate sha256 within a watermark —
+  bounded state, the streaming analogue of the exact-dedup groupBy.
+- ``windowed_event_counts``: tumbling-window agg with late-data watermark
+  (the streaming twin of __spark_entry__.q10_events_hourly).
+- ``sessionize``           : session windows via F.session_window.
+
+All are plain readStream→transform→writeStream graphs; tests drive them
+with the rate / memory sinks (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iamsystem_python_spark.core.matcher import Matcher
+from iamsystem_python_spark.operators.annotate import annotate
+
+
+def streaming_annotate(
+    stream_df: DataFrame,
+    matcher: Matcher,
+    text_col: str = "content",
+    id_cols=None,
+) -> DataFrame:
+    """Stateless map — identical kernel as the batch operator; Spark plans
+    it inside the micro-batch with no state store."""
+    return annotate(stream_df, matcher, text_col=text_col, id_cols=id_cols)
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "content",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Emit only first-seen contents within the watermark horizon.
+    State = one sha256 per distinct content inside the horizon — bounded,
+    exactly like the matcher's w-window state eviction."""
+    return (
+        stream_df.withColumn("sha256", F.sha2(F.col(text_col).cast("string"), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["sha256"])
+    )
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols=("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n",
+        )
+    )
+
+
+def sessionize(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) — streaming twin of q05_user_sessions."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )

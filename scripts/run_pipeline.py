@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the near-dup pipeline (north_rule launch
+mode):
+
+    scripts/build_zip.sh   # package the engine
+    spark-submit --py-files dist/iamsystem_python_spark.zip \\
+        scripts/run_pipeline.py \\
+        --input  /data/code_corpus_parquet \\
+        --output /data/neardup_out \\
+        [--resume] [--rows 100000] [--generate]
+
+With --generate the deterministic synthetic corpus is created distributed
+(sources/codegen.py) instead of reading --input. On a real cluster, --input
+would be the Iceberg table path and the read below becomes
+``spark.read.format("iceberg").load(...)`` — everything downstream is
+format-agnostic DataFrame code.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--generate", action="store_true")
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from iamsystem_python_spark.plans.config import PipelineConfig
+    from iamsystem_python_spark.plans.pipeline import NearDupPipeline
+    from iamsystem_python_spark.sources.codegen import generate_corpus_df
+
+    builder = SparkSession.builder.appName("neardup-pipeline")
+    spark = builder.getOrCreate()
+    shuffle = args.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cfg = PipelineConfig(shuffle_partitions=shuffle)
+
+    if args.generate:
+        df = generate_corpus_df(spark, args.rows, seed=42, partitions=shuffle).drop(
+            "cluster_id"
+        )
+    else:
+        if not args.input:
+            raise SystemExit("--input required unless --generate")
+        df = spark.read.parquet(args.input)
+
+    clusters = NearDupPipeline(cfg).run(spark, df, args.output, resume=args.resume)
+    print(f"clusters rows: {clusters.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Operator tests: annotate, clone spans, multimodal plumbing, similarity
+(LSH-bucketed vs brute force), streaming graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- annotate ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    rows = [
+        ("d1", "insuffisance cardiaque gauche observed here"),
+        ("d2", "no match in this one"),
+        ("d3", "signes d'insuffisance cardiaque et irc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "content"])
+
+
+def test_annotate_operator(spark, doc_df):
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    m = Matcher.build(
+        keywords=[("Insuffisance Cardiaque", "I50.9"),
+                  ("Insuffisance Cardiaque Gauche", "I50.1")],
+        w=1,
+    )
+    out = annotate(doc_df, m, text_col="content").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {"d1", "d3"}
+    d1 = by_doc["d1"][0]
+    assert d1.norm_label == "insuffisance cardiaque gauche"
+    assert d1.kb_ids == ["I50.1"]
+    assert d1.start == 0 and d1.end == 29
+    d3 = by_doc["d3"][0]
+    assert d3.norm_label == "insuffisance cardiaque"
+
+
+def test_contains_keyword_filter(spark, doc_df):
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.operators.annotate import contains_keyword
+
+    m = Matcher.build(keywords=["insuffisance cardiaque"], w=1)
+    got = sorted(r.doc_id for r in contains_keyword(doc_df, m, "content").collect())
+    assert got == ["d1", "d3"]
+
+
+# --- clone spans -------------------------------------------------------------
+
+
+def test_longest_common_run_kernel():
+    from iamsystem_python_spark.operators.clonespans import longest_common_run
+
+    a = np.array([1, 2, 3, 4, 5, 6, 7], dtype=np.uint64)
+    b = np.array([9, 9, 3, 4, 5, 6, 1], dtype=np.uint64)
+    ia, ib, k = longest_common_run(a, b)
+    assert k == 4 and a[ia] == 3 and b[ib] == 3
+    # no common run
+    c = np.array([100, 200], dtype=np.uint64)
+    assert longest_common_run(a, c)[2] == 0
+
+
+def test_clone_spans_operator(spark):
+    from iamsystem_python_spark.operators.clonespans import clone_spans
+
+    base = "def f ( x ) : return x + 1 ; " * 10
+    docs = spark.createDataFrame(
+        [
+            ("a", base + " tail alpha beta"),
+            ("b", "prefix junk " + base),
+            ("c", "completely different words entirely"),
+        ],
+        ["doc_id", "content"],
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], ["doc_a", "doc_b"])
+    got = {(r.doc_a, r.doc_b): r.run_len for r in clone_spans(pairs, docs, min_len=20).collect()}
+    assert ("a", "b") in got and got[("a", "b")] >= 100
+    assert ("a", "c") not in got
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    from iamsystem_python_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 30)
+    feats = extract_features(media, dim=16, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == 16 for r in rows)
+    # determinism: same bytes → same features
+    again = {r.media_id: r.features for r in extract_features(media, dim=16, fake=True).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.features
+    # real decoder is stubbed
+    with pytest.raises(Exception):
+        extract_features(media, dim=16, fake=False).collect()
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.count() > 0
+    assert plan.columns == ["media_id", "frame_ts_ms"]
+
+
+# --- similarity: bucketed LSH vs brute force ----------------------------------
+
+
+def test_lsh_bucketed_topk_recall(spark):
+    from iamsystem_python_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    vecs = rng.standard_normal((200, dim)).astype(float)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(200)], ["vec_id", "embedding"]
+    )
+    queries = df.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(df, queries, k=5)
+    approx = lsh_bucketed_topk(df, queries, dim=dim, k=5, bits=4, num_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # multi-table LSH with 4-bit codes should recover most of the true top-5
+    assert len(e & a) / len(e) >= 0.6
+
+
+# --- streaming -----------------------------------------------------------------
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from iamsystem_python_spark.streaming.stream_ops import streaming_exact_dedup
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    # duplicate content: value % 5 → only 5 distinct contents survive
+    stream = src.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("doc-"), (F.col("value") % 5).cast("string")).alias("content"),
+    )
+    deduped = streaming_exact_dedup(stream, text_col="content", ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(DISTINCT content) c FROM dedup_test").collect()[0].c
+            total = spark.sql("SELECT count(*) c FROM dedup_test").collect()[0].c
+            if total >= 5:
+                break
+            time.sleep(1)
+        assert n == total  # every emitted row is a distinct content
+        assert n >= 1
+    finally:
+        q.stop()
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from iamsystem_python_spark.streaming.stream_ops import windowed_event_counts
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    stream = src.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("t"), (F.col("value") % 3).cast("string")).alias("event_type"),
+    )
+    agg = windowed_event_counts(stream, window="5 seconds", watermark="10 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_test").collect()
+        assert {c for c in agg.columns} == {
+            "window_start", "window_end", "event_type", "n"
+        }
+    finally:
+        q.stop()

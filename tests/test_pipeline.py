@@ -66,7 +66,11 @@ def test_candidate_recall_vs_exact_jaccard_oracle(spark, corpus, clusters):
     """Dup-pair recall ≥ 0.99 vs brute-force exact-Jaccard pairs at the SAME
     shingle/signature config — the BASELINE.md binding metric."""
     out, _ = clusters
-    sig = spark.read.parquet(f"{out}/signatures")
+    # oracle needs shingle sets — recompute full signatures (the pipeline's
+    # stored stage intentionally omits them; see add_signatures docstring)
+    sig = signatures.add_signatures(
+        corpus.drop("cluster_id"), CFG, include_shingles=True
+    ).cache()
     oracle = _pair_set(brute_force_pairs(sig, CFG.jaccard_threshold))
     ours = _pair_set(spark.read.parquet(f"{out}/all_pairs"))
     assert oracle, "oracle found no pairs — corpus misconfigured"
