@@ -190,6 +190,14 @@ def verify_pairs_recompute(
     threshold = cfg.jaccard_threshold
 
     docs = docs_df.select("doc_id", F.col(text_col).alias("_text"))
+    # shuffle only the candidates' content, not the whole corpus: semi-join
+    # the (small) candidate id set first — broadcast, no full-corpus shuffle
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     paired = (
         candidates.join(
             docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_text", "text_a"),

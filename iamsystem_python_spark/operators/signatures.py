@@ -29,11 +29,11 @@ from pyspark.sql import types as T
 
 from iamsystem_python_spark.functions.hashing import (
     TokenIdMap,
-    band_hashes,
+    band_hashes_batch,
+    minhash_batch,
     minhash_params,
-    minhash_signature,
     shingle_hashes,
-    simhash64,
+    simhash_batch,
 )
 from iamsystem_python_spark.plans.config import PipelineConfig
 
@@ -99,35 +99,48 @@ def add_signatures(
         tok = _get_tokenizer(tokenizer_name)
         idmap = TokenIdMap()  # batch-iterator-scoped memo
         for pdf in batches:
-            out_rows = {name: [] for name in names}
             contents = pdf["content"].tolist()
             token_lists = [tok.norm_tokens_fast(t) for t in contents]
-            for row_i in range(len(pdf)):
-                tokens = token_lists[row_i]
-                ids = idmap.ids(tokens)
-                sh = shingle_hashes(ids, k)
-                sig = minhash_signature(sh, a, b)
-                bnd = band_hashes(sig, num_bands)
-                out_rows["doc_id"].append(pdf["doc_id"].iat[row_i])
-                out_rows["sha256"].append(pdf["sha256"].iat[row_i])
-                out_rows["repo"].append(pdf["repo"].iat[row_i])
-                out_rows["path"].append(pdf["path"].iat[row_i])
-                out_rows["commit"].append(pdf["commit"].iat[row_i])
-                out_rows["lang"].append(pdf["lang"].iat[row_i])
-                out_rows["n_tokens"].append(len(tokens))
-                out_rows["bands"].append(bnd.view(np.int64).tolist())
-                out_rows["simhash"].append(simhash64(sh))
-                if include_shingles:
-                    out_rows["shingles"].append(np.unique(sh).view(np.int64).tolist())
-                    out_rows["minhash"].append(sig.view(np.int64).tolist())
-            yield pd.DataFrame(out_rows)
+            sh_lists = [
+                np.unique(shingle_hashes(idmap.ids(toks), k)) for toks in token_lists
+            ]
+            # batched numpy: one linear pass per permutation over the whole
+            # Arrow batch (cache-friendly — see minhash_batch docstring)
+            sigs = minhash_batch(sh_lists, a, b)
+            bnds = band_hashes_batch(sigs, num_bands).view(np.int64)
+            sims = simhash_batch(sh_lists)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "sha256": pdf["sha256"].to_numpy(),
+                "repo": pdf["repo"].to_numpy(),
+                "path": pdf["path"].to_numpy(),
+                "commit": pdf["commit"].to_numpy(),
+                "lang": pdf["lang"].to_numpy(),
+                "n_tokens": np.fromiter(
+                    (len(t) for t in token_lists), dtype=np.int32, count=len(pdf)
+                ),
+                "bands": list(bnds),
+                "simhash": sims,
+            }
+            if include_shingles:
+                out["shingles"] = [s.view(np.int64) for s in sh_lists]
+                out["minhash"] = list(sigs.view(np.int64))
+            yield pd.DataFrame(out, columns=names)
 
-    prepared = (
-        df.withColumn("doc_id", F.sha2(F.concat("repo", "path", "commit"), 256))
-        .withColumn("sha256", F.sha2(F.col("content"), 256))
-        # spread mega-repo skew before the CPU-heavy kernel
-        .repartition(cfg.shuffle_partitions, F.xxhash64("repo", "path"))
-        .select("doc_id", "sha256", "repo", "path", "commit", "lang", "content")
+    prepared = df.withColumn(
+        "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
+    ).withColumn("sha256", F.sha2(F.col("content"), 256))
+    # The kernel is per-ROW (no key grouping), so input-split skew is the
+    # reader's problem, not a key-distribution problem: only force a shuffle
+    # when the source is too coarsely split to keep every core busy.
+    # Key skew (mega-repos, hot bands) is handled where keys matter — the
+    # LSH band join (bucket caps) and groupBys (AQE).
+    if prepared.rdd.getNumPartitions() < cfg.shuffle_partitions:
+        prepared = prepared.repartition(
+            cfg.shuffle_partitions, F.xxhash64("repo", "path")
+        )
+    prepared = prepared.select(
+        "doc_id", "sha256", "repo", "path", "commit", "lang", "content"
     )
     schema = SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA
     return prepared.mapInPandas(kernel, schema=schema)
