@@ -142,29 +142,60 @@ def scaling_run(work: str, n: int | None = None) -> dict:
     """Same dedup job, same input, local[N] vs local[4N] → efficiency =
     throughput(4N) / (4 × throughput(N)) (BASELINE.md sandbox proxy).
 
+    Each run executes in a subprocess pinned with ``taskset -c`` to exactly
+    N (resp. 4N) cores. Pinning matters: in local mode the JVM's scheduler/
+    GC/shuffle threads and the Python workers are NOT bounded by the
+    local[N] task-thread count, so an unpinned local[2] run borrows extra
+    physical cores and understates true N-core throughput — the executor-
+    count analogy only holds when the whole process tree is capped.
+
     N defaults to $SPARK_GRAFT_SCALE_N (default 2). NOTE on the choice of
-    N: this box's pure-CPU parallel ceiling (see hardware_ceiling) is
-    ~0.67 for 8→32 threads — even an embarrassingly parallel sha256 loop
-    cannot reach 0.8 there, so that pair measures host oversubscription,
-    not engine scaling. 2→8 has a ceiling of ~0.85 and is used instead;
-    the raw ceiling is reported alongside for transparency."""
+    N: this box's pure-CPU ceiling (see hardware_ceiling) is ~0.67 for
+    8→32 threads — even an embarrassingly parallel sha256 loop cannot reach
+    0.8 there (host oversubscription / turbo), so that pair measures the
+    host, not the engine. 2→8 has a ceiling of ~0.85 and is used instead;
+    the measured ceiling is reported alongside for transparency."""
+    import subprocess
+    import sys
+
     n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     m = 4 * n
     results = {"n": n, "4n": m}
     for cpus in (n, m):
-        spark = make_spark(str(cpus))
-        try:
-            r = run_dedup_pipeline(
-                spark, DEDUP_ROWS, work, tag=f"scale_c{cpus}", cpus=cpus
-            )
-            results[f"local[{cpus}]"] = r
-        finally:
-            spark.stop()
+        cores = f"0-{cpus - 1}" if cpus > 1 else "0"
+        cmd = [
+            "taskset", "-c", cores,
+            sys.executable, os.path.abspath(__file__),
+            "--dedup-only", "--cpus", str(cpus), "--work", work,
+            "--rows", str(DEDUP_ROWS), "--tag", f"scale_c{cpus}",
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        results[f"local[{cpus}]"] = json.loads(out.stdout.strip().splitlines()[-1])
     tn = results[f"local[{n}]"]["files_per_sec"]
     tm = results[f"local[{m}]"]["files_per_sec"]
     results["scaling_efficiency"] = round(tm / (4.0 * tn), 4)
     results["hardware_ceiling_pure_cpu"] = hardware_ceiling(n, m)
     return results
+
+
+def _dedup_only_cli() -> None:
+    """Subprocess entry for pinned scaling runs: run the dedup pipeline at
+    --cpus over the shared corpus and print one JSON line."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dedup-only", action="store_true")
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--rows", type=int, required=True)
+    ap.add_argument("--tag", required=True)
+    args = ap.parse_args()
+    spark = make_spark(str(args.cpus))
+    try:
+        r = run_dedup_pipeline(spark, args.rows, args.work, tag=args.tag, cpus=args.cpus)
+    finally:
+        spark.stop()
+    print(json.dumps(r))
 
 
 def main() -> None:
@@ -201,4 +232,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--dedup-only" in sys.argv:
+        _dedup_only_cli()
+    else:
+        main()

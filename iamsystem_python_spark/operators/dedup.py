@@ -198,17 +198,36 @@ def verify_pairs_recompute(
         .distinct()
     )
     docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    paired = (
-        candidates.join(
-            docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_text", "text_a"),
-            "doc_a",
-        )
-        .join(
-            docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_text", "text_b"),
-            "doc_b",
-        )
-        # group a doc's pairs together so its shingles are computed once
-        .repartition(cfg.shuffle_partitions, "doc_a")
+
+    # Pass 1: shingles ONCE per distinct candidate doc (not once per pair —
+    # a doc in P pairs would otherwise be tokenized up to P times). Stored
+    # as a binary blob (int64 LE), which parquet/Arrow moves far faster
+    # than deep arrays.
+    blob_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("sh", T.BinaryType())]
+    )
+
+    def shingle_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = _get_tokenizer(tokenizer_name)
+        idmap = TokenIdMap()
+        for pdf in batches:
+            blobs = [
+                np.unique(
+                    shingle_hashes(idmap.ids(tok.norm_tokens_fast(t)), k)
+                ).tobytes()
+                for t in pdf["_text"].tolist()
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sh": blobs})
+
+    blobs = docs.mapInPandas(shingle_kernel, schema=blob_schema)
+
+    # Pass 2: join blobs onto pairs, exact Jaccard in numpy.
+    paired = candidates.join(
+        blobs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+        "doc_a",
+    ).join(
+        blobs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+        "doc_b",
     )
 
     schema = T.StructType(
@@ -219,25 +238,12 @@ def verify_pairs_recompute(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tok = _get_tokenizer(tokenizer_name)
-        idmap = TokenIdMap()
-        cache: dict = {}
-
-        def sh_of(doc_id: str, text: str) -> np.ndarray:
-            got = cache.get(doc_id)
-            if got is None:
-                got = np.unique(shingle_hashes(idmap.ids(tok.norm_tokens_fast(text)), k))
-                if len(cache) >= 8192:
-                    cache.clear()
-                cache[doc_id] = got
-            return got
-
+    def jaccard_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                sa = sh_of(r.doc_a, r.text_a)
-                sb = sh_of(r.doc_b, r.text_b)
+                sa = np.frombuffer(r.sh_a, dtype=np.uint64)
+                sb = np.frombuffer(r.sh_b, dtype=np.uint64)
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
                 j = inter / union if union else 1.0
@@ -245,7 +251,7 @@ def verify_pairs_recompute(
                     rows.append((r.doc_a, r.doc_b, j))
             yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    return paired.mapInPandas(kernel, schema=schema)
+    return paired.mapInPandas(jaccard_kernel, schema=schema)
 
 
 def expand_pairs_through_exact_groups(
