@@ -1,0 +1,122 @@
+"""Brat .ann document building — parity with
+/root/reference/src/iamsystem/brat/adapter.py:12-263.
+
+Row-level classes mirror the reference (BratEntity `adapter.py:12-54`,
+BratNote `adapter.py:57-99`, BratDocument `adapter.py:111-227`,
+BratWriter `adapter.py:230-263`); the Spark surface is
+``annotations_to_brat_df`` — a pure-column formatting of the exploded
+annotation DataFrame (operators/annotate.py) into `.ann` lines with
+``row_number`` ids, written with ``df.write.text``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, TextIO, Tuple
+
+from iamsystem_python_spark.core.matcher import Annotation
+
+
+class BratEntity:
+    """T-row: ``T{id}\\t{type} {offsets}\\t{text}`` (adapter.py:12-54)."""
+
+    def __init__(self, entity_id: str, brat_type: str, offsets: str, text: str):
+        if not entity_id.startswith("T"):
+            raise ValueError("entity_id must start with 'T'")
+        self.entity_id = entity_id
+        self.brat_type = brat_type
+        self.offsets = offsets
+        self.text = text
+
+    def __str__(self) -> str:
+        return f"{self.entity_id}\t{self.brat_type} {self.offsets}\t{self.text}"
+
+
+class BratNote:
+    """#-row: ``#{id}\\tAnnotatorNotes {ref}\\t{note}`` (adapter.py:57-99)."""
+
+    def __init__(self, note_id: str, ref_id: str, note: str):
+        if not note_id.startswith("#"):
+            raise ValueError("note_id must start with '#'")
+        self.note_id = note_id
+        self.ref_id = ref_id
+        self.note = note
+
+    def __str__(self) -> str:
+        return f"{self.note_id}\tAnnotatorNotes {self.ref_id}\t{self.note}"
+
+
+class BratDocument:
+    """Accumulates T/# rows with sequential ids (adapter.py:111-227)."""
+
+    def __init__(self):
+        self.brat_entities: List[BratEntity] = []
+        self.brat_notes: List[BratNote] = []
+
+    def add_annots(
+        self,
+        annots: Sequence[Annotation],
+        brat_type: Optional[str] = None,
+        keyword_attr: Optional[str] = None,
+    ) -> None:
+        """One T-row per annotation; brat_type = explicit string, or the
+        keyword's kb_id/label (adapter.py:143-186)."""
+        for annot in annots:
+            text_span, offsets = annot.brat_text_and_offsets("contseq")
+            if brat_type is not None:
+                btype = brat_type
+            elif keyword_attr == "kb_id":
+                kbs = [kb for _, kb in annot.keywords if kb is not None]
+                btype = kbs[0] if kbs else annot.keywords[0][0]
+            else:
+                btype = annot.keywords[0][0]
+            self.add_entity(btype, offsets, text_span, note=str(annot))
+
+    def add_entity(self, brat_type: str, offsets: str, text: str, note: Optional[str] = None) -> None:
+        eid = f"T{len(self.brat_entities) + 1}"
+        self.brat_entities.append(BratEntity(eid, brat_type, offsets, text))
+        if note is not None:
+            nid = f"#{len(self.brat_notes) + 1}"
+            self.brat_notes.append(BratNote(nid, eid, note))
+
+    def get_entities(self) -> List[BratEntity]:
+        return self.brat_entities
+
+    def entities_to_string(self) -> str:
+        return "\n".join(str(e) for e in self.brat_entities)
+
+    def __str__(self) -> str:
+        rows: List[str] = [str(e) for e in self.brat_entities]
+        rows.extend(str(n) for n in self.brat_notes)
+        return "\n".join(rows)
+
+
+class BratWriter:
+    """Serialize entities/notes to a .ann file (adapter.py:230-263)."""
+
+    @staticmethod
+    def saveEntities(brat_entities: Iterable[BratEntity], write: TextIO.write) -> None:
+        for e in brat_entities:
+            write(str(e) + "\n")
+
+    @staticmethod
+    def saveNotes(brat_notes: Iterable[BratNote], write: TextIO.write) -> None:
+        for n in brat_notes:
+            write(str(n) + "\n")
+
+
+def annotations_to_brat_df(ann_df, doc_col: str = "doc_id", type_col: str = "norm_label"):
+    """Spark sink shape: exploded annotation rows → `.ann` T-lines with
+    per-document sequential ids (row_number over the doc partition) —
+    the distributed twin of BratDocument. Returns (doc_id, line)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(doc_col).orderBy("start", "end")
+    return ann_df.withColumn("_tnum", F.row_number().over(w)).select(
+        F.col(doc_col),
+        F.concat(
+            F.lit("T"), F.col("_tnum"), F.lit("\t"),
+            F.col(type_col), F.lit(" "), F.col("brat_offsets"),
+            F.lit("\t"), F.col("label"),
+        ).alias("line"),
+    )

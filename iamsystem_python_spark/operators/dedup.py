@@ -63,12 +63,20 @@ def lsh_candidate_pairs(sig_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     bands = sig_df.select(
         "doc_id", F.explode("bands").alias("band_hash")
     )
-    # bucket sizes: one groupBy; AQE re-plans the join afterwards
-    sized = bands.groupBy("band_hash").agg(F.count("*").alias("bucket_size"))
-    ok = sized.filter(
-        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.band_bucket_cap)
+    # bucket sizing via a window count over band_hash: one shuffle, fully
+    # distributed — and the resulting hash partitioning on band_hash is
+    # exactly what the self-join needs, so Catalyst reuses it (no second
+    # exchange). The earlier groupBy + driver broadcast of the ok-bucket
+    # set serialized millions of hashes through the driver.
+    w = Window.partitionBy("band_hash")
+    pruned = (
+        bands.withColumn("bucket_size", F.count("*").over(w))
+        .where(
+            (F.col("bucket_size") > 1)
+            & (F.col("bucket_size") <= cfg.band_bucket_cap)
+        )
+        .drop("bucket_size")
     )
-    pruned = bands.join(F.broadcast(ok.select("band_hash")), "band_hash")
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (

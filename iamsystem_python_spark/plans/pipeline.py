@@ -66,9 +66,17 @@ class NearDupPipeline:
     """Orchestrates the stage graph. ``run`` returns the cluster DataFrame
     and writes all intermediates + metrics under ``out_dir``."""
 
-    def __init__(self, cfg: PipelineConfig = PipelineConfig(), use_simhash: bool = True):
+    def __init__(
+        self,
+        cfg: PipelineConfig = PipelineConfig(),
+        use_simhash: bool = True,
+        materialize_exact_groups: bool = True,
+        collect_bucket_stats: bool = True,
+    ):
         self.cfg = cfg
         self.use_simhash = use_simhash
+        self.materialize_exact_groups = materialize_exact_groups
+        self.collect_bucket_stats = collect_bucket_stats
 
     def run(
         self,
@@ -87,8 +95,10 @@ class NearDupPipeline:
             metrics["signatures"] = _write_stage(sig, out_dir, "signatures", cfg)
         sig = _read_stage(spark, out_dir, "signatures")
 
-        # -- exact groups ------------------------------------------------------
-        if not (resume and _stage_done(out_dir, "exact_groups")):
+        # -- exact groups (reporting artifact; derivable from signatures) -----
+        if self.materialize_exact_groups and not (
+            resume and _stage_done(out_dir, "exact_groups")
+        ):
             groups = dedup.exact_dup_groups(sig)
             metrics["exact_groups"] = _write_stage(groups, out_dir, "exact_groups", cfg)
 
@@ -138,8 +148,9 @@ class NearDupPipeline:
         clusters = _read_stage(spark, out_dir, "clusters")
 
         # -- metrics ---------------------------------------------------------------
-        bucket_stats = dedup.lsh_bucket_stats(sig, cfg).collect()[0].asDict()
-        metrics["lsh_buckets"] = bucket_stats
+        if self.collect_bucket_stats:
+            bucket_stats = dedup.lsh_bucket_stats(sig, cfg).collect()[0].asDict()
+            metrics["lsh_buckets"] = bucket_stats
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2, default=str)
         return clusters

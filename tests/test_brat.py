@@ -1,0 +1,52 @@
+"""Brat adapter parity (reference tests/test_brat.py shapes) — pure core,
+no Spark."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from iamsystem_python_spark.core.brat import (
+    BratDocument,
+    BratEntity,
+    BratNote,
+    BratWriter,
+)
+from iamsystem_python_spark.core.matcher import Matcher
+from iamsystem_python_spark.core.tokenize import french_tokenizer
+
+
+def test_brat_entity_str():
+    e = BratEntity("T1", "DISEASE", "0 22", "insuffisance cardiaque")
+    assert str(e) == "T1\tDISEASE 0 22\tinsuffisance cardiaque"
+    with pytest.raises(ValueError):
+        BratEntity("X1", "t", "0 1", "a")
+
+
+def test_brat_note_str():
+    n = BratNote("#1", "T1", "some note")
+    assert str(n) == "#1\tAnnotatorNotes T1\tsome note"
+
+
+def test_brat_document_from_annots():
+    m = Matcher.build(
+        keywords=[("Insuffisance Cardiaque", "I50.9")],
+        tokenizer=french_tokenizer(),
+        w=1,
+    )
+    annots = m.annot_text("insuffisance cardiaque grave")
+    doc = BratDocument()
+    doc.add_annots(annots, keyword_attr="kb_id")
+    out = str(doc).split("\n")
+    assert out[0] == "T1\tI50.9 0 22\tinsuffisance cardiaque"
+    assert out[1].startswith("#1\tAnnotatorNotes T1\t")
+
+
+def test_brat_writer():
+    doc = BratDocument()
+    doc.add_entity("X", "0 3", "abc")
+    doc.add_entity("Y", "4 7", "def")
+    buf = io.StringIO()
+    BratWriter.saveEntities(doc.get_entities(), buf.write)
+    assert buf.getvalue() == "T1\tX 0 3\tabc\nT2\tY 4 7\tdef\n"
