@@ -240,6 +240,42 @@ def q12_priority_matrix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q13_rollup(spark, sf_dir):
+    """Hierarchical rollup (grouping sets) over orders; NULL grouping rows
+    coalesced to 'ALL' so both engines hash identically."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def q14_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per order priority — Spark
+    `percentile` == DuckDB `quantile_cont`."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q20_exact_dedup(spark, sf_dir):
     from iamsystem_python_spark.operators.dedup_text import exact_dup_groups_text
 
@@ -307,6 +343,34 @@ def q27_neardup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q28_simhash_pairs(spark, sf_dir):
+    """SQL-portable SimHash + exact Hamming-join (pigeonhole over 4 bit
+    blocks — a plain equi-join, no cross product; see
+    operators/dedup_text.simhash_pairs_sql)."""
+    from iamsystem_python_spark.operators.dedup_text import simhash_pairs_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs_sql(docs, k=3, bits=32, max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q29_clone_spans(spark, sf_dir):
+    """Suffix-array-style substring pass: longest common token run per
+    verified near-dup pair (applyInPandas rolling-hash kernel,
+    operators/clonespans.py). Non-SQL-expressible — rows-only check."""
+    from iamsystem_python_spark.operators.clonespans import clone_spans
+    from iamsystem_python_spark.operators.dedup_text import minhash_lsh_pairs_sql
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs_sql(docs, k=3, num_perm=16, num_bands=8, threshold=0.5)
+    return clone_spans(
+        pairs, docs, min_len=5, token_col="text", tokenizer_name="english"
+    ).orderBy("doc_a", "doc_b")
+
+
 def q30_ann_topk(spark, sf_dir):
     from iamsystem_python_spark.operators.similarity import brute_force_topk
 
@@ -322,6 +386,47 @@ def q31_embedding_neardup(spark, sf_dir):
     return cosine_neardup_pairs(emb, threshold=0.9, block_col="label").orderBy(
         "id_a", "id_b"
     )
+
+
+def q32_lsh_ann(spark, sf_dir):
+    """Approximate nearest neighbors — the scale path: random-hyperplane
+    sign buckets (pure SQL expressions), bucket equi-join, exact cosine
+    rerank (operators/similarity.lsh_bucketed_topk). Approximate by design
+    — rows-only check; recall vs brute force is pinned in tests."""
+    from iamsystem_python_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(
+        emb, queries_df, dim=64, k=10, bits=8, num_tables=4
+    ).orderBy("query_id", "rank")
+
+
+def q50_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary media column (derived deterministically
+    from documents.text — no external data) through the mapInPandas decode
+    kernel (fake decoder; operators/multimodal.py). The kernel's sha256 /
+    n_bytes outputs ARE value-checked against DuckDB; the feature vector is
+    dropped here because it is non-SQL-expressible (RNG-seeded)."""
+    from iamsystem_python_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    feats = extract_features(media, dim=16, fake=True)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        "sha256",
+        "n_bytes",
+    ).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +471,31 @@ def q41_keyword_doc_freq(spark, sf_dir):
     )
 
 
+_NESTED_KEYWORDS = ["window", "agg", "window agg"]
+
+
+def q42_nested_keywords(spark, sf_dir):
+    """rm_nested_annots semantics relationally: overlapping dictionary
+    ('window' and 'agg' nest inside 'window agg'); the kernel removes the
+    shorter span (reference annotation.py:205-249 semantics). Oracle: for
+    w=1 exact matching every nested short match is inside a long match, so
+    count(short) - count(long) gives the surviving annotations."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    m = Matcher.build(
+        keywords=_NESTED_KEYWORDS, tokenizer=english_tokenizer(), w=1
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ann = annotate(docs, m, text_col="text", id_cols=["doc_id"])
+    return (
+        ann.groupBy("doc_id", F.col("norm_label").alias("keyword"))
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("doc_id", "keyword")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -380,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_events_hourly": q10_events_hourly,
         "q11_brand_revenue": q11_brand_revenue,
         "q12_priority_matrix": q12_priority_matrix,
+        "q13_rollup": q13_rollup,
+        "q14_percentiles": q14_percentiles,
         "q20_exact_dedup": q20_exact_dedup,
         "q21_fingerprint": q21_fingerprint,
         "q22_token_counts": q22_token_counts,
@@ -388,10 +520,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_minhash_pairs": q25_minhash_pairs,
         "q26_ngram_jaccard": q26_ngram_jaccard,
         "q27_neardup_clusters": q27_neardup_clusters,
+        "q28_simhash_pairs": q28_simhash_pairs,
+        "q29_clone_spans": q29_clone_spans,
         "q30_ann_topk": q30_ann_topk,
         "q31_embedding_neardup": q31_embedding_neardup,
+        "q32_lsh_ann": q32_lsh_ann,
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
+        "q42_nested_keywords": q42_nested_keywords,
+        "q50_media_features": q50_media_features,
     }
 
 
@@ -477,6 +614,62 @@ sym AS (
 SELECT h1.doc_a AS doc_id, least(h1.m1, coalesce(h2.m2, h1.m1)) AS cluster_id
 FROM hop1 h1 LEFT JOIN hop2 h2 ON h1.doc_a = h2.doc_a
 ORDER BY doc_id
+"""
+
+
+def _simhash_oracle_sql(k: int, bits: int, max_hamming: int) -> str:
+    """Mirrors operators/dedup_text.simhash_sql + simhash_pairs_sql — same
+    portable shingle hash, same majority-vote bit rule; brute-force pair
+    scan is fine at oracle scale."""
+    csel = ",\n         ".join(f"sum((hv >> {j}) & 1) AS c{j}" for j in range(bits))
+    simexpr = " + ".join(
+        f"(CASE WHEN 2*c{j} >= n_sh THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_transform(sh, s ->
+    ((('0x' || substring(sha256(s), 1, 15))::UBIGINT & 4294967295)::BIGINT))) AS hv
+  FROM base
+), cnt AS (
+  SELECT doc_id, count(*) AS n_sh,
+         {csel}
+  FROM ex GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, {simexpr} AS simhash FROM cnt
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _nested_keyword_sql() -> str:
+    """Surviving-annotation counts after nested removal: every 'window' /
+    'agg' token inside a 'window agg' match is a nested (removed) span."""
+    return """
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_filter(regexp_extract_all(lower(text), '\\w+'), x -> x != ''), ' ') AS s
+  FROM documents
+), m AS (
+  SELECT doc_id, 'window agg' AS keyword,
+         len(regexp_extract_all(s, '\\bwindow agg\\b')) AS n_matches FROM t
+  UNION ALL
+  SELECT doc_id, 'window',
+         len(regexp_extract_all(s, '\\bwindow\\b'))
+         - len(regexp_extract_all(s, '\\bwindow agg\\b')) FROM t
+  UNION ALL
+  SELECT doc_id, 'agg',
+         len(regexp_extract_all(s, '\\bagg\\b'))
+         - len(regexp_extract_all(s, '\\bwindow agg\\b')) FROM t
+)
+SELECT doc_id, keyword, n_matches FROM m WHERE n_matches > 0
+ORDER BY doc_id, keyword
 """
 
 
@@ -691,6 +884,23 @@ WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
 SELECT {lang_case} AS lang_pred, count(*) AS n_docs
 FROM s GROUP BY 1 ORDER BY lang_pred
 """,
+        "q13_rollup": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+        "q14_percentiles": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
         "q25_minhash_pairs": _minhash_oracle_sql(3, 16, 8, 0.5),
         "q26_ngram_jaccard": f"""
 WITH base AS (
@@ -706,6 +916,7 @@ WHERE a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """,
         "q27_neardup_clusters": _clusters_oracle_sql(3, 16, 8, 0.5),
+        "q28_simhash_pairs": _simhash_oracle_sql(3, 32, 3),
         "q30_ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -737,4 +948,12 @@ ORDER BY id_a, id_b
 """,
         "q40_keyword_matches": _keyword_count_sql(agg_doc=True),
         "q41_keyword_doc_freq": _keyword_count_sql(agg_doc=False),
+        "q42_nested_keywords": _nested_keyword_sql(),
+        "q50_media_features": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       sha256(text) AS sha256,
+       octet_length(encode(text))::INTEGER AS n_bytes
+FROM documents ORDER BY media_id
+""",
     }

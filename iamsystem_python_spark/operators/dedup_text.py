@@ -154,3 +154,91 @@ def near_dup_clusters_sql(
             F.least("m1", F.coalesce("m2", "m1")).alias("cluster_id"),
         )
     )
+
+
+_MASK32 = 4294967295  # low 32 bits of the portable 60-bit shingle hash
+
+
+def simhash_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, simhash) — SQL-portable SimHash (bit-sampling over the
+    document's distinct k-shingle hashes, reference idea per SURVEY §2-C).
+
+    Every step is a Catalyst expression so the identical computation runs in
+    DuckDB: shingle hash = low 32 bits of the portable sha256-based hash
+    (functions/sqlhash.py); bit j of the signature is set iff at least half
+    the shingles have bit j set (majority vote, ties → 1 — the canonical
+    sum(±1) >= 0 rule). The per-bit popcounts are one codegen'd groupBy with
+    `bits` sum aggregates over the exploded hash column — partial aggregation
+    (map-side combine) keeps the shuffle at one row per doc."""
+    toks = sqlhash.tokens_col(F.col(text_col))
+    sh = sqlhash.shingles_col(toks, k)
+    hashes = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(_MASK32)),
+    )
+    ex = df.select("doc_id", F.explode(hashes).alias("hv"))
+    aggs = [F.count("*").alias("n_sh")] + [
+        F.sum(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        for j in range(bits)
+    ]
+    cnt = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(
+            F.lit(2) * F.col(f"c{j}") >= F.col("n_sh"), F.lit(1 << j)
+        ).otherwise(F.lit(0)).cast("long")
+    return cnt.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """All pairs within `max_hamming` SimHash bits — EXACT under the
+    pigeonhole guarantee: with n_blocks > max_hamming equal-width bit
+    blocks, any pair at distance <= max_hamming agrees on at least one
+    whole block, so the block equi-join (a plain shuffled/broadcast hash
+    join; no cross product) is a complete candidate generator, and the
+    bit_count(xor) filter makes the result exact. This is the scalable
+    Hamming-join: at 10^12 rows each block table is a groupBy-key join,
+    skew-handled by AQE like any equi-join."""
+    assert n_blocks > max_hamming, "pigeonhole needs n_blocks > max_hamming"
+    block_w = bits // n_blocks
+    sim = simhash_sql(df, text_col, k, bits)
+    blocks = None
+    for b in range(n_blocks):
+        part = sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("block_id"),
+            F.shiftright(F.col("simhash"), b * block_w)
+            .bitwiseAND(F.lit((1 << block_w) - 1))
+            .alias("block_val"),
+        )
+        blocks = part if blocks is None else blocks.union(part)
+    a = blocks.alias("a")
+    b_ = blocks.alias("b")
+    return (
+        a.join(b_, ["block_id", "block_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
