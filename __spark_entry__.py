@@ -554,7 +554,7 @@ def _minhash_oracle_sql(k: int, num_perm: int, num_bands: int, threshold: float)
 
     r = num_perm // num_bands
     sig_exprs = ",\n    ".join(
-        f"list_aggregate(list_transform(h, x -> ({a} * x + {b}) % {P}), 'min') AS sig_{i}"
+        f"list_aggregate(list_transform(h, x -> ({a} * (x % {P}) + {b}) % {P}), 'min') AS sig_{i}"
         for i, (a, b) in enumerate(perm_params(num_perm, 42))
     )
     band_selects = "\nUNION ALL\n".join(
@@ -568,11 +568,12 @@ def _minhash_oracle_sql(k: int, num_perm: int, num_bands: int, threshold: float)
 WITH base AS (
   SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents
 ), hashed AS (
-  SELECT doc_id, sh,
-         list_transform(sh, s -> (('0x' || substring(sha256(s), 1, 15))::UBIGINT % {P})::BIGINT) AS h
+  SELECT doc_id,
+         list_distinct(list_transform(sh, s ->
+           (('0x' || substring(sha256(s), 1, 15))::UBIGINT)::BIGINT)) AS h
   FROM base
 ), sig AS (
-  SELECT doc_id, sh,
+  SELECT doc_id, h,
     {sig_exprs}
   FROM hashed
 ), bands AS (
@@ -583,13 +584,13 @@ WITH base AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+       round(len(list_intersect(sa.h, sb.h))::DOUBLE
+             / len(list_distinct(list_concat(sa.h, sb.h))), 6) AS jaccard
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
-WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+WHERE len(list_intersect(sa.h, sb.h))::DOUBLE
+      / len(list_distinct(list_concat(sa.h, sb.h))) >= {threshold}
 ORDER BY doc_a, doc_b
 """
 

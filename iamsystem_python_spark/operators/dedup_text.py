@@ -27,6 +27,23 @@ def exact_dup_groups_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_doc_hashes(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, h60) — one row per distinct k-shingle, 60-bit portable hash.
+    Exploding BEFORE hashing means sha256 is evaluated exactly once per
+    (doc, shingle); keeping it inside an array column instead lets Catalyst's
+    project-collapse inline the hash array into every downstream signature
+    expression (num_perm sha256 evaluations per shingle — measured 20×+
+    slower)."""
+    toks = sqlhash.tokens_col(F.col(text_col))
+    sh = sqlhash.shingles_col(toks, k)
+    return df.select("doc_id", F.explode(sh).alias("s")).select(
+        "doc_id",
+        F.conv(F.substring(F.sha2(F.col("s"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h60"),
+    )
+
+
 def minhash_signatures_sql(
     df: DataFrame,
     text_col: str = "text",
@@ -34,15 +51,20 @@ def minhash_signatures_sql(
     num_perm: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, shingles, sig_0..sig_{n-1}) via the portable SQL MinHash."""
-    toks = sqlhash.tokens_col(F.col(text_col))
-    sh = sqlhash.shingles_col(toks, k)
-    out = df.select("doc_id", sh.alias("shingles"))
-    hashes = sqlhash.shingle_hashes_col(F.col("shingles"))
-    out = out.withColumn("h", hashes)
-    for i, c in enumerate(sqlhash.minhash_sig_cols(F.col("h"), num_perm, seed)):
-        out = out.withColumn(f"sig_{i}", c)
-    return out.drop("h")
+    """(doc_id, hset, sig_0..sig_{n-1}) — MinHash AS AGGREGATION: sig_i is a
+    plain `min` aggregate over the doc's shingle hashes, so Spark computes
+    it with map-side partial aggregation (one shuffle row per doc, no array
+    materialization in the shuffle beyond hset). hset (the distinct 60-bit
+    hashes) rides along for exact-Jaccard verification downstream —
+    collision probability at 60 bits is ~1e-12 per pair, and the DuckDB
+    oracle performs the identical hash-set computation."""
+    hashed = minhash_doc_hashes(df, text_col, k)
+    hp = F.col("h60") % F.lit(sqlhash.P)
+    aggs = [F.collect_set("h60").alias("hset")] + [
+        F.min((F.lit(a) * hp + F.lit(b)) % F.lit(sqlhash.P)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(sqlhash.perm_params(num_perm, seed))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs_sql(
@@ -60,12 +82,24 @@ def minhash_lsh_pairs_sql(
     Catalyst can shuffle-hash or broadcast as sizes dictate."""
     r = num_perm // num_bands
     sig = minhash_signatures_sql(df, text_col, k, num_perm, seed)
-    bands = None
-    for band in range(num_bands):
-        cols = [F.col(f"sig_{band * r + j}") for j in range(r)]
-        key = F.concat_ws(",", F.lit(band), *[c.cast("string") for c in cols])
-        part = sig.select("doc_id", key.alias("band_key"))
-        bands = part if bands is None else bands.union(part)
+    # all bands in ONE pass over sig (explode of the band-key array), not an
+    # N-way union that re-executes the signature subplan per band. sig is
+    # deliberately NOT persisted: column pruning specializes each of the 3
+    # consumers (banding drops hset, verification drops the sig columns), so
+    # recomputing the lean aggregate is ~16x cheaper than columnar-caching
+    # the array column (measured). At cluster scale the big pipeline
+    # (plans/pipeline.py) shares this stage via parquet checkpoints instead.
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(band),
+                *[F.col(f"sig_{band * r + j}").cast("string") for j in range(r)],
+            )
+            for band in range(num_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, "band_key")
@@ -73,7 +107,7 @@ def minhash_lsh_pairs_sql(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = sig.select("doc_id", "shingles")
+    sh = sig.select("doc_id", F.col("hset").alias("shingles"))
     return (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
