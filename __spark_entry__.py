@@ -496,6 +496,73 @@ def q42_nested_keywords(spark, sf_dir):
     )
 
 
+def _fuzzy_counts(spark, sf_dir, matcher):
+    """Shared shape: annotate → per-(doc, keyword-label) match counts."""
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ann = annotate(docs, matcher, text_col="text", id_cols=["doc_id"])
+    return (
+        ann.select("doc_id", F.explode("kw_labels").alias("keyword"))
+        .groupBy("doc_id", "keyword")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("doc_id", "keyword")
+    )
+
+
+def q43_abbreviation_matches(spark, sf_dir):
+    """Fuzzy: abbreviation expansion (reference abbreviations.py:26-88) —
+    the token 'agg' jumps the trie over the tokenized long form ('aggregate
+    operator') in one hop, so every corpus match exercises the expansion
+    path. Oracle: long-form occurrences + short-form occurrences in the
+    normalized token stream."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+
+    m = Matcher.build(
+        keywords=["aggregate operator"],
+        tokenizer=english_tokenizer(),
+        abbreviations=[("agg", "aggregate operator")],
+        w=1,
+    )
+    return _fuzzy_counts(spark, sf_dir, m)
+
+
+def q44_levenshtein_matches(spark, sf_dir):
+    """Fuzzy: edit-distance ≤1 matching against dictionary unigrams
+    (reference spellwise.py:59-138 semantics incl. the min_nb_char=5 gate).
+    Oracle: DuckDB's levenshtein() over the same token stream."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+
+    m = Matcher.build(
+        keywords=["stream"],
+        tokenizer=english_tokenizer(),
+        spellwise=[{"max_distance": 1, "min_nb_char": 5}],
+        w=1,
+    )
+    return _fuzzy_counts(spark, sf_dir, m)
+
+
+def q45_stem_matches(spark, sf_dir):
+    """Fuzzy: WordNormalizer stem equivalence (reference norm_fun.py:13-55)
+    with a strip-trailing-s stemmer — 'tables scans' matches 'table scan'.
+    Oracle: optional-s regex over the token stream."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+
+    def strip_s(w: str) -> str:
+        return w[:-1] if w.endswith("s") else w
+
+    m = Matcher.build(
+        keywords=["table scan"],
+        tokenizer=english_tokenizer(),
+        normalizers=[{"name": "strip_s", "norm_fun": strip_s}],
+        w=1,
+    )
+    return _fuzzy_counts(spark, sf_dir, m)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -528,6 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
         "q42_nested_keywords": q42_nested_keywords,
+        "q43_abbreviation_matches": q43_abbreviation_matches,
+        "q44_levenshtein_matches": q44_levenshtein_matches,
+        "q45_stem_matches": q45_stem_matches,
         "q50_media_features": q50_media_features,
     }
 
@@ -670,6 +740,54 @@ WITH t AS (
          - len(regexp_extract_all(s, '\\bwindow agg\\b')) FROM t
 )
 SELECT doc_id, keyword, n_matches FROM m WHERE n_matches > 0
+ORDER BY doc_id, keyword
+"""
+
+
+_TOKSTREAM_SQL = (
+    "array_to_string(list_filter(regexp_extract_all(lower(text), '\\w+'), "
+    "x -> x != ''), ' ')"
+)
+
+
+def _abbrev_oracle_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKSTREAM_SQL} AS s FROM documents
+)
+SELECT doc_id, 'aggregate operator' AS keyword,
+       len(regexp_extract_all(s, '\\baggregate operator\\b'))
+       + len(regexp_extract_all(s, '\\bagg\\b')) AS n_matches
+FROM t
+WHERE len(regexp_extract_all(s, '\\baggregate operator\\b'))
+      + len(regexp_extract_all(s, '\\bagg\\b')) > 0
+ORDER BY doc_id, keyword
+"""
+
+
+def _levenshtein_oracle_sql() -> str:
+    toks = "list_filter(regexp_extract_all(lower(text), '\\w+'), x -> x != '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter({toks},
+             x -> length(x) >= 5 AND levenshtein(x, 'stream') <= 1)) AS n_matches
+  FROM documents
+)
+SELECT doc_id, 'stream' AS keyword, n_matches FROM t
+WHERE n_matches > 0 ORDER BY doc_id, keyword
+"""
+
+
+def _stem_oracle_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKSTREAM_SQL} AS s FROM documents
+)
+SELECT doc_id, 'table scan' AS keyword,
+       len(regexp_extract_all(s, '\\btables? scans?\\b')) AS n_matches
+FROM t
+WHERE len(regexp_extract_all(s, '\\btables? scans?\\b')) > 0
 ORDER BY doc_id, keyword
 """
 
@@ -950,6 +1068,9 @@ ORDER BY id_a, id_b
         "q40_keyword_matches": _keyword_count_sql(agg_doc=True),
         "q41_keyword_doc_freq": _keyword_count_sql(agg_doc=False),
         "q42_nested_keywords": _nested_keyword_sql(),
+        "q43_abbreviation_matches": _abbrev_oracle_sql(),
+        "q44_levenshtein_matches": _levenshtein_oracle_sql(),
+        "q45_stem_matches": _stem_oracle_sql(),
         "q50_media_features": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -36,8 +36,10 @@ HEADLINE = [
     "q24_lang_id",
     "q25_minhash_pairs",
     "q27_neardup_clusters",
+    "q28_simhash_pairs",
     "q30_ann_topk",
     "q40_keyword_matches",
+    "q43_abbreviation_matches",
 ]
 
 

@@ -199,3 +199,75 @@ def test_streaming_windowed_counts(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    from iamsystem_python_spark.streaming.stream_ops import sessionize
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    stream = src.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 4).cast("string").alias("user_id"),
+    )
+    sess = sessionize(stream, gap="2 seconds", watermark="5 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert set(sess.columns) == {
+            "user_id", "session_start", "session_end", "n_events"
+        }
+        rows = spark.sql("SELECT * FROM sess_test").collect()
+        for r in rows:
+            assert r.session_end >= r.session_start
+            assert r.n_events >= 1
+    finally:
+        q.stop()
+
+
+def test_streaming_annotate(spark, tmp_path):
+    """The stateless matcher kernel runs unchanged on a streaming source —
+    micro-batch rows annotated exactly like batch rows."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+    from iamsystem_python_spark.streaming.stream_ops import streaming_annotate
+
+    m = Matcher.build(keywords=["hash join"], tokenizer=english_tokenizer(), w=1)
+    src = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    stream = src.select(
+        F.col("value").alias("doc_id"),
+        F.when(F.col("value") % 2 == 0, F.lit("use a hash join here"))
+        .otherwise(F.lit("nothing to see"))
+        .alias("content"),
+    )
+    ann = streaming_annotate(stream, m, text_col="content", id_cols=["doc_id"])
+    q = (
+        ann.writeStream.format("memory")
+        .queryName("ann_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM ann_stream_test").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        assert len(rows) >= 1
+        for r in rows:
+            assert r.doc_id % 2 == 0  # only even docs contain the keyword
+            assert r.norm_label == "hash join"
+            assert (r.start, r.end) == (6, 15)
+    finally:
+        q.stop()
