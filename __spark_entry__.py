@@ -277,10 +277,12 @@ def q14_percentiles(spark, sf_dir):
 
 
 def q20_exact_dedup(spark, sf_dir):
-    from iamsystem_python_spark.operators.dedup_text import exact_dup_groups_text
+    """Per-row exact-dedup verdict (doc_id, sha, keep) — non-trivial even on
+    dup-free corpora (the groups-only view returns 0 rows at sf0.01)."""
+    from iamsystem_python_spark.operators.dedup_text import exact_dedup_decision
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_dup_groups_text(docs).orderBy("sha")
+    return exact_dedup_decision(docs).orderBy("doc_id")
 
 
 def q21_fingerprint(spark, sf_dir):
@@ -383,7 +385,9 @@ def q31_embedding_neardup(spark, sf_dir):
     from iamsystem_python_spark.operators.similarity import cosine_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.9, block_col="label").orderBy(
+    # 0.35 sits inside the corpus' cosine range (max within-label cosine is
+    # ~0.5); 0.9 returns zero rows at every SF — a trivially-true oracle
+    return cosine_neardup_pairs(emb, threshold=0.35, block_col="label").orderBy(
         "id_a", "id_b"
     )
 
@@ -400,6 +404,20 @@ def q32_lsh_ann(spark, sf_dir):
     return lsh_bucketed_topk(
         emb, queries_df, dim=64, k=10, bits=8, num_tables=4
     ).orderBy("query_id", "rank")
+
+
+def q46_brat_export(spark, sf_dir):
+    """Sink formatting: exploded annotations → Brat .ann T-lines with
+    per-doc sequential ids (core/brat.annotations_to_brat_df; reference
+    brat/adapter.py:111-263). Char offsets come from the real tokenizer —
+    not SQL-recoverable, so rows-only check; the line grammar is pinned by
+    tests/test_brat.py golden strings."""
+    from iamsystem_python_spark.core.brat import annotations_to_brat_df
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ann = annotate(docs, _doc_matcher(), text_col="text", id_cols=["doc_id"])
+    return annotations_to_brat_df(ann).orderBy("doc_id", "line")
 
 
 def q50_media_features(spark, sf_dir):
@@ -598,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_abbreviation_matches": q43_abbreviation_matches,
         "q44_levenshtein_matches": q44_levenshtein_matches,
         "q45_stem_matches": q45_stem_matches,
+        "q46_brat_export": q46_brat_export,
         "q50_media_features": q50_media_features,
     }
 
@@ -958,12 +977,10 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
         "q20_exact_dedup": """
-SELECT sha, group_size, doc_ids FROM (
-  SELECT sha256(text::VARCHAR) AS sha,
-         count(*) AS group_size,
-         list_sort(list(doc_id)) AS doc_ids
-  FROM documents GROUP BY 1
-) WHERE group_size > 1 ORDER BY sha
+SELECT doc_id,
+       sha256(text::VARCHAR) AS sha,
+       doc_id = min(doc_id) OVER (PARTITION BY sha256(text::VARCHAR)) AS keep
+FROM documents ORDER BY doc_id
 """,
         "q21_fingerprint": """
 SELECT doc_id,
@@ -1062,7 +1079,7 @@ FROM embeddings a JOIN embeddings b ON a.label = b.label
 WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
 ORDER BY id_a, id_b
 """,
         "q40_keyword_matches": _keyword_count_sql(agg_doc=True),

@@ -276,3 +276,16 @@ def simhash_pairs_sql(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def exact_dedup_decision(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sha, keep) — the per-row exact-dedup verdict: keep iff the
+    doc is the min doc_id of its exact-content (sha256) group. Unlike the
+    groups-only view this is non-trivial on corpora with no duplicates, and
+    it is the shape a training-data pipeline actually consumes (filter on
+    keep). One window over the sha partition — a single hash shuffle."""
+    w = Window.partitionBy("sha")
+    return (
+        df.select("doc_id", F.sha2(F.col(text_col).cast("string"), 256).alias("sha"))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+    )
