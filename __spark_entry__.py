@@ -22,6 +22,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across all cores before a CPU-heavy Python kernel —
+    the bench parquet is one small file (= one scan task), which would run
+    the annotation kernel single-threaded. At cluster scale the input is
+    already many splits and this repartition is a no-op choice the caller
+    makes per the 'repartition before CPU-heavy kernels' design rule."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -189,7 +199,7 @@ def q09_topk_parts_per_brand(spark, sf_dir):
 
 def q10_events_hourly(spark, sf_dir):
     """Tumbling-window (hourly) aggregation — the batch mirror of the
-    streaming windowed agg (streaming/windowed.py)."""
+    streaming windowed agg (streaming/stream_ops.windowed_event_counts)."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -415,7 +425,7 @@ def q46_brat_export(spark, sf_dir):
     from iamsystem_python_spark.core.brat import annotations_to_brat_df
     from iamsystem_python_spark.operators.annotate import annotate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     ann = annotate(docs, _doc_matcher(), text_col="text", id_cols=["doc_id"])
     return annotations_to_brat_df(ann).orderBy("doc_id", "line")
 
@@ -467,7 +477,7 @@ def q40_keyword_matches(spark, sf_dir):
     equivalent for w=1 exact matching with non-self-overlapping keywords."""
     from iamsystem_python_spark.operators.annotate import annotate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     ann = annotate(docs, _doc_matcher(), text_col="text", id_cols=["doc_id"])
     return (
         ann.groupBy("doc_id", F.col("norm_label").alias("keyword"))
@@ -480,7 +490,7 @@ def q41_keyword_doc_freq(spark, sf_dir):
     """Document frequency per dictionary keyword (matcher + distinct agg)."""
     from iamsystem_python_spark.operators.annotate import annotate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     ann = annotate(docs, _doc_matcher(), text_col="text", id_cols=["doc_id"])
     return (
         ann.groupBy(F.col("norm_label").alias("keyword"))
@@ -505,7 +515,7 @@ def q42_nested_keywords(spark, sf_dir):
     m = Matcher.build(
         keywords=_NESTED_KEYWORDS, tokenizer=english_tokenizer(), w=1
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     ann = annotate(docs, m, text_col="text", id_cols=["doc_id"])
     return (
         ann.groupBy("doc_id", F.col("norm_label").alias("keyword"))
@@ -518,7 +528,7 @@ def _fuzzy_counts(spark, sf_dir, matcher):
     """Shared shape: annotate → per-(doc, keyword-label) match counts."""
     from iamsystem_python_spark.operators.annotate import annotate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     ann = annotate(docs, matcher, text_col="text", id_cols=["doc_id"])
     return (
         ann.select("doc_id", F.explode("kw_labels").alias("keyword"))

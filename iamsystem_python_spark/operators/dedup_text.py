@@ -27,21 +27,65 @@ def exact_dup_groups_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_doc_hashes(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def shingle_hash_rows(
+    df: DataFrame, text_col: str = "text", k: int = 3, distinct: bool = True
+) -> DataFrame:
     """(doc_id, h60) — one row per distinct k-shingle, 60-bit portable hash.
-    Exploding BEFORE hashing means sha256 is evaluated exactly once per
-    (doc, shingle); keeping it inside an array column instead lets Catalyst's
-    project-collapse inline the hash array into every downstream signature
-    expression (num_perm sha256 evaluations per shingle — measured 20×+
-    slower)."""
-    toks = sqlhash.tokens_col(F.col(text_col))
-    sh = sqlhash.shingles_col(toks, k)
-    return df.select("doc_id", F.explode(sh).alias("s")).select(
-        "doc_id",
+
+    Two deliberate plan choices, both measured on this box:
+    - Exploding BEFORE hashing: sha256 evaluated once per (doc, shingle);
+      keeping the hash inside an array column lets project-collapse inline
+      it into every downstream signature expression (num_perm sha256 evals
+      per shingle — 20×+ slower).
+    - posexplode + window `lead` instead of higher-order functions: lambda
+      expressions (transform/filter/slice) are interpreted, not
+      whole-stage-codegen'd — the HOF formulation of the same shingling was
+      3× slower. Everything here (split, posexplode, lead, concat_ws, sha2)
+      stays inside codegen; the window partitions by doc_id, the natural
+      parallel unit at 10^12 rows.
+    Docs shorter than k tokens contribute their whole token sequence as one
+    shingle (same rule as sqlhash.shingles_col and the DuckDB oracle).
+    distinct=False skips the dedup shuffle — correct for consumers whose
+    aggregates are dedup-insensitive (collect_set, min); SimHash's per-bit
+    popcounts need distinct=True."""
+    tok = (
+        df.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+        ).where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    full = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+            F.lead("tok", k - 1).over(w).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .drop("_full")
+    )
+    toks_arr = sqlhash.tokens_col(F.col(text_col))
+    whole = (
+        df.select(
+            "doc_id",
+            F.array_join(toks_arr, " ").alias("s"),
+            F.size(toks_arr).alias("_n"),
+        )
+        .where((F.col("_n") < k) & (F.col("_n") >= 0))
+        .drop("_n")
+    )
+    h60 = (
         F.conv(F.substring(F.sha2(F.col("s"), 256), 1, 15), 16, 10)
         .cast("long")
-        .alias("h60"),
+        .alias("h60")
     )
+    out = full.union(whole).select("doc_id", h60)
+    return out.distinct() if distinct else out
+
+
+# backwards-compatible name used by earlier call sites
+minhash_doc_hashes = shingle_hash_rows
 
 
 def minhash_signatures_sql(
@@ -58,7 +102,7 @@ def minhash_signatures_sql(
     hashes) rides along for exact-Jaccard verification downstream —
     collision probability at 60 bits is ~1e-12 per pair, and the DuckDB
     oracle performs the identical hash-set computation."""
-    hashed = minhash_doc_hashes(df, text_col, k)
+    hashed = shingle_hash_rows(df, text_col, k, distinct=False)
     hp = F.col("h60") % F.lit(sqlhash.P)
     aggs = [F.collect_set("h60").alias("hset")] + [
         F.min((F.lit(a) * hp + F.lit(b)) % F.lit(sqlhash.P)).alias(f"sig_{i}")
@@ -133,10 +177,42 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs within blocks (blocked all-pairs:
     the quadratic join is bounded per block — the classic blocking-key
-    pattern when LSH is overkill for small within-group comparisons)."""
-    toks = sqlhash.tokens_col(F.col(text_col))
-    sh = sqlhash.shingles_col(toks, n)
-    base = df.select(F.col(block_col).alias("blk"), "doc_id", sh.alias("sh"))
+    pattern when LSH is overkill for small within-group comparisons).
+    Shingle strings are built with the codegen-friendly posexplode+lead
+    path (see shingle_hash_rows) and regrouped per doc with collect_set —
+    the HOF array formulation is interpreted and measurably slower."""
+    tok = (
+        df.select(
+            "doc_id",
+            F.col(block_col).alias("blk"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+        ).where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    full = (
+        tok.select(
+            "doc_id",
+            "blk",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+            F.lead("tok", n - 1).over(w).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .drop("_full")
+    )
+    toks_arr = sqlhash.tokens_col(F.col(text_col))
+    whole = df.select(
+        "doc_id",
+        F.col(block_col).alias("blk"),
+        F.array_join(toks_arr, " ").alias("s"),
+        F.size(toks_arr).alias("_n"),
+    ).where((F.col("_n") < n) & (F.col("_n") >= 0)).drop("_n")
+    base = (
+        full.union(whole)
+        .groupBy("doc_id", "blk")
+        .agg(F.collect_set("s").alias("sh"))
+        .select("blk", "doc_id", "sh")
+    )
     a = base.select("blk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select("blk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -208,16 +284,13 @@ def simhash_sql(
     the shingles have bit j set (majority vote, ties → 1 — the canonical
     sum(±1) >= 0 rule). The per-bit popcounts are one codegen'd groupBy with
     `bits` sum aggregates over the exploded hash column — partial aggregation
-    (map-side combine) keeps the shuffle at one row per doc."""
-    toks = sqlhash.tokens_col(F.col(text_col))
-    sh = sqlhash.shingles_col(toks, k)
-    hashes = F.transform(
-        sh,
-        lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10)
-        .cast("long")
-        .bitwiseAND(F.lit(_MASK32)),
+    (map-side combine) keeps the shuffle at one row per doc. Shingle hashes
+    come from the shared codegen-friendly builder, deduped at the 60-bit
+    level (the oracle dedups the shingle strings — identical modulo ~1e-12
+    60-bit collisions)."""
+    ex = shingle_hash_rows(df, text_col, k, distinct=True).select(
+        "doc_id", F.col("h60").bitwiseAND(F.lit(_MASK32)).alias("hv")
     )
-    ex = df.select("doc_id", F.explode(hashes).alias("hv"))
     aggs = [F.count("*").alias("n_sh")] + [
         F.sum(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
         for j in range(bits)
@@ -250,17 +323,23 @@ def simhash_pairs_sql(
     assert n_blocks > max_hamming, "pigeonhole needs n_blocks > max_hamming"
     block_w = bits // n_blocks
     sim = simhash_sql(df, text_col, k, bits)
-    blocks = None
-    for b in range(n_blocks):
-        part = sim.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("block_id"),
-            F.shiftright(F.col("simhash"), b * block_w)
-            .bitwiseAND(F.lit((1 << block_w) - 1))
-            .alias("block_val"),
-        )
-        blocks = part if blocks is None else blocks.union(part)
+    # one pass over sim (explode of the block array) — a union of N
+    # projections would re-execute the simhash aggregate subplan per block
+    # (same trap as the MinHash bands; see minhash_lsh_pairs_sql)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright(F.col("simhash"), b * block_w)
+                .bitwiseAND(F.lit((1 << block_w) - 1))
+                .alias("block_val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    blocks = sim.select(
+        "doc_id", "simhash", F.explode(block_structs).alias("blk")
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
     a = blocks.alias("a")
     b_ = blocks.alias("b")
     return (
