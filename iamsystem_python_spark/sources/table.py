@@ -1,0 +1,71 @@
+"""Source-table abstraction for the code corpus (north-rule input: an
+Iceberg table `(repo, path, commit, lang, content)`).
+
+Everything downstream is format-agnostic DataFrame code; this module is the
+single seam where the storage format is chosen. On a real cluster with the
+Iceberg runtime on the classpath, `read_code_table` loads the Iceberg table
+(getting hidden-partition pruning, snapshot isolation, and metadata-based
+split planning for free); in this sandbox (no Iceberg jars) it falls back
+to parquet transparently — same columns, same downstream plan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+CODE_TABLE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_code_table(
+    spark: SparkSession, path: str, fmt: Optional[str] = None
+) -> DataFrame:
+    """Load the source-code table. fmt: 'iceberg' | 'parquet' | None
+    (auto: iceberg when its runtime is present and the path is not a plain
+    parquet directory, else parquet). Validates the expected columns so a
+    wrong table fails loudly at plan time, not deep in the pipeline."""
+    if fmt is None:
+        fmt = "iceberg" if iceberg_available(spark) and "/" not in path else "parquet"
+    if fmt == "iceberg":
+        df = spark.read.format("iceberg").load(path)
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        raise ValueError(f"unsupported code-table format: {fmt!r}")
+    missing = [c for c in CODE_TABLE_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"code table at {path!r} is missing columns {missing}; "
+            f"expected {CODE_TABLE_COLUMNS}"
+        )
+    return df.select(*CODE_TABLE_COLUMNS)
+
+
+def write_code_table(
+    df: DataFrame, path: str, fmt: Optional[str] = None, mode: str = "overwrite"
+) -> None:
+    """Write a code table; Iceberg `writeTo` when available (append/replace
+    semantics with snapshot isolation), parquet otherwise."""
+    if fmt is None:
+        fmt = "iceberg" if iceberg_available(df.sparkSession) and "/" not in path else "parquet"
+    if fmt == "iceberg":
+        if mode == "overwrite":
+            df.writeTo(path).createOrReplace()
+        else:
+            df.writeTo(path).append()
+    elif fmt == "parquet":
+        df.write.mode(mode).parquet(path)
+    else:
+        raise ValueError(f"unsupported code-table format: {fmt!r}")

@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--format", default=None, choices=["iceberg", "parquet"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,7 +52,11 @@ def main() -> None:
     else:
         if not args.input:
             raise SystemExit("--input required unless --generate")
-        df = spark.read.parquet(args.input)
+        from iamsystem_python_spark.sources.table import read_code_table
+
+        # Iceberg when the runtime is on the classpath, parquet fallback —
+        # sources/table.py is the single format seam
+        df = read_code_table(spark, args.input, fmt=args.format)
 
     clusters = NearDupPipeline(cfg).run(spark, df, args.output, resume=args.resume)
     print(f"clusters rows: {clusters.count()}")

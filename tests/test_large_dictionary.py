@@ -1,0 +1,111 @@
+"""The reference's design target: "quickly annotate documents using a large
+dictionary (>300K keywords)" with O(n·log m) lookups
+(/root/reference/README.md:46-50). This pins that capability for the Spark
+engine: driver-side trie compilation at 300K keywords stays in seconds, the
+broadcast-closure matcher finds planted entities through the kernel, and
+lookup cost is flat in dictionary size (trie depth, not dictionary scan).
+
+Also covers the source-table seam (sources/table.py): parquet fallback path
+of the Iceberg reader, including the loud column-validation failure.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from iamsystem_python_spark.core.matcher import Matcher
+from iamsystem_python_spark.core.tokenize import english_tokenizer
+
+
+def _dictionary(n: int, seed: int = 42):
+    """n synthetic multi-token keywords over a closed vocabulary — shared
+    prefixes on purpose (trie compression is the point)."""
+    rng = random.Random(seed)
+    adj = ["fast", "slow", "big", "small", "acute", "chronic", "left", "right",
+           "upper", "lower", "partial", "total", "primary", "secondary"]
+    noun = ["valve", "artery", "joint", "node", "index", "scan", "buffer",
+            "stream", "filter", "cursor", "shard", "segment", "vector", "tree"]
+    tail = [f"t{i}" for i in range(2000)]
+    kws = set()
+    while len(kws) < n:
+        kws.add(f"{rng.choice(adj)} {rng.choice(noun)} {rng.choice(tail)}")
+    return sorted(kws)
+
+
+@pytest.fixture(scope="module")
+def big_matcher():
+    kws = _dictionary(300_000)
+    t0 = time.time()
+    m = Matcher.build(keywords=kws, tokenizer=english_tokenizer(), w=1)
+    build_s = time.time() - t0
+    # driver-side compile must stay practical (reference compiles the same
+    # way; this is minutes of slack vs the observed ~10s)
+    assert build_s < 120, f"trie build took {build_s:.1f}s for 300K keywords"
+    return m, kws
+
+
+def test_large_dictionary_annotates(spark, big_matcher):
+    m, kws = big_matcher
+    planted = [kws[0], kws[150_000], kws[-1]]
+    rows = [
+        (i, f"prefix words then {kw} and a suffix") for i, kw in enumerate(planted)
+    ] + [(99, "no dictionary entries here at all")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    ann = annotate(docs, m, text_col="text", id_cols=["doc_id"]).collect()
+    found = {(r.doc_id, r.norm_label) for r in ann}
+    assert found == {(i, kw) for i, kw in enumerate(planted)}
+
+
+def test_lookup_flat_in_dictionary_size(big_matcher):
+    """Per-token work is trie-depth-bounded: annotating the same text with a
+    300K-keyword dictionary is not ~1000× a 300-keyword one (generous 50×
+    bound absorbs host noise — a dictionary SCAN would be ~1000×)."""
+    big, kws = big_matcher
+    small = Matcher.build(
+        keywords=kws[:300], tokenizer=english_tokenizer(), w=1
+    )
+    text = " ".join(kws[i] for i in range(0, 3000, 100))  # 30 hits, 90 tokens
+
+    def rate(m):
+        t0 = time.time()
+        for _ in range(20):
+            anns = m.annot_text(text)
+        assert len(anns) >= 1
+        return time.time() - t0
+
+    r_small, r_big = rate(small), rate(big)
+    assert r_big < 50 * max(r_small, 1e-4), (r_small, r_big)
+
+
+def test_code_table_parquet_roundtrip(spark, tmp_path):
+    from iamsystem_python_spark.sources.table import (
+        iceberg_available, read_code_table, write_code_table,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c1", "python", "def f(): pass")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    p = str(tmp_path / "tbl")
+    write_code_table(df, p)  # sandbox: parquet fallback (no Iceberg jars)
+    assert not iceberg_available(spark)
+    out = read_code_table(spark, p)
+    assert out.columns == ["repo", "path", "commit", "lang", "content"]
+    assert out.count() == 1
+
+
+def test_code_table_wrong_columns_fails_loudly(spark, tmp_path):
+    from iamsystem_python_spark.sources.table import read_code_table
+
+    bad = spark.createDataFrame([(1, "x")], ["id", "text"])
+    p = str(tmp_path / "bad")
+    bad.write.parquet(p)
+    with pytest.raises(ValueError, match="missing columns"):
+        read_code_table(spark, p)
