@@ -471,6 +471,21 @@ def _doc_matcher():
     return Matcher.build(keywords=_KEYWORDS, tokenizer=english_tokenizer(), w=1)
 
 
+def q33_ivf_ann(spark, sf_dir):
+    """IVF approximate top-k: k-means coarse quantizer (driver-side numpy on
+    a sample, broadcast as literals — the small side), inverted lists as an
+    equi-join key, nprobe-list probing, exact cosine rerank
+    (operators/similarity.ivf_topk). Approximate by design — rows-only;
+    recall vs brute force pinned in tests."""
+    from iamsystem_python_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=10, n_centroids=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q40_keyword_matches(spark, sf_dir):
     """Real annotation kernel (mapInPandas) → per-doc keyword match counts.
     Oracle: regex occurrence counting over the normalized token stream —
@@ -620,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_ann_topk": q30_ann_topk,
         "q31_embedding_neardup": q31_embedding_neardup,
         "q32_lsh_ann": q32_lsh_ann,
+        "q33_ivf_ann": q33_ivf_ann,
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
         "q42_nested_keywords": q42_nested_keywords,

@@ -281,8 +281,25 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         scaling = scaling_run(work)  # noqa: shared-corpus scaling proxy
         out["scaling"] = scaling
-        with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
-            json.dump(scaling, f, indent=2)
+        # a scaling comparison is only meaningful if both pinned runs saw a
+        # comparable host window (see host_fresh_page_mb_s); refuse to
+        # overwrite the recorded evidence with a host-dominated measurement
+        probes = [
+            r["host_probe_mb_s"]
+            for key in (f"local[{scaling['n']}]", f"local[{scaling['4n']}]")
+            for r in scaling[key]["runs"]
+        ]
+        stable = min(probes) > 50 and max(probes) / max(min(probes), 1e-9) < 10
+        scaling["host_window_stable"] = stable
+        if stable:
+            with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
+                json.dump(scaling, f, indent=2)
+        else:
+            print(
+                "scaling run spanned unstable host windows "
+                f"(probes {probes}); BENCH/scaling.json left untouched",
+                file=sys.stderr,
+            )
 
     print(json.dumps(out))
 

@@ -162,3 +162,106 @@ def cosine_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse quantizer for IVF: numpy Lloyd iterations on a
+    driver-side sample (the quantizer is the SMALL side — k·dim floats —
+    exactly like the broadcast dictionary trie; the 10^12-row side never
+    collects). Returns List[List[float]] (k × dim)."""
+    import numpy as np
+
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(vec_col))  # deterministic pseudo-random sample
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(0)
+    return cent.tolist()
+
+
+def _nearest_centroids_expr(vec, centroids, nprobe: int):
+    """Array of the `nprobe` nearest centroid ids — pure SQL expressions
+    (k dot products per row, JVM-side), no UDF."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(dists), lambda s: s.cid), 1, nprobe)
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize items to their nearest
+    centroid (inverted lists = a partitioned table), probe each query's
+    `nprobe` nearest lists, exact cosine rerank inside the probed lists.
+    The list assignment is a plain equi-join key, so at cluster scale the
+    inverted index is just a table partitioned/bucketed by cell id — scan
+    pruning does the work LSH does with band buckets, with better recall
+    control (nprobe) on clustered data."""
+    centroids = kmeans_centroids(items, n_centroids, seed=seed, vec_col=vec_col)
+    it = items.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("i_vec"),
+        F.element_at(_nearest_centroids_expr(F.col(vec_col), centroids, 1), 1).alias(
+            "cell"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_nearest_centroids_expr(F.col(vec_col), centroids, nprobe)).alias(
+            "cell"
+        ),
+    )
+    scored = (
+        q.join(it, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("i_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

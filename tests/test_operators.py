@@ -271,3 +271,28 @@ def test_streaming_annotate(spark, tmp_path):
             assert (r.start, r.end) == (6, 15)
     finally:
         q.stop()
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (16 cells, nprobe=4) recall@10 vs brute force on the test
+    embeddings — the quantizer must recover most true neighbors."""
+    from iamsystem_python_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVF recall@10 {recall:.2f}"
+    # determinism: same seed, same result
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).collect()
+    }
+    assert approx == approx2
