@@ -93,3 +93,159 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def streaming_neardup_stateful(
+    stream_df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    state_timeout_ms: "int | None" = 600_000,
+    max_state_rows: int = 4096,
+) -> DataFrame:
+    """Cross-micro-batch near-duplicate detection — the streaming twin of
+    the batch SimHash Hamming-join (operators/dedup_text.simhash_pairs_sql),
+    built on ``applyInPandasWithState``:
+
+    1. stateless map: SimHash per row (numpy batch kernel — same signature
+       config as the batch pipeline);
+    2. explode the pigeonhole bit blocks (any pair within ``max_hamming``
+       shares ≥1 of ``n_blocks`` equal blocks, so per-block grouping is a
+       complete candidate generator);
+    3. per (block_id, block_val) group: keep REPRESENTATIVE (doc_id,
+       simhash) pairs in state; an arriving doc within ``max_hamming`` of a
+       representative emits one (doc_id, dup_of, hamming) verdict (nearest
+       representative) and is NOT added to state — so state size is bounded
+       by distinct content clusters, not stream length, and emission is
+       linear in the input (an all-pairs variant would grow quadratically
+       on duplicate-heavy streams).
+
+    State is the streaming analogue of the matcher's w-window eviction
+    (reference matcher/util.py:47-54): bounded per group (``max_state_rows``
+    ring) and expired wholesale by processing-time timeout
+    (``state_timeout_ms=None`` disables expiry — required for bounded
+    ``availableNow`` runs, where a pending timeout makes Spark schedule
+    state-cleanup batches until the timeout fires). A doc sharing
+    several equal blocks with its representative is emitted once per
+    sharing group — dedup downstream with
+    ``dropDuplicates([doc_id, dup_of])`` if exactly-once verdicts matter."""
+    import pandas as pd
+    from typing import Iterator, Tuple
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+    from iamsystem_python_spark.functions.hashing import (
+        TokenIdMap,
+        shingle_hashes,
+        simhash64,
+    )
+
+    block_w = bits // n_blocks
+    mask32 = (1 << bits) - 1
+    block_mask = (1 << block_w) - 1
+
+    def sim_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = english_tokenizer()
+        idmap = TokenIdMap()
+        import numpy as np
+
+        for pdf in batches:
+            sims = []
+            for text in pdf[text_col].tolist():
+                sh = np.unique(shingle_hashes(idmap.ids(tok.norm_tokens_fast(text or "")), k))
+                sims.append(simhash64(sh) & mask32)
+            out = pd.DataFrame({"doc_id": pdf[id_col].astype(str), "simhash": sims})
+            yield out
+
+    simmed = stream_df.mapInPandas(
+        sim_kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("simhash", T.LongType()),
+            ]
+        ),
+    )
+    from pyspark.sql import functions as F  # noqa: shadows module import for clarity
+
+    blocks = simmed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftright(F.col("simhash"), b * block_w)
+                        .bitwiseAND(F.lit(block_mask))
+                        .alias("block_val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("dup_of", T.StringType()),
+            T.StructField("hamming", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.StringType())),
+            T.StructField("sims", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def dedup_fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["doc_id", "dup_of", "hamming"])
+            return
+        ids, sims = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1])
+        )
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                h = int(r.simhash)
+                best = None
+                for sid, ssim in zip(ids, sims):
+                    d = bin(h ^ ssim).count("1")
+                    if d <= max_hamming and sid != r.doc_id and (
+                        best is None or d < best[1]
+                    ):
+                        best = (sid, d)
+                if best is not None:
+                    rows.append((r.doc_id, best[0], best[1]))
+                else:  # new representative
+                    ids.append(r.doc_id)
+                    sims.append(h)
+        if len(ids) > max_state_rows:  # bounded state: keep the newest
+            ids, sims = ids[-max_state_rows:], sims[-max_state_rows:]
+        state.update((ids, sims))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(rows, columns=["doc_id", "dup_of", "hamming"])
+
+    return blocks.groupBy("block_id", "block_val").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -296,3 +296,73 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).collect()
     }
     assert approx == approx2
+
+
+def test_streaming_neardup_stateful(spark, tmp_path):
+    """Cross-batch stateful near-dup (applyInPandasWithState): bounded file
+    source, availableNow trigger. Run 1 elects representatives; run 2
+    restarts from the checkpoint and detects duplicates of run-1 docs from
+    RESTORED state — the resumability the north rule asks for, at the
+    operator level."""
+    from iamsystem_python_spark.streaming.stream_ops import streaming_neardup_stateful
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    schema = "doc_id string, content string"
+
+    def write_batch(name, ids):
+        rows = [
+            (str(i), f"the quick brown fox jumps over template {i % 3} end")
+            for i in ids
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+
+    def run_once():
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        dups = streaming_neardup_stateful(
+            stream, text_col="content", id_col="doc_id", max_hamming=3,
+            state_timeout_ms=None,
+        )
+        q = (
+            dups.writeStream.format("parquet")
+            .option("path", str(tmp_path / "dups_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt5"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300), "availableNow run did not finish"
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    write_batch("a", range(6))  # two docs per template
+    run_once()
+    rows1 = (
+        spark.read.parquet(str(tmp_path / "dups_out"))
+        .select("doc_id", "dup_of", "hamming").distinct().collect()
+    )
+    # 3 representatives, 3 duplicate verdicts
+    assert {r.doc_id for r in rows1} | {r.dup_of for r in rows1} <= {str(i) for i in range(6)}
+    assert len({r.doc_id for r in rows1}) == 3
+    for r in rows1:
+        assert r.hamming == 0
+        assert int(r.dup_of) % 3 == int(r.doc_id) % 3
+
+    # run 2: new docs, same checkpoint -> verdicts against RESTORED state
+    write_batch("b", range(100, 103))
+    run_once()
+    rows2 = (
+        spark.read.parquet(str(tmp_path / "dups_out"))
+        .where("CAST(doc_id AS INT) >= 100")
+        .select("doc_id", "dup_of", "hamming").distinct().collect()
+    )
+    assert len({r.doc_id for r in rows2}) == 3
+    for r in rows2:
+        assert r.hamming == 0
+        assert int(r.dup_of) < 6  # matched a run-1 representative
+        assert int(r.dup_of) % 3 == int(r.doc_id) % 3
