@@ -245,7 +245,13 @@ def near_dup_clusters_sql(
     verification, so two hops reach the minimum). For arbitrary graphs use
     operators.cc.connected_components; this variant exists because the
     driver oracle must be runnable as one DuckDB SQL statement."""
-    pairs = minhash_lsh_pairs_sql(df, text_col, k, num_perm, num_bands, threshold)
+    # pairs is referenced by both hops AND the final join — persist it so
+    # the whole signature+join subtree runs once. Unlike the array-column
+    # signature stage (see minhash_lsh_pairs_sql), pairs is a tiny
+    # 3-scalar-column result, so caching is cheap and correct here.
+    pairs = minhash_lsh_pairs_sql(
+        df, text_col, k, num_perm, num_bands, threshold
+    ).persist()
     sym = pairs.select("doc_a", "doc_b").union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
