@@ -134,3 +134,76 @@ def test_differential_to_string_exact(reference):
         assert [str(a) for a in ref.annot_text(text)] == [
             str(a) for a in ours.annot_text(text)
         ], text
+
+
+# --- property-based differential: arbitrary vocab/dictionaries/configs ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abcdefgxyzéèàùçîïμ", min_size=1, max_size=8)
+
+
+@st.composite
+def _case(draw):
+    vocab = draw(st.lists(_WORD, min_size=4, max_size=10, unique=True))
+    n_kw = draw(st.integers(1, 5))
+    kws = set()
+    for _ in range(n_kw):
+        length = draw(st.integers(1, 3))
+        kws.add(" ".join(draw(st.sampled_from(vocab)) for _ in range(length)))
+    tokens = draw(
+        st.lists(st.sampled_from(vocab + [",", ".", "42", "-"]), min_size=0, max_size=40)
+    )
+    w = draw(st.sampled_from([1, 2, 10]))
+    strategy = draw(st.sampled_from(["window", "large_window"]))
+    return sorted(kws), " ".join(tokens), w, strategy
+
+
+@settings(max_examples=80, deadline=None)
+@given(_case())
+def test_differential_hypothesis(reference, case):
+    """Arbitrary unicode vocab (accents incl. μ), random small dictionaries,
+    punctuation/digit noise, random (w, strategy) — reference and kernel
+    must agree exactly on every generated example."""
+    kws, text, w, strategy = case
+    ref_strategy = {"window": "WINDOW", "large_window": "LARGE_WINDOW"}[strategy]
+    # Work around a REFERENCE bug this harness discovered (see
+    # test_reference_large_window_singleton_bug): EMatchingStrategy.
+    # LARGE_WINDOW is a module-level singleton (strategy.py:338-346) whose
+    # lazily-built transition index is keyed on the trie ROOT via Node.__eq__
+    # == node_num comparison (nodes.py:230) — every trie's root is node 0,
+    # so a second matcher in the same process silently reuses the first
+    # matcher's index and misses annotations. Reset it so each example
+    # tests the reference's INTENDED (documented same-as-Window) semantics.
+    from iamsystem.matcher.strategy import EMatchingStrategy
+
+    EMatchingStrategy.LARGE_WINDOW.value.initial_state = None
+    ref = reference.Matcher.build(keywords=kws, strategy=ref_strategy, w=w)
+    ours = Matcher.build(keywords=kws, strategy=strategy, w=w)
+    assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), (
+        kws, text, w, strategy,
+    )
+
+
+def test_reference_large_window_singleton_bug(reference):
+    """Documents a reference defect found by the differential harness (and
+    pins that OUR engine does not share it): reference LargeWindowMatching
+    is a process-wide singleton (strategy.py:338-346) whose per-trie index
+    re-init guard compares trie roots with Node.__eq__ = node_num equality
+    (nodes.py:230); every root is node 0, so the SECOND matcher built with
+    LARGE_WINDOW in a process reuses the first's index and loses matches."""
+    from iamsystem.matcher.strategy import EMatchingStrategy
+
+    EMatchingStrategy.LARGE_WINDOW.value.initial_state = None
+    m1 = reference.Matcher.build(keywords=["c"], strategy="LARGE_WINDOW", w=1)
+    assert len(m1.annot_text("c")) == 1
+    m2 = reference.Matcher.build(keywords=["cc"], strategy="LARGE_WINDOW", w=1)
+    assert len(m2.annot_text("cc")) == 0  # the reference bug
+    EMatchingStrategy.LARGE_WINDOW.value.initial_state = None
+    assert len(m2.annot_text("cc")) == 1  # intended semantics after reset
+
+    # our engine: fresh strategy state per matcher — immune by construction
+    o1 = Matcher.build(keywords=["c"], strategy="large_window", w=1)
+    o2 = Matcher.build(keywords=["cc"], strategy="large_window", w=1)
+    assert len(o1.annot_text("c")) == 1 and len(o2.annot_text("cc")) == 1
