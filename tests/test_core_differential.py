@@ -207,3 +207,40 @@ def test_reference_large_window_singleton_bug(reference):
     o1 = Matcher.build(keywords=["c"], strategy="large_window", w=1)
     o2 = Matcher.build(keywords=["cc"], strategy="large_window", w=1)
     assert len(o1.annot_text("c")) == 1 and len(o2.annot_text("cc")) == 1
+
+
+@st.composite
+def _fuzzy_case(draw):
+    vocab = draw(st.lists(st.text(alphabet="abcdefgmnoprst", min_size=3, max_size=9),
+                          min_size=4, max_size=8, unique=True))
+    kws = set()
+    for _ in range(draw(st.integers(1, 4))):
+        length = draw(st.integers(1, 2))
+        kws.add(" ".join(draw(st.sampled_from(vocab)) for _ in range(length)))
+    # short form maps to one of the keywords' long forms
+    short = draw(st.text(alphabet="xyz", min_size=1, max_size=3))
+    long_form = draw(st.sampled_from(sorted(kws)))
+    tokens = draw(st.lists(st.sampled_from(vocab + [short]), min_size=0, max_size=25))
+    w = draw(st.sampled_from([1, 3]))
+    return sorted(kws), (short, long_form), " ".join(tokens), w
+
+
+@settings(max_examples=60, deadline=None)
+@given(_fuzzy_case())
+def test_differential_hypothesis_fuzzy(reference, case):
+    """Random dictionaries + abbreviation + Levenshtein(max_distance=1)
+    under random texts — exact agreement required."""
+    from iamsystem.fuzzy.spellwise import ESpellWiseAlgo
+
+    kws, (short, long_form), text, w = case
+    ref = reference.Matcher.build(
+        keywords=kws, w=w, abbreviations=[(short, long_form)],
+        spellwise=[dict(measure=ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)],
+    )
+    ours = Matcher.build(
+        keywords=kws, w=w, abbreviations=[(short, long_form)],
+        spellwise=[dict(max_distance=1)],
+    )
+    assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), (
+        kws, short, long_form, text, w,
+    )
