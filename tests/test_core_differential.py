@@ -244,3 +244,37 @@ def test_differential_hypothesis_fuzzy(reference, case):
     assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), (
         kws, short, long_form, text, w,
     )
+
+
+@st.composite
+def _config_case(draw):
+    vocab = draw(st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6),
+                          min_size=4, max_size=9, unique=True))
+    kws = set()
+    for _ in range(draw(st.integers(1, 4))):
+        length = draw(st.integers(1, 3))
+        kws.add(" ".join(draw(st.sampled_from(vocab)) for _ in range(length)))
+    stop = draw(st.lists(st.sampled_from(vocab), max_size=2, unique=True))
+    tokens = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=30))
+    mode = draw(st.sampled_from(["no_overlap", "negative", "order_tokens"]))
+    return sorted(kws), stop, " ".join(tokens), mode
+
+
+@settings(max_examples=80, deadline=None)
+@given(_config_case())
+def test_differential_hypothesis_configs(reference, case):
+    """Remaining config axes under random dictionaries/texts: NoOverlap
+    strategy, NegativeStopwords, order_tokens — exact agreement."""
+    kws, stop, text, mode = case
+    if mode == "no_overlap":
+        ref = reference.Matcher.build(keywords=kws, strategy="NO_OVERLAP", stopwords=stop)
+        ours = Matcher.build(keywords=kws, strategy="no_overlap", stopwords=stop)
+    elif mode == "negative":
+        ref = reference.Matcher.build(keywords=kws, negative=True, w=2)
+        ours = Matcher.build(keywords=kws, negative=True, w=2)
+    else:
+        ref = reference.Matcher.build(keywords=kws, order_tokens=True, w=3, stopwords=stop)
+        ours = Matcher.build(keywords=kws, order_tokens=True, w=3, stopwords=stop)
+    assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), (
+        kws, stop, text, mode,
+    )
