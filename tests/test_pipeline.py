@@ -155,3 +155,41 @@ def test_connected_components_chain(spark):
     cl = connected_components(edges)
     assert cl.select("cluster_id").distinct().count() == 1
     assert cl.count() == n + 1
+
+
+def test_band_bucket_cap_bounds_degenerate_skew(spark):
+    """A degenerate LSH bucket (here: many near-identical docs sharing
+    bands — the 'license header' pathology) must not explode into O(B²)
+    pairs: with band_bucket_cap set below the clique size, the over-cap
+    buckets are excluded from pair generation and surfaced in the metrics
+    (n_capped_buckets > 0) instead of absorbing a shuffle partition."""
+    from iamsystem_python_spark.operators.dedup import (
+        lsh_bucket_stats,
+        lsh_candidate_pairs,
+    )
+    from iamsystem_python_spark.operators.signatures import add_signatures
+    from iamsystem_python_spark.plans.config import PipelineConfig
+
+    # 60 docs with identical content (same bands, distinct doc_ids because
+    # doc_id hashes repo/path) + a couple of genuinely distinct docs
+    rows = [
+        (f"repo_{i%3}", f"f{i}.py", "c1", "python", "def license_header(): return 42")
+        for i in range(60)
+    ] + [
+        ("repo_x", "a.py", "c1", "python", "totally unrelated content one"),
+        ("repo_x", "b.py", "c1", "python", "other unrelated content two"),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "commit", "lang", "content"])
+
+    capped_cfg = PipelineConfig(shuffle_partitions=4, band_bucket_cap=10)
+    sig = add_signatures(df, capped_cfg)
+    stats = lsh_bucket_stats(sig, capped_cfg).collect()[0]
+    assert stats.n_capped_buckets > 0
+    assert stats.max_bucket >= 60
+    n_capped_pairs = lsh_candidate_pairs(sig, capped_cfg).count()
+
+    open_cfg = PipelineConfig(shuffle_partitions=4, band_bucket_cap=10_000)
+    n_open_pairs = lsh_candidate_pairs(add_signatures(df, open_cfg), open_cfg).count()
+    # uncapped: the 60-clique contributes C(60,2)=1770 pairs; capped: none
+    assert n_open_pairs >= 1770
+    assert n_capped_pairs < 100
