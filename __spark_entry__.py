@@ -341,7 +341,9 @@ def q26_ngram_jaccard(spark, sf_dir):
     from iamsystem_python_spark.operators.dedup_text import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.3, block_col="source").orderBy(
+    # block by lang, not source — planted near-dups cross sources, and
+    # source-blocking left a single surviving pair (near-vacuous oracle)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3, block_col="lang").orderBy(
         "doc_a", "doc_b"
     )
 
@@ -1066,7 +1068,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         "q25_minhash_pairs": _minhash_oracle_sql(3, 16, 8, 0.5),
         "q26_ngram_jaccard": f"""
 WITH base AS (
-  SELECT source AS blk, doc_id, {_shingle_sql(3)} AS sh FROM documents
+  SELECT lang AS blk, doc_id, {_shingle_sql(3)} AS sh FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.sh, b.sh))::DOUBLE
