@@ -275,6 +275,46 @@ def test_differential_hypothesis_configs(reference, case):
     else:
         ref = reference.Matcher.build(keywords=kws, order_tokens=True, w=3, stopwords=stop)
         ours = Matcher.build(keywords=kws, order_tokens=True, w=3, stopwords=stop)
-    assert _annot_sig(ref.annot_text(text)) == _annot_sig(ours.annot_text(text)), (
+    try:
+        ref_sig = _annot_sig(ref.annot_text(text))
+    except AttributeError:
+        # Known reference defect (pinned in
+        # test_reference_no_overlap_stopword_keyword_crash): NoOverlap
+        # backtracking crashes at matcher/util.py:68 when the dictionary
+        # contains a keyword that tokenizes empty under the stopwords.
+        # Our engine must still return a sane result for the same input.
+        ours_annots = ours.annot_text(text)
+        assert isinstance(_annot_sig(ours_annots), list)
+        return
+    assert ref_sig == _annot_sig(ours.annot_text(text)), (
         kws, stop, text, mode,
     )
+
+
+def test_reference_no_overlap_stopword_keyword_crash(reference):
+    """Documents the second reference defect found by the differential
+    harness (hypothesis falsifying example: keywords=['a','b b'],
+    stopwords=['a'], text='b', strategy=NO_OVERLAP). The keyword 'a'
+    tokenizes to an empty sequence once stopwords are applied (reference
+    trie.py:47 warns and drops it), but NoOverlap backtracking then builds
+    an annotation whose transition chain starts at None and crashes:
+    AttributeError 'NoneType' object has no attribute 'previous_trans' at
+    reference matcher/util.py:68 (via annotation.py:286 _linkedlist_to_list).
+    Our engine (core/matcher.py no_overlap path) drops the empty keyword at
+    build time and cleanly returns no annotations."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # empty-keyword drop warning
+        ref = reference.Matcher.build(
+            keywords=["a", "b b"], strategy="NO_OVERLAP", stopwords=["a"]
+        )
+        with pytest.raises(AttributeError, match="previous_trans"):
+            ref.annot_text("b")  # the reference bug
+
+        ours = Matcher.build(
+            keywords=["a", "b b"], strategy="no_overlap", stopwords=["a"]
+        )
+        assert ours.annot_text("b") == []  # sane: 'b' alone is not 'b b'
+        # and the non-degenerate keyword still matches normally
+        assert len(ours.annot_text("b b")) == 1
