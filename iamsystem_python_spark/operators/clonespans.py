@@ -80,38 +80,63 @@ def clone_spans(
     tokenizer_name: str = "code",
 ) -> DataFrame:
     """Attach the longest common token run to each verified pair; keep runs
-    ≥ min_len. Joins content for both endpoints then runs the kernel per
-    pair-partition (grouped by doc_a so one doc's tokens are reused across
-    its pairs within a group)."""
+    ≥ min_len.
+
+    Two-pass shape, same as ``verify_pairs_recompute`` (dedup.py): document
+    text never moves through the pair join. Pass 1 tokenizes each DISTINCT
+    candidate doc exactly once (restricted first by a broadcast semi-join on
+    the candidate id set) and emits its token-id sequence as a compact
+    int64-LE binary blob — deterministic across executors because TokenIdMap
+    is crc32-based. Pass 2 joins the blobs (not text) onto pairs and runs
+    the rolling-hash LCR kernel per Arrow batch. A doc appearing in P pairs
+    is tokenized once, not P times, and the per-pair shuffle payload is a
+    fixed-width hash sequence rather than raw content; no repartition on
+    doc_a, so a hub document can't create a hot shuffle key."""
+    from pyspark.sql import types as T
+
     from iamsystem_python_spark.operators.signatures import _get_tokenizer
 
-    docs = sig_or_docs.select(
-        "doc_id", F.col(token_col).alias("_text")
+    pairs = verified_pairs.select("doc_a", "doc_b")
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    paired = (
-        verified_pairs.select("doc_a", "doc_b")
-        .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_text", "text_a"), "doc_a")
-        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_text", "text_b"), "doc_b")
+    docs = sig_or_docs.select("doc_id", F.col(token_col).alias("_text")).join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    blob_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("tok", T.BinaryType())]
+    )
+
+    def tokenize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = _get_tokenizer(tokenizer_name)
         idmap = TokenIdMap()
-        cache = {}
+        for pdf in batches:
+            blobs = [
+                idmap.ids(tok.norm_tokens_fast(t)).tobytes()
+                for t in pdf["_text"].tolist()
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tok": blobs})
 
-        def ids_of(doc_id: str, text: str) -> np.ndarray:
-            got = cache.get(doc_id)
-            if got is None:
-                got = idmap.ids(tok.norm_tokens_fast(text))
-                if len(cache) < 4096:
-                    cache[doc_id] = got
-            return got
+    blobs = docs.mapInPandas(tokenize_kernel, schema=blob_schema)
 
+    paired = pairs.join(
+        blobs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tok", "tok_a"),
+        "doc_a",
+    ).join(
+        blobs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok_b"),
+        "doc_b",
+    )
+
+    def span_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: List[tuple] = []
             for r in pdf.itertuples(index=False):
                 ia, ib, k = longest_common_run(
-                    ids_of(r.doc_a, r.text_a), ids_of(r.doc_b, r.text_b)
+                    np.frombuffer(r.tok_a, dtype=np.uint64),
+                    np.frombuffer(r.tok_b, dtype=np.uint64),
                 )
                 if k >= min_len:
                     rows.append((r.doc_a, r.doc_b, ia, ib, k))
@@ -119,4 +144,4 @@ def clone_spans(
                 rows, columns=["doc_a", "doc_b", "a_start_i", "b_start_i", "run_len"]
             )
 
-    return paired.repartition(F.col("doc_a")).mapInPandas(kernel, schema=SPAN_SCHEMA)
+    return paired.mapInPandas(span_kernel, schema=SPAN_SCHEMA)

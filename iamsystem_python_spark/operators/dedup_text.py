@@ -14,6 +14,27 @@ from pyspark.sql import functions as F
 from iamsystem_python_spark.functions import sqlhash
 
 
+def _cap_blocks(df: DataFrame, blk_col: str, max_block_size, tag: str) -> DataFrame:
+    """Quadratic backstop for blocked all-pairs operators: drop every row
+    whose block exceeds ``max_block_size`` (a B-row block yields O(B²)
+    pairs — over-cap blocks are skew or a misconfigured blocking column,
+    not signal, mirroring band_bucket_cap in the LSH path). The window
+    count is one shuffle on the block key, which the downstream self-join
+    reuses. Drops are surfaced as named observe metrics
+    (``{tag}_rows_dropped``) rather than lost silently."""
+    if max_block_size is None:
+        return df
+    w = Window.partitionBy(blk_col)
+    sized = df.withColumn("_blk_n", F.count("*").over(w))
+    sized = sized.observe(
+        f"{tag}_block_cap",
+        F.sum(F.when(F.col("_blk_n") > max_block_size, 1).otherwise(0)).alias(
+            f"{tag}_rows_dropped"
+        ),
+    )
+    return sized.where(F.col("_blk_n") <= max_block_size).drop("_blk_n")
+
+
 def exact_dup_groups_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: (sha256, group_size, doc_ids sorted) for groups > 1."""
     return (
@@ -174,13 +195,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str = "source",
+    max_block_size: int = None,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs within blocks (blocked all-pairs:
     the quadratic join is bounded per block — the classic blocking-key
     pattern when LSH is overkill for small within-group comparisons).
     Shingle strings are built with the codegen-friendly posexplode+lead
     path (see shingle_hash_rows) and regrouped per doc with collect_set —
-    the HOF array formulation is interpreted and measurably slower."""
+    the HOF array formulation is interpreted and measurably slower.
+
+    ``max_block_size`` is the quadratic backstop (same role as
+    ``band_bucket_cap`` in the LSH path): a block of B docs contributes
+    O(B²) pairs, so any block over the cap is dropped from pair generation
+    entirely rather than silently absorbing a shuffle partition at scale.
+    Dropped-block/row counts are surfaced as named ``observe`` metrics
+    (``ngram_blocks_dropped`` / ``ngram_rows_dropped`` — readable from a
+    QueryExecutionListener, no extra job). Use LSH (lsh_candidate_pairs)
+    when blocks can be large; this operator is for bounded blocks."""
     tok = (
         df.select(
             "doc_id",
@@ -213,6 +244,7 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("s").alias("sh"))
         .select("blk", "doc_id", "sh")
     )
+    base = _cap_blocks(base, "blk", max_block_size, "ngram")
     a = base.select("blk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select("blk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (

@@ -105,20 +105,24 @@ def lsh_bucketed_topk(
         return code
 
     def with_buckets(df, id_alias, vec_alias):
-        rows = []
-        for t in range(num_tables):
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(id_alias),
-                    F.col(vec_col).alias(vec_alias),
+        # One pass over the source: all per-table bucket codes are computed
+        # in a single projection and exploded, exactly like the MinHash band
+        # explode (dedup_text.py) — a union of num_tables projections would
+        # re-execute the source scan per table (the round-1 fan-out trap).
+        per_table = F.array(
+            *[
+                F.struct(
                     F.lit(t).alias("table_id"),
                     bucket_expr(F.col(vec_col), t).alias("bucket"),
                 )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.union(r)
-        return out
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(per_table).alias("tb"),
+        ).select(id_alias, vec_alias, "tb.table_id", "tb.bucket")
 
     it = with_buckets(items, "neighbor_id", "i_vec")
     q = with_buckets(queries, "query_id", "q_vec")
@@ -145,14 +149,21 @@ def cosine_neardup_pairs(
     block_col: Optional[str] = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_size: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked (quadratic only within
-    a block). block_col=None ⇒ full cross join (test scale only)."""
+    a block). block_col=None ⇒ full cross join (test scale only).
+    ``max_block_size`` drops over-cap blocks (observe metric
+    ``cosine_rows_dropped``) so a misconfigured block column can't go O(B²)
+    silently at scale — use lsh_bucketed_topk / ivf_topk for large blocks."""
+    from iamsystem_python_spark.operators.dedup_text import _cap_blocks
+
     base = df.select(
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
     )
+    base = _cap_blocks(base, "blk", max_block_size, "cosine")
     a = base.select("blk", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = base.select("blk", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
@@ -178,12 +189,16 @@ def kmeans_centroids(
     collects). Returns List[List[float]] (k × dim)."""
     import numpy as np
 
-    rows = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(vec_col))  # deterministic pseudo-random sample
-        .limit(sample)
-        .collect()
+    # Seeded Bernoulli sample + limit: a scan-light narrow op (no sort, no
+    # shuffle). The hash-filter form keeps it deterministic w.r.t. content
+    # rather than partition layout; fall back to a plain limit when the
+    # sampled fraction underfills (tiny test inputs).
+    sampled = df.select(vec_col).where(
+        F.pmod(F.xxhash64(vec_col, F.lit(seed)), F.lit(4)) == 0
     )
+    rows = sampled.limit(sample).collect()
+    if len(rows) < min(sample, 4 * k):
+        rows = df.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]

@@ -67,6 +67,46 @@ def test_longest_common_run_kernel():
     assert longest_common_run(a, c)[2] == 0
 
 
+def _lcs_run_oracle(a, b):
+    """Brute-force O(n·m) longest-common-substring DP — the exact oracle
+    for the rolling-hash binary-search kernel."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_longest_common_run_vs_bruteforce_oracle():
+    """Value-oracle for the clone-span kernel (VERDICT r1 #2): random token
+    sequences over a small alphabet (forces incidental repeats) plus planted
+    shared runs; the rolling-hash kernel must return exactly the DP
+    longest-common-substring length, and the reported span must really be a
+    common run of that length at the reported offsets."""
+    from iamsystem_python_spark.operators.clonespans import longest_common_run
+
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        n, m = rng.randint(0, 60), rng.randint(0, 60)
+        a = rng.randint(0, 6, size=n).astype(np.uint64)
+        b = rng.randint(0, 6, size=m).astype(np.uint64)
+        if trial % 3 == 0 and n >= 5 and m >= 5:
+            run = rng.randint(100, 200, size=rng.randint(3, 15)).astype(np.uint64)
+            ia0, ib0 = rng.randint(0, n), rng.randint(0, m)
+            a = np.concatenate([a[:ia0], run, a[ia0:]])
+            b = np.concatenate([b[:ib0], run, b[ib0:]])
+        ia, ib, k = longest_common_run(a, b)
+        assert k == _lcs_run_oracle(a.tolist(), b.tolist()), (a, b)
+        if k:
+            assert (a[ia : ia + k] == b[ib : ib + k]).all()
+
+
 def test_clone_spans_operator(spark):
     from iamsystem_python_spark.operators.clonespans import clone_spans
 

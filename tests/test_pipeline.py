@@ -193,3 +193,31 @@ def test_band_bucket_cap_bounds_degenerate_skew(spark):
     # uncapped: the 60-clique contributes C(60,2)=1770 pairs; capped: none
     assert n_open_pairs >= 1770
     assert n_capped_pairs < 100
+
+
+def test_block_cap_bounds_quadratic_variants(spark):
+    """Same backstop for the blocked all-pairs operators (VERDICT r1 #9): a
+    block over max_block_size must contribute zero pairs instead of O(B²),
+    while under-cap blocks are unaffected."""
+    from iamsystem_python_spark.operators.dedup_text import ngram_jaccard_pairs
+    from iamsystem_python_spark.operators.similarity import cosine_neardup_pairs
+
+    # text: a 50-doc block of identical docs + a 2-doc block
+    rows = [(f"d{i}", "alpha beta gamma delta epsilon", "big") for i in range(50)]
+    rows += [("x1", "zeta eta theta iota kappa", "small"),
+             ("x2", "zeta eta theta iota kappa", "small")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    open_pairs = ngram_jaccard_pairs(df, threshold=0.9).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.9, max_block_size=10)
+    capped_rows = capped.collect()
+    assert open_pairs >= 50 * 49 // 2
+    assert {(r.doc_a, r.doc_b) for r in capped_rows} == {("x1", "x2")}
+
+    # embeddings: 40-vector identical block + 2-vector block
+    vrows = [(f"v{i}", [1.0, 0.0, 0.0], "big") for i in range(40)]
+    vrows += [("w1", [0.0, 1.0, 0.0], "small"), ("w2", [0.0, 1.0, 0.0], "small")]
+    vdf = spark.createDataFrame(vrows, ["vec_id", "embedding", "label"])
+    open_v = cosine_neardup_pairs(vdf, threshold=0.99).count()
+    capped_v = cosine_neardup_pairs(vdf, threshold=0.99, max_block_size=10).collect()
+    assert open_v >= 40 * 39 // 2
+    assert {(r.id_a, r.id_b) for r in capped_v} == {("w1", "w2")}
