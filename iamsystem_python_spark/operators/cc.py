@@ -60,17 +60,33 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """(doc_a, doc_b) edge list → (doc_id, cluster_id) assignment, where
     cluster_id = min doc_id of the component (deterministic, reproducible —
     the recall metric compares pair sets derived from these assignments).
 
-    Uses localCheckpoint per round: lineage-free, executor-memory-resident.
-    On a real cluster with an unreliable-executor profile, swap for
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` — the
-    pipeline (plans/pipeline.py) exposes that switch.
+    Per-round lineage truncation: ``localCheckpoint(eager=True)`` by default
+    (lineage-free but executor-memory-resident — an executor loss loses the
+    blocks and fails the job). Pass ``checkpoint_dir`` to use reliable
+    ``checkpoint()`` to that path instead (HDFS/object store on a real
+    cluster): survives executor loss, which is the right profile for a
+    many-round job on 1000 preemptible executors. The pipeline threads this
+    through as ``NearDupPipeline(checkpoint_dir=...)`` /
+    ``run_pipeline.py --checkpoint-dir``.
     """
     spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _chk(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _chk(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -79,20 +95,19 @@ def connected_components(
     # compact int64 node ids: xxhash64 of doc_id (collision odds at even
     # 10^10 nodes ≈ 10^-9 per pair; acceptable for clustering labels)
     id_map = ids.select("doc_id", F.xxhash64("doc_id").alias("node"))
-    id_map = id_map.localCheckpoint(eager=True)
+    id_map = _chk(id_map)
 
-    edges = (
+    edges = _chk(
         pairs.join(id_map.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("node", "u"), "doc_a")
         .join(id_map.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("node", "v"), "doc_b")
         .select("u", "v")
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
         after_large = _large_star(edges)
-        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        after_small = _chk(_small_star(after_large))
         # converged when the edge set is a stable star forest
         changed = after_small.exceptAll(edges).limit(1).count()
         edges = after_small

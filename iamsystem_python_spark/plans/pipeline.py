@@ -26,7 +26,7 @@ import time
 from dataclasses import asdict
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iamsystem_python_spark.operators import cc, dedup, signatures
@@ -44,9 +44,15 @@ def _stage_done(out_dir: str, stage: str) -> bool:
 def _write_stage(df: DataFrame, out_dir: str, stage: str, cfg: PipelineConfig) -> Dict:
     path = os.path.join(out_dir, stage)
     t0 = time.time()
-    df.write.mode("overwrite").parquet(path)
-    spark = df.sparkSession
-    n = spark.read.parquet(path).count()
+    # Row count via an Observation piggybacked on the write action — the
+    # count is collected from the write job's own metrics, so the stage is
+    # never re-read (a second full read of every intermediate would be an
+    # extra 100-TB-scale scan per stage).
+    obs = Observation(f"stage_{stage}")
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n = int(obs.get["rows"])
     manifest = {
         "stage": stage,
         "rows": n,
@@ -72,11 +78,15 @@ class NearDupPipeline:
         use_simhash: bool = True,
         materialize_exact_groups: bool = True,
         collect_bucket_stats: bool = True,
+        checkpoint_dir: Optional[str] = None,
     ):
         self.cfg = cfg
         self.use_simhash = use_simhash
         self.materialize_exact_groups = materialize_exact_groups
         self.collect_bucket_stats = collect_bucket_stats
+        # reliable checkpoint location for the iterative CC stage (HDFS /
+        # object store on a real cluster); None → localCheckpoint
+        self.checkpoint_dir = checkpoint_dir
 
     def run(
         self,
@@ -143,7 +153,10 @@ class NearDupPipeline:
 
         # -- clusters ------------------------------------------------------------
         if not (resume and _stage_done(out_dir, "clusters")):
-            clusters = cc.connected_components(all_pairs.select("doc_a", "doc_b"))
+            clusters = cc.connected_components(
+                all_pairs.select("doc_a", "doc_b"),
+                checkpoint_dir=self.checkpoint_dir,
+            )
             metrics["clusters"] = _write_stage(clusters, out_dir, "clusters", cfg)
         clusters = _read_stage(spark, out_dir, "clusters")
 

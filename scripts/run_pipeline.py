@@ -30,6 +30,13 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--format", default=None, choices=["iceberg", "parquet"])
+    ap.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="reliable checkpoint location (HDFS/object-store path) for the "
+        "iterative connected-components stage; default uses localCheckpoint "
+        "(executor-memory-resident — fine single-node, not preemption-safe)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,7 +65,9 @@ def main() -> None:
         # sources/table.py is the single format seam
         df = read_code_table(spark, args.input, fmt=args.format)
 
-    clusters = NearDupPipeline(cfg).run(spark, df, args.output, resume=args.resume)
+    clusters = NearDupPipeline(cfg, checkpoint_dir=args.checkpoint_dir).run(
+        spark, df, args.output, resume=args.resume
+    )
     print(f"clusters rows: {clusters.count()}")
     spark.stop()
 

@@ -157,6 +157,50 @@ def test_connected_components_chain(spark):
     assert cl.count() == n + 1
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switch (VERDICT r1 #4): CC with reliable checkpoint()
+    to a real directory produces identical assignments to the
+    localCheckpoint default, and actually materializes checkpoint data."""
+    import os
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("e", "f"), ("f", "a2")],
+        ["doc_a", "doc_b"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got_local = {
+        (r.doc_id, r.cluster_id) for r in connected_components(edges).collect()
+    }
+    got_reliable = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got_local == got_reliable
+    # reliable checkpoints were really written to disk
+    ckpt_files = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert ckpt_files, "no checkpoint data written under checkpoint_dir"
+
+
+def test_stage_manifest_counts_without_reread(spark, tmp_path):
+    """_write_stage gets the row count from an Observation on the write job
+    itself (VERDICT r1 #5): the manifest count is right, and the whole stage
+    write is a single Spark job — a re-read count would need a second job."""
+    from iamsystem_python_spark.plans.pipeline import _write_stage
+
+    df = spark.range(0, 1234).withColumn("x", F.col("id") * 2)
+    sc = spark.sparkContext
+    sc.setJobGroup("wstage_test", "write-stage job-count probe")
+    try:
+        manifest = _write_stage(df, str(tmp_path), "probe", CFG)
+    finally:
+        sc.setJobGroup(None, None)
+    assert manifest["rows"] == 1234
+    jobs = sc.statusTracker().getJobIdsForGroup("wstage_test")
+    assert len(jobs) == 1, f"expected 1 job (write only), got {len(jobs)}"
+
+
 def test_band_bucket_cap_bounds_degenerate_skew(spark):
     """A degenerate LSH bucket (here: many near-identical docs sharing
     bands — the 'license header' pathology) must not explode into O(B²)
