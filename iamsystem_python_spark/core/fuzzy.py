@@ -211,7 +211,6 @@ class LevenshteinAlgo(StringDistance):
         name: str = "levenshtein",
         min_nb_char: int = 5,
         words2ignore: Optional[Iterable[str]] = None,
-        measure: str = "levenshtein",  # accepted for build()-config compat
     ):
         super().__init__(name, min_nb_char, words2ignore)
         self.max_distance = max_distance
@@ -233,6 +232,200 @@ class LevenshteinAlgo(StringDistance):
                 if levenshtein(word, cand, self.max_distance) <= self.max_distance:
                     out.append((cand,))
         return out
+
+
+_SOUNDEX_MAP = {
+    c: d
+    for cs, d in [
+        ("bfpv", "1"),
+        ("cgjkqsxz", "2"),
+        ("dt", "3"),
+        ("l", "4"),
+        ("mn", "5"),
+        ("r", "6"),
+    ]
+    for c in cs
+}
+
+
+def soundex(word: str) -> str:
+    """American Soundex code (published definition: first letter + 3 digits;
+    adjacent same-code letters collapse, also across h/w; vowels separate).
+    Matches the classic examples: Robert→R163, Ashcraft→A261, Tymczak→T522,
+    Pfister→P236, Honeyman→H555."""
+    letters = [c for c in word.lower() if "a" <= c <= "z"]
+    if not letters:
+        return ""
+    first = letters[0]
+    prev = _SOUNDEX_MAP.get(first, "")
+    out = []
+    for c in letters[1:]:
+        if c in "hw":
+            continue  # transparent: does NOT reset the previous code
+        d = _SOUNDEX_MAP.get(c)
+        if d is None:  # vowel or y: resets the run
+            prev = ""
+            continue
+        if d != prev:
+            out.append(d)
+        prev = d
+    return (first.upper() + "".join(out) + "000")[:4]
+
+
+class SoundexAlgo(StringDistance):
+    """Phonetic approximate match — native analogue of
+    SpellWiseWrapper(SOUNDEX) (reference spellwise.py:32-42,59-138).
+    Dictionary unigrams are indexed by Soundex code; a query word suggests
+    every word whose code is within ``max_distance`` edits of the query's
+    code (max_distance=0 ⇒ identical code, the classic phonetic join)."""
+
+    def __init__(
+        self,
+        max_distance: int = 0,
+        name: str = "soundex",
+        min_nb_char: int = 5,
+        words2ignore: Optional[Iterable[str]] = None,
+    ):
+        super().__init__(name, min_nb_char, words2ignore)
+        self.max_distance = max_distance
+        self._by_code: Dict[str, List[str]] = defaultdict(list)
+
+    def add_words(self, words: Iterable[str]) -> None:
+        for w in words:
+            if len(w) >= self.min_nb_char:
+                self._by_code[soundex(w)].append(w)
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        if self._is_a_word_to_ignore(word):
+            return NO_SYN
+        code = soundex(word)
+        if not code:
+            return NO_SYN
+        if self.max_distance == 0:
+            return [(c,) for c in self._by_code.get(code, ())]
+        out: List[SynType] = []
+        for cand_code, cand_words in self._by_code.items():
+            if levenshtein(code, cand_code, self.max_distance) <= self.max_distance:
+                out.extend((c,) for c in cand_words)
+        return out
+
+
+# Zobel & Dart (1996) Editex letter groups; r-cost 0 = same letter,
+# 1 = same group, 2 = different group; deleting a silent h/w costs 1.
+_EDITEX_GROUPS = (
+    set("aeiouy"),
+    set("bp"),
+    set("ckq"),
+    set("dt"),
+    set("lr"),
+    set("mn"),
+    set("gj"),
+    set("fpv"),
+    set("sxz"),
+    set("csz"),
+)
+
+
+def _editex_r(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    for g in _EDITEX_GROUPS:
+        if a in g and b in g:
+            return 1
+    return 2
+
+
+def _editex_d(a: str, b: str) -> int:
+    if a != b and b in "hw":
+        return 1
+    return _editex_r(a, b)
+
+
+def editex(a: str, b: str) -> int:
+    """Editex distance (Zobel & Dart, "Phonetic String Matching: Lessons
+    from Information Retrieval", SIGIR 1996): edit distance whose
+    substitution cost respects phonetic letter groups (0 match / 1 same
+    group / 2 otherwise) and whose deletion cost is 1 for silent h/w, else
+    the group cost."""
+    a, b = a.lower(), b.lower()
+    if a == b:
+        return 0
+    la = " " + a
+    lb = " " + b
+    n, m = len(la), len(lb)
+    prev = [0] * m
+    for j in range(1, m):
+        prev[j] = prev[j - 1] + _editex_d(lb[j - 1], lb[j])
+    for i in range(1, n):
+        cur = [prev[0] + _editex_d(la[i - 1], la[i])] + [0] * (m - 1)
+        for j in range(1, m):
+            cur[j] = min(
+                prev[j] + _editex_d(la[i - 1], la[i]),
+                cur[j - 1] + _editex_d(lb[j - 1], lb[j]),
+                prev[j - 1] + _editex_r(la[i], lb[j]),
+            )
+        prev = cur
+    return prev[-1]
+
+
+class EditexAlgo(StringDistance):
+    """Phonetic-aware edit distance — native analogue of
+    SpellWiseWrapper(EDITEX) (reference spellwise.py:32-42,59-138).
+    Length-bucketed like LevenshteinAlgo: every insert/delete costs ≥1, so
+    candidates outside ±max_distance length never match."""
+
+    def __init__(
+        self,
+        max_distance: int = 2,
+        name: str = "editex",
+        min_nb_char: int = 5,
+        words2ignore: Optional[Iterable[str]] = None,
+    ):
+        super().__init__(name, min_nb_char, words2ignore)
+        self.max_distance = max_distance
+        self._by_len: Dict[int, List[str]] = defaultdict(list)
+
+    def add_words(self, words: Iterable[str]) -> None:
+        for w in words:
+            if len(w) >= self.min_nb_char:
+                self._by_len[len(w)].append(w)
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        if self._is_a_word_to_ignore(word):
+            return NO_SYN
+        out: List[SynType] = []
+        for length in range(
+            len(word) - self.max_distance, len(word) + self.max_distance + 1
+        ):
+            for cand in self._by_len.get(length, ()):
+                if editex(word, cand) <= self.max_distance:
+                    out.append((cand,))
+        return out
+
+
+SPELLWISE_MEASURES = {
+    "levenshtein": LevenshteinAlgo,
+    "soundex": SoundexAlgo,
+    "editex": EditexAlgo,
+}
+
+
+def spellwise_algo(measure="levenshtein", **params) -> StringDistance:
+    """Factory matching the reference's SpellWiseWrapper(measure=...) config
+    surface (spellwise.py:59-96). ``measure`` may be a string or an
+    enum-like with ``.name``. Unsupported measures (TYPOX, CAVERPHONE_1/2 —
+    reference spellwise.py:32-42) raise instead of silently degrading to
+    Levenshtein."""
+    if hasattr(measure, "name"):
+        measure = measure.name
+    key = str(measure).lower()
+    cls = SPELLWISE_MEASURES.get(key)
+    if cls is None:
+        raise ValueError(
+            f"unsupported spellwise measure {measure!r}; "
+            f"supported: {sorted(SPELLWISE_MEASURES)}"
+        )
+    return cls(**params)
 
 
 def _char_ngrams(word: str, n: int = 3) -> Set[str]:

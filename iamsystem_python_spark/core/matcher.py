@@ -634,13 +634,18 @@ class Matcher:
             add_in_cache(algo)
 
         if spellwise is not None:
+            from iamsystem_python_spark.core.fuzzy import spellwise_algo
+
             for params in spellwise:
                 params = dict(params)
                 if "words2ignore" not in params and string_distance_ignored_w is not None:
                     params["words2ignore"] = string_distance_ignored_w
-                lev = LevenshteinAlgo(**params)
-                lev.add_words(matcher.get_keywords_unigrams())
-                add_in_cache(lev)
+                # measure dispatches to the native implementation
+                # (levenshtein/soundex/editex); unsupported measures raise —
+                # never a silent Levenshtein fallback
+                algo = spellwise_algo(**params)
+                algo.add_words(matcher.get_keywords_unigrams())
+                add_in_cache(algo)
 
         if simstring is not None:
             for params in simstring:
