@@ -608,6 +608,31 @@ def q45_stem_matches(spark, sf_dir):
     return _fuzzy_counts(spark, sf_dir, m)
 
 
+def q47_soundex_blocking(spark, sf_dir):
+    """Phonetic blocking by American Soundex code over part-name words —
+    the SQL-expressible face of the SoundexAlgo fuzzy measure
+    (core/fuzzy.py soundex(); reference SpellWiseWrapper(SOUNDEX),
+    spellwise.py:32-42). Spark's built-in soundex() implements the same
+    published algorithm (parity with our native code pinned in
+    tests/test_core_parity.py::test_soundex_published_codes and
+    tests/test_operators.py::test_spark_soundex_matches_native). The DuckDB
+    oracle spells out the full algorithm as a translate + per-digit-collapse
+    regexp chain (RE2 has no backreferences)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    words = part.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    ).where(F.col("word").rlike("^[A-Za-z]+$"))
+    return (
+        words.select(F.soundex("word").alias("sx_code"), "word")
+        .groupBy("sx_code")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy("sx_code")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -645,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_levenshtein_matches": q44_levenshtein_matches,
         "q45_stem_matches": q45_stem_matches,
         "q46_brat_export": q46_brat_export,
+        "q47_soundex_blocking": q47_soundex_blocking,
         "q50_media_features": q50_media_features,
     }
 
@@ -873,6 +899,36 @@ WITH t AS (
         "SELECT keyword, count(DISTINCT doc_id) AS n_docs FROM m "
         "WHERE n_matches > 0 GROUP BY keyword ORDER BY keyword"
     )
+
+
+def _soundex_oracle_sql() -> str:
+    """American Soundex spelled out in DuckDB SQL: uppercase letters only →
+    drop transparent H/W after position 1 → letter→digit translate (vowels
+    and Y → 0 as run separators) → collapse adjacent equal digits (one
+    regexp per digit; RE2 has no backreferences) → drop the first-position
+    digit, strip 0s, pad to first-letter + 3 digits."""
+    collapse = (
+        "translate(substr(u,1,1) || "
+        "replace(replace(substr(u,2),'H',''),'W',''), "
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ','01230120022455012623010202')"
+    )
+    for dgt in "0123456":
+        collapse = f"regexp_replace({collapse}, '{dgt}{dgt}+', '{dgt}', 'g')"
+    return f"""
+WITH w AS (
+  SELECT upper(word) AS u, word
+  FROM (SELECT unnest(regexp_split_to_array(p_name, ' ')) AS word FROM part)
+  WHERE regexp_matches(word, '^[A-Za-z]+$')
+), d AS (
+  SELECT word,
+    substr(u,1,1) ||
+    substr(regexp_replace(substr({collapse}, 2), '0','','g') || '000', 1, 3)
+      AS sx_code
+  FROM w
+)
+SELECT sx_code, count(DISTINCT word) AS n_words, count(*) AS n_occurrences
+FROM d GROUP BY sx_code ORDER BY sx_code
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1116,6 +1172,7 @@ ORDER BY id_a, id_b
         "q43_abbreviation_matches": _abbrev_oracle_sql(),
         "q44_levenshtein_matches": _levenshtein_oracle_sql(),
         "q45_stem_matches": _stem_oracle_sql(),
+        "q47_soundex_blocking": _soundex_oracle_sql(),
         "q50_media_features": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -67,6 +67,22 @@ def test_longest_common_run_kernel():
     assert longest_common_run(a, c)[2] == 0
 
 
+def test_spark_soundex_matches_native(spark):
+    """Spark's built-in soundex() and our core soundex() implement the same
+    published American Soundex — q47's Spark side leans on this parity."""
+    from iamsystem_python_spark.core.fuzzy import soundex
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "small", "ring", "widget", "bolt", "gear", "gizmo",
+        "chocolate", "lavender", "goldenrod", "hhhh", "wwww", "yyy", "a",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.sx for r in df.select("w", F.soundex("w").alias("sx")).collect()}
+    for w in words:
+        assert got[w] == soundex(w), w
+
+
 def _lcs_run_oracle(a, b):
     """Brute-force O(n·m) longest-common-substring DP — the exact oracle
     for the rolling-hash binary-search kernel."""
