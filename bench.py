@@ -60,8 +60,11 @@ def host_fresh_page_mb_s() -> float:
 
 
 def make_spark(cpus: str):
-    # keep large allocations on the reusable heap — harmless when the host
-    # is healthy, reduces re-faulting of cold pages in degraded windows
+    # glibc malloc tunables are read at process START, so setting them here
+    # cannot affect this already-running driver — they apply only to
+    # processes spawned AFTER this point that inherit the env (the JVM and
+    # the Python workers it forks), keeping their large allocations on the
+    # reusable heap instead of re-faulted mmap pages in degraded windows
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     from pyspark.sql import SparkSession
@@ -154,9 +157,18 @@ def run_dedup_pipeline(spark, n_rows: int, work: str, tag: str, cpus: int,
         attempts.append(
             {"seconds": round(time.time() - t0, 3), "host_probe_mb_s": probe}
         )
-    best = min(a["seconds"] for a in attempts)
+    # headline = best-of-N (rationale above); median published alongside so
+    # the number stays comparable to single-run baselines and the host-
+    # window spread is visible in one field, not just the runs list
+    secs = sorted(a["seconds"] for a in attempts)
+    best = secs[0]
+    median = secs[len(secs) // 2] if len(secs) % 2 else (
+        (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2.0
+    )
     return {"rows": actual_rows, "seconds": best,
             "files_per_sec": round(actual_rows / best, 1),
+            "seconds_median": round(median, 3),
+            "files_per_sec_median": round(actual_rows / median, 1),
             "runs": attempts}
 
 

@@ -11,11 +11,23 @@ to parquet transparently — same columns, same downstream plan.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 CODE_TABLE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _looks_like_fs_path(path: str) -> bool:
+    """Filesystem path vs catalog table identifier. A local/parquet target
+    is recognized by an actual filesystem probe (or an explicit scheme /
+    separator), never by the absence of '/' alone — a relative single-
+    segment parquet directory like 'data' must not be misrouted to the
+    Iceberg reader just because the Iceberg runtime is present."""
+    # existing local dir/file, or any path separator / URI scheme
+    # (s3://, hdfs://, ... contain '/')
+    return os.path.exists(path) or "/" in path or "\\" in path
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -33,11 +45,17 @@ def read_code_table(
     spark: SparkSession, path: str, fmt: Optional[str] = None
 ) -> DataFrame:
     """Load the source-code table. fmt: 'iceberg' | 'parquet' | None
-    (auto: iceberg when its runtime is present and the path is not a plain
-    parquet directory, else parquet). Validates the expected columns so a
-    wrong table fails loudly at plan time, not deep in the pipeline."""
+    (auto: iceberg only when its runtime is present AND the target doesn't
+    look like a filesystem path — see _looks_like_fs_path; pass fmt
+    explicitly for a catalog table named like a file). Validates the
+    expected columns so a wrong table fails loudly at plan time, not deep
+    in the pipeline."""
     if fmt is None:
-        fmt = "iceberg" if iceberg_available(spark) and "/" not in path else "parquet"
+        fmt = (
+            "iceberg"
+            if iceberg_available(spark) and not _looks_like_fs_path(path)
+            else "parquet"
+        )
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(path)
     elif fmt == "parquet":
@@ -59,7 +77,11 @@ def write_code_table(
     """Write a code table; Iceberg `writeTo` when available (append/replace
     semantics with snapshot isolation), parquet otherwise."""
     if fmt is None:
-        fmt = "iceberg" if iceberg_available(df.sparkSession) and "/" not in path else "parquet"
+        fmt = (
+            "iceberg"
+            if iceberg_available(df.sparkSession) and not _looks_like_fs_path(path)
+            else "parquet"
+        )
     if fmt == "iceberg":
         if mode == "overwrite":
             df.writeTo(path).createOrReplace()

@@ -95,6 +95,59 @@ def sessionize(
     )
 
 
+def make_neardup_state_fn(max_hamming: int, max_state_rows: int,
+                          state_timeout_ms: "int | None"):
+    """Build the per-group state function for streaming_neardup_stateful.
+    Module-level so the timeout-expiry and eviction branches are unit-
+    testable with a stub GroupState (no streaming query needed).
+
+    State = (ids, sims) kept in least-recently-matched order: a
+    representative that matches an arriving doc is refreshed to the tail,
+    so the per-batch cap truncation drops reps that stopped catching
+    duplicates, not merely the oldest-inserted."""
+    import pandas as pd
+
+    def dedup_fn(key, pdfs, state):
+        if state_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["doc_id", "dup_of", "hamming"])
+            return
+        ids, sims = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1])
+        )
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                h = int(r.simhash)
+                best = None
+                for i, (sid, ssim) in enumerate(zip(ids, sims)):
+                    d = bin(h ^ ssim).count("1")
+                    if d <= max_hamming and sid != r.doc_id and (
+                        best is None or d < best[1]
+                    ):
+                        best = (i, d)
+                if best is not None:
+                    i, d = best
+                    rows.append((r.doc_id, ids[i], d))
+                    # LRU refresh: the matched representative moves to tail
+                    ids.append(ids.pop(i))
+                    sims.append(sims.pop(i))
+                else:  # new representative (inserted at tail = most recent)
+                    ids.append(r.doc_id)
+                    sims.append(h)
+        if len(ids) > max_state_rows:
+            # bounded state: evict least-recently-matched (head) first —
+            # see streaming_neardup_stateful docstring for the missed-
+            # verdict consequence of any eviction
+            ids, sims = ids[-max_state_rows:], sims[-max_state_rows:]
+        state.update((ids, sims))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(rows, columns=["doc_id", "dup_of", "hamming"])
+
+    return dedup_fn
+
+
 def streaming_neardup_stateful(
     stream_df: DataFrame,
     text_col: str = "content",
@@ -124,13 +177,21 @@ def streaming_neardup_stateful(
        on duplicate-heavy streams).
 
     State is the streaming analogue of the matcher's w-window eviction
-    (reference matcher/util.py:47-54): bounded per group (``max_state_rows``
-    ring) and expired wholesale by processing-time timeout
-    (``state_timeout_ms=None`` disables expiry — required for bounded
-    ``availableNow`` runs, where a pending timeout makes Spark schedule
-    state-cleanup batches until the timeout fires). A doc sharing
-    several equal blocks with its representative is emitted once per
-    sharing group — dedup downstream with
+    (reference matcher/util.py:47-54): bounded per group (``max_state_rows``,
+    least-recently-MATCHED evicted first — a representative that keeps
+    catching duplicates stays resident; truncation runs once per batch) and
+    expired wholesale by processing-time timeout (``state_timeout_ms=None``
+    disables expiry — required for bounded ``availableNow`` runs, where a
+    pending timeout makes Spark schedule state-cleanup batches until the
+    timeout fires). CONSEQUENCE OF EVICTION (cap or timeout): an evicted
+    representative's content can be re-elected as a NEW representative, so
+    duplicate verdicts spanning the eviction boundary are silently missed,
+    and which rows get verdicts depends on within-batch arrival order —
+    size ``max_state_rows`` to the expected number of live content clusters
+    per (block_id, block_val) group, and treat this operator as a
+    high-recall filter, not an exact join (the batch pipeline is the exact
+    instrument). A doc sharing several equal blocks with its representative
+    is emitted once per sharing group — dedup downstream with
     ``dropDuplicates([doc_id, dup_of])`` if exactly-once verdicts matter."""
     import pandas as pd
     from typing import Iterator, Tuple
@@ -205,38 +266,7 @@ def streaming_neardup_stateful(
         ]
     )
 
-    def dedup_fn(
-        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state_timeout_ms is not None and state.hasTimedOut:
-            state.remove()
-            yield pd.DataFrame(columns=["doc_id", "dup_of", "hamming"])
-            return
-        ids, sims = ([], []) if not state.exists else (
-            list(state.get[0]), list(state.get[1])
-        )
-        rows = []
-        for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                h = int(r.simhash)
-                best = None
-                for sid, ssim in zip(ids, sims):
-                    d = bin(h ^ ssim).count("1")
-                    if d <= max_hamming and sid != r.doc_id and (
-                        best is None or d < best[1]
-                    ):
-                        best = (sid, d)
-                if best is not None:
-                    rows.append((r.doc_id, best[0], best[1]))
-                else:  # new representative
-                    ids.append(r.doc_id)
-                    sims.append(h)
-        if len(ids) > max_state_rows:  # bounded state: keep the newest
-            ids, sims = ids[-max_state_rows:], sims[-max_state_rows:]
-        state.update((ids, sims))
-        if state_timeout_ms is not None:
-            state.setTimeoutDuration(state_timeout_ms)
-        yield pd.DataFrame(rows, columns=["doc_id", "dup_of", "hamming"])
+    dedup_fn = make_neardup_state_fn(max_hamming, max_state_rows, state_timeout_ms)
 
     return blocks.groupBy("block_id", "block_val").applyInPandasWithState(
         dedup_fn,

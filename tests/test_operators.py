@@ -428,6 +428,81 @@ def test_ivf_topk_recall(spark):
     assert approx == approx2
 
 
+class _StubGroupState:
+    """Minimal GroupState double for unit-testing the state function."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _run_state_fn(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "simhash"])
+    return pd.concat(list(fn(("b", 0), iter([pdf]), state)), ignore_index=True)
+
+
+def test_neardup_state_fn_timeout_expiry():
+    """The ProcessingTimeTimeout branch (ADVICE r1): a timed-out group's
+    state is removed wholesale and nothing is emitted."""
+    from iamsystem_python_spark.streaming.stream_ops import make_neardup_state_fn
+
+    fn = make_neardup_state_fn(max_hamming=3, max_state_rows=8, state_timeout_ms=1000)
+    st = _StubGroupState(value=(["a"], [0]), timed_out=True)
+    out = _run_state_fn(fn, st, [])
+    assert st.removed and len(out) == 0
+
+    # non-timed-out path re-arms the timeout after every batch
+    st2 = _StubGroupState()
+    _run_state_fn(fn, st2, [("a", 0)])
+    assert st2.timeout_set == 1000
+
+
+def test_neardup_state_fn_lru_eviction():
+    """Cap eviction drops the least-recently-MATCHED representative, not
+    the oldest-inserted: a rep that keeps catching duplicates survives."""
+    from iamsystem_python_spark.streaming.stream_ops import make_neardup_state_fn
+
+    fn = make_neardup_state_fn(max_hamming=0, max_state_rows=2, state_timeout_ms=None)
+    st = _StubGroupState()
+    # batch 1: two reps A(h=0), B(h=255)
+    out = _run_state_fn(fn, st, [("A", 0), ("B", 0xFF)])
+    assert len(out) == 0 and st.get[0] == ["A", "B"]
+    # batch 2: a duplicate of A refreshes A; new rep C then overflows → B
+    # (least recently matched) evicted, A retained despite being oldest
+    out = _run_state_fn(fn, st, [("a2", 0), ("C", 0xF0F0)])
+    assert list(out.itertuples(index=False))[0][:2] == ("a2", "A")
+    assert st.get[0] == ["A", "C"]
+    # A still resident: its duplicates keep getting verdicts
+    out = _run_state_fn(fn, st, [("a3", 0)])
+    assert out.iloc[0]["dup_of"] == "A"
+    # B was evicted: its content is re-elected silently (the documented
+    # missed-verdict consequence)
+    out = _run_state_fn(fn, st, [("b2", 0xFF)])
+    assert len(out) == 0
+
+
 def test_streaming_neardup_stateful(spark, tmp_path):
     """Cross-batch stateful near-dup (applyInPandasWithState): bounded file
     source, availableNow trigger. Run 1 elects representatives; run 2
