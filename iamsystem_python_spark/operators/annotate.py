@@ -61,32 +61,40 @@ def annotate(
         [in_schema[c] for c in id_cols] + ANNOTATION_FIELDS
     )
 
+    ann_names = [f.name for f in ANNOTATION_FIELDS]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Columnar accumulation: one list per output column plus a source-row
+        # index, materialized with a single vectorized .iloc take for the
+        # id columns — no per-annotation dict construction inside the Arrow
+        # batch (the matcher itself is inherently per-document).
         for pdf in batches:
-            rows: List[dict] = []
+            src_idx: List[int] = []
+            cols: List[list] = [[] for _ in ann_names]
+            (c_start, c_end, c_start_i, c_end_i, c_label, c_norm,
+             c_kw, c_kb, c_algos, c_brat) = cols
             texts = pdf[text_col].tolist()
             for row_i, text in enumerate(texts):
                 if text is None:
                     continue
                 for a in matcher.annot_text(text):
-                    row = {c: pdf[c].iat[row_i] for c in id_cols}
-                    row.update(
-                        start=a.start,
-                        end=a.end,
-                        start_i=a.start_i,
-                        end_i=a.end_i,
-                        label=a.tokens_label,
-                        norm_label=a.tokens_norm_label,
-                        kw_labels=[lab for lab, _ in a.keywords],
-                        kb_ids=[kb for _, kb in a.keywords if kb is not None],
-                        algos=a.algos,
-                        brat_offsets=a.brat_text_and_offsets("contseq")[1],
-                    )
-                    rows.append(row)
-            yield pd.DataFrame(
-                rows,
-                columns=[*id_cols, *[f.name for f in ANNOTATION_FIELDS]],
-            )
+                    src_idx.append(row_i)
+                    c_start.append(a.start)
+                    c_end.append(a.end)
+                    c_start_i.append(a.start_i)
+                    c_end_i.append(a.end_i)
+                    c_label.append(a.tokens_label)
+                    c_norm.append(a.tokens_norm_label)
+                    c_kw.append([lab for lab, _ in a.keywords])
+                    c_kb.append([kb for _, kb in a.keywords if kb is not None])
+                    c_algos.append(a.algos)
+                    c_brat.append(a.brat_text_and_offsets("contseq")[1])
+            out = pdf.iloc[src_idx][id_cols].reset_index(drop=True)
+            for name, vals in zip(ann_names, cols):
+                # object dtype keeps list-valued cells intact; scalars are
+                # converted by Arrow per the declared schema either way
+                out[name] = pd.Series(vals, dtype=object, index=out.index)
+            yield out[[*id_cols, *ann_names]]
 
     return df.select(*id_cols, text_col).mapInPandas(kernel, schema=out_schema)
 
