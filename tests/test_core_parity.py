@@ -298,6 +298,34 @@ def test_editex_algo_suggestions():
     assert list(ed.get_syns_of_word("zzzzzz")) == []
 
 
+def test_soundex_editex_reference_spellwise_parity():
+    """Ported assertions from reference tests/test_spellwise.py:117-130:
+    at max_distance=1, SOUNDEX hears 'inssssuffffizzzensssse' as
+    'insuffisance' (identical code), EDITEX does not (distance 3 — the
+    doubled-letter free-delete rule absorbs the repeats but i/z/e edits
+    remain) yet accepts 'insufizzance' (distance 1: doubled-letter
+    insert/delete is free, z→s is a group substitution)."""
+    from iamsystem_python_spark.core.fuzzy import (
+        EditexAlgo,
+        SoundexAlgo,
+        editex,
+        soundex,
+    )
+
+    unigrams = ["insuffisance", "cardiaque", "gauche"]
+    sx = SoundexAlgo(max_distance=1, min_nb_char=5)
+    sx.add_words(unigrams)
+    assert soundex("inssssuffffizzzensssse") == soundex("insuffisance") == "I521"
+    assert ("insuffisance",) in list(sx.get_syns_of_word("inssssuffffizzzensssse"))
+
+    ed = EditexAlgo(max_distance=1, min_nb_char=5)
+    ed.add_words(unigrams)
+    assert editex("inssssuffffizzzensssse", "insuffisance") == 3
+    assert ("insuffisance",) not in list(ed.get_syns_of_word("inssssuffffizzzensssse"))
+    assert editex("insufizzance", "insuffisance") == 1
+    assert ("insuffisance",) in list(ed.get_syns_of_word("insufizzance"))
+
+
 def test_spellwise_measure_dispatch_and_reject():
     """Matcher.build honors measure= (soundex/editex route to the native
     algos) and REJECTS unsupported measures instead of silently running
