@@ -476,6 +476,11 @@ class NgramSimilarity(StringDistance):
             return inter / ((len(a) * len(b)) ** 0.5)
         if self.measure == "overlap":
             return inter / min(len(a), len(b))
+        if self.measure == "exact":
+            # simstring's 'exact' (ESimStringMeasure.EXACT): identical
+            # feature sets only — for padded char-n-grams that means the
+            # identical string
+            return 1.0 if a == b else 0.0
         raise ValueError(f"unknown measure {self.measure!r}")
 
     def get_syns_of_word(self, word: str) -> Iterable[SynType]:

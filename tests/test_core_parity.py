@@ -421,6 +421,15 @@ def test_ngram_similarity_jaccard():
     assert list(ss.get_syns_of_word("zzzzz")) == []
 
 
+def test_ngram_similarity_exact_measure():
+    """simstring's 'exact' measure (reference ESimStringMeasure.EXACT,
+    simstring.py:18-25): only the identical string matches."""
+    ss = NgramSimilarity(threshold=0.5, measure="exact", min_nb_char=5)
+    ss.add_words(["prostate", "prostates"])
+    assert list(ss.get_syns_of_word("prostate")) == [("prostate",)]
+    assert list(ss.get_syns_of_word("prostat")) == []
+
+
 # --- annotation formatting — tests/test_annotation.py / test_brat.py ---------
 
 
