@@ -164,7 +164,13 @@ def minhash_lsh_pairs_sql(
             for band in range(num_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    # the band self-join consumes `bands` twice — without a persist the
+    # lean signature aggregate re-executes per side. Unlike sig (array
+    # column), bands is two scalar columns (num_bands rows/doc), so the
+    # columnar cache is cheap: measured at sf0.1, cold 9.9→3.3 s, warm
+    # 2.9→2.3 s. MEMORY_AND_DISK spills if the corpus outgrows executor
+    # memory; the big pipeline shares this stage via parquet checkpoints.
+    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, "band_key")
@@ -375,6 +381,11 @@ def simhash_pairs_sql(
             for b in range(n_blocks)
         ]
     )
+    # persist sim: the block self-join consumes it twice, and unlike the
+    # MinHash hset stage it is two SCALAR columns — caching is cheap and
+    # halves the expensive per-bit aggregate (measured at sf0.1: cold
+    # 13.4→3.9 s, warm 3.6→2.5 s)
+    sim = sim.persist()
     blocks = sim.select(
         "doc_id", "simhash", F.explode(block_structs).alias("blk")
     ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
