@@ -608,6 +608,30 @@ def q45_stem_matches(spark, sf_dir):
     return _fuzzy_counts(spark, sf_dir, m)
 
 
+def q34_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): fraction of
+    each corpus doc's distinct 5-token-gram hashes that appear anywhere in
+    the 'benchmark' slice (source='src18'). One narrow scan per side, one
+    groupBy per doc; the ref gram set is the broadcastable small side.
+    Oracle: identical portable sha256-based 60-bit gram hashing in DuckDB."""
+    from iamsystem_python_spark.operators.decontaminate import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src18")
+    corpus = docs.where(F.col("source") != "src18")
+    return (
+        contamination_scores(corpus, ref, text_col="text", k=5)
+        .where(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            "contamination",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q47_soundex_blocking(spark, sf_dir):
     """Phonetic blocking by American Soundex code over part-name words —
     the SQL-expressible face of the SoundexAlgo fuzzy measure
@@ -663,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_embedding_neardup": q31_embedding_neardup,
         "q32_lsh_ann": q32_lsh_ann,
         "q33_ivf_ann": q33_ivf_ann,
+        "q34_contamination": q34_contamination,
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
         "q42_nested_keywords": q42_nested_keywords,
@@ -899,6 +924,34 @@ WITH t AS (
         "SELECT keyword, count(DISTINCT doc_id) AS n_docs FROM m "
         "WHERE n_matches > 0 GROUP BY keyword ORDER BY keyword"
     )
+
+
+def _contamination_oracle_sql(k: int = 5) -> str:
+    h = "(('0x' || substring(sha256(s), 1, 15))::UBIGINT)::BIGINT"
+    return f"""
+WITH cg AS (
+  SELECT doc_id, {h} AS h60
+  FROM (
+    SELECT doc_id, unnest({_shingle_sql(k)}) AS s
+    FROM documents WHERE source <> 'src18'
+  )
+), refg AS (
+  SELECT DISTINCT {h} AS h60
+  FROM (
+    SELECT unnest({_shingle_sql(k)}) AS s
+    FROM documents WHERE source = 'src18'
+  )
+)
+SELECT c.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN r.h60 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN r.h60 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS contamination
+FROM cg c LEFT JOIN refg r USING (h60)
+GROUP BY c.doc_id
+HAVING n_hit > 0
+ORDER BY doc_id
+"""
 
 
 def _soundex_oracle_sql() -> str:
@@ -1172,6 +1225,7 @@ ORDER BY id_a, id_b
         "q43_abbreviation_matches": _abbrev_oracle_sql(),
         "q44_levenshtein_matches": _levenshtein_oracle_sql(),
         "q45_stem_matches": _stem_oracle_sql(),
+        "q34_contamination": _contamination_oracle_sql(5),
         "q47_soundex_blocking": _soundex_oracle_sql(),
         "q50_media_features": """
 SELECT doc_id AS media_id,

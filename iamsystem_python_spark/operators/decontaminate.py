@@ -1,0 +1,80 @@
+"""Benchmark decontamination: per-document n-gram overlap against a
+reference (benchmark/eval) corpus — the standard pre-training hygiene pass
+(filter training docs that leak eval data). No reference-repo counterpart;
+added per the round brief's training-data-pipeline menu alongside dedup.
+
+Relational shape (all pyspark.sql, no UDF):
+
+  corpus  → distinct k-token-shingle hashes per doc   (shared portable
+  ref     → global distinct shingle-hash set           sha256-based h60,
+  left join corpus grams against the ref set           dedup_text.shingle_
+  → one groupBy(doc_id): n_grams, n_hit, contamination  hash_rows)
+
+Scale: the ref side is a benchmark suite — thousands to millions of grams,
+i.e. the SMALL side; Catalyst broadcasts it under the auto-broadcast
+threshold and AQE handles the rest, so the corpus side is one narrow scan +
+one groupBy shuffle (one row per doc after map-side partial aggregation).
+The join key is the 60-bit hash, not the gram string — fixed-width shuffle
+payload at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iamsystem_python_spark.operators.dedup_text import shingle_hash_rows
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit, contamination) per corpus doc:
+    contamination = |doc's distinct k-gram hashes ∩ ref gram set| /
+    |doc's distinct k-gram hashes|. Docs shorter than k tokens contribute
+    their whole token sequence as one gram (same convention as the dedup
+    shingle builder, so thresholds behave on short docs)."""
+    grams = shingle_hash_rows(corpus, text_col, k, distinct=True)
+    ref_grams = (
+        shingle_hash_rows(ref, text_col, k, distinct=True)
+        .select("h60")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = grams.join(ref_grams, "h60", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    max_contamination: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter: corpus rows whose contamination is ≤ max_contamination
+    (default: drop any doc sharing even one k-gram with the benchmark).
+    Implemented as a broadcast-friendly left-anti pattern: scores are one
+    row per doc, joined back onto the corpus by id."""
+    bad = (
+        contamination_scores(corpus, ref, text_col, k)
+        .where(F.col("contamination") > max_contamination)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return corpus.join(bad, id_col, "left_anti")

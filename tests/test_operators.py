@@ -67,6 +67,39 @@ def test_longest_common_run_kernel():
     assert longest_common_run(a, c)[2] == 0
 
 
+def test_decontaminate_filters_leaked_docs(spark):
+    """Decontamination: a corpus doc sharing k-grams with the benchmark is
+    scored and filtered; clean docs pass untouched."""
+    from iamsystem_python_spark.operators.decontaminate import (
+        contamination_scores,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "intro text then the quick brown fox jumps over the lazy dog tonight and more"),
+            ("c2", "completely unrelated content about spark partitioning strategies"),
+            ("c3", "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {r.doc_id: r for r in contamination_scores(corpus, bench, k=5).collect()}
+    assert scores["c1"].n_hit > 0 and scores["c1"].contamination > 0.3
+    assert scores["c2"].n_hit == 0
+    kept = {r.doc_id for r in decontaminate(corpus, bench, k=5).collect()}
+    assert kept == {"c2", "c3"}
+    # full-leak doc: contamination 1.0 at max_contamination=0.99 still drops
+    leak = spark.createDataFrame(
+        [("c4", "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    assert decontaminate(leak, bench, k=5, max_contamination=0.99).count() == 0
+
+
 def test_spark_soundex_matches_native(spark):
     """Spark's built-in soundex() and our core soundex() implement the same
     published American Soundex — q47's Spark side leans on this parity."""
