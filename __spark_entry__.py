@@ -632,6 +632,30 @@ def q34_contamination(spark, sf_dir):
     )
 
 
+def q35_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (operators/textstats.repetition_stats):
+    distinct-token ratio + top-bigram fraction per doc. Pure codegen SQL;
+    the DuckDB oracle computes the identical aggregations."""
+    from iamsystem_python_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text").orderBy("doc_id")
+
+
+def q36_stratified_sample(spark, sf_dir):
+    """Deterministic stratified quota sample (operators/sampling.py): up to
+    5 docs per (lang, source) stratum selected by portable sha256 order —
+    reproducible mixture control, identical row selection in the oracle."""
+    from iamsystem_python_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, ["lang", "source"], 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q47_soundex_blocking(spark, sf_dir):
     """Phonetic blocking by American Soundex code over part-name words —
     the SQL-expressible face of the SoundexAlgo fuzzy measure
@@ -688,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_lsh_ann": q32_lsh_ann,
         "q33_ivf_ann": q33_ivf_ann,
         "q34_contamination": q34_contamination,
+        "q35_repetition": q35_repetition,
+        "q36_stratified_sample": q36_stratified_sample,
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
         "q42_nested_keywords": q42_nested_keywords,
@@ -1226,6 +1252,43 @@ ORDER BY id_a, id_b
         "q44_levenshtein_matches": _levenshtein_oracle_sql(),
         "q45_stem_matches": _stem_oracle_sql(),
         "q34_contamination": _contamination_oracle_sql(5),
+        "q35_repetition": """
+WITH toks AS (
+  SELECT doc_id, t.s AS tok, t.i AS pos
+  FROM documents,
+       LATERAL (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x != '')) AS s,
+                       generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x != ''), 1) AS i) t
+), tok_agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM toks GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM toks
+  QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), bg_counts AS (
+  SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+), bg_agg AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n FROM bg_counts GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       round(t.n_distinct::DOUBLE / t.n_tokens, 6) AS distinct_ratio,
+       coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(b.top_bigram_n::DOUBLE / b.n_bigrams, 0.0), 6) AS top_bigram_frac
+FROM tok_agg t LEFT JOIN bg_agg b USING (doc_id)
+ORDER BY doc_id
+""",
+        "q36_stratified_sample": """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY sha256(doc_id::VARCHAR || '|' || 's1')
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY doc_id
+""",
         "q47_soundex_blocking": _soundex_oracle_sql(),
         "q50_media_features": """
 SELECT doc_id AS media_id,

@@ -1,0 +1,64 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Stratified quota sampling (per-language / per-source caps) is the standard
+mixture-control step before training. The orderer is a portable sha256 of
+(id, salt) — not rand() and not xxhash64 — so the SAME rows are selected on
+any engine and any partitioning (reproducible data recipes; DuckDB oracle
+computes the identical selection).
+
+Scale: one shuffle on the strata columns (the window partition); quota
+selection is a row_number prune inside the window — no second pass, no
+driver-side sampling state. A heavily-skewed stratum is still one partition;
+for quotas ≪ stratum size, pre-filter with a cheap hash-prefix predicate
+(same trick as kmeans sampling in operators/similarity.py) before the
+window if a single stratum outgrows an executor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Up to ``n_per_stratum`` rows per distinct strata combination,
+    selected by the portable deterministic hash order."""
+    orderer = F.sha2(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)), 256
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(orderer)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def sample_fraction_deterministic(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Content-deterministic Bernoulli-style sample: keep rows whose
+    portable hash falls below the fraction cutoff. Unlike df.sample(), the
+    selection is stable across partitioning, retries, and engines (the
+    DuckDB oracle reproduces it bit-for-bit) — a narrow filter, no shuffle."""
+    bucket = F.conv(
+        F.substring(
+            F.sha2(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.where(bucket < F.lit(int(fraction * 0xFFFFFFFF)))

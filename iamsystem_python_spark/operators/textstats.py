@@ -87,6 +87,50 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per doc: distinct-token ratio and
+    the fraction of all bigrams taken by the single most frequent bigram
+    (boilerplate / template pages spike both). Two codegen aggregations
+    (token explode + bigram explode) joined on doc_id — no UDF; at scale
+    each is a map-side-combined groupBy, one row per doc."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    tok_agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id", F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bg"),
+            F.lead("tok", 1).over(w).isNotNull().alias("_full"),
+        )
+        .where("_full")
+    )
+    bg_counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bg_agg = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
+    )
+    return (
+        tok_agg.join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization-invariant document fingerprint: sha256 of the
     whitespace-collapsed, lowercased text (catches whitespace-churn dups

@@ -100,6 +100,52 @@ def test_decontaminate_filters_leaked_docs(spark):
     assert decontaminate(leak, bench, k=5, max_contamination=0.99).count() == 0
 
 
+def test_repetition_stats(spark):
+    from iamsystem_python_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            ("rep", "buy now " * 10),             # one bigram dominates
+            ("var", "a b c d e f g h i j"),        # all distinct
+            ("one", "single"),                     # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got["rep"].n_tokens == 20 and got["rep"].distinct_ratio == 0.1
+    # 19 bigrams: 'buy now' x10 + 'now buy' x9 → top frac 10/19
+    assert got["rep"].n_bigrams == 19
+    assert abs(got["rep"].top_bigram_frac - 10 / 19) < 1e-6
+    assert got["var"].distinct_ratio == 1.0 and got["var"].top_bigram_frac <= 1 / 9 + 1e-9
+    assert got["one"].n_bigrams == 0 and got["one"].top_bigram_frac == 0.0
+
+
+def test_stratified_sample_deterministic(spark):
+    from iamsystem_python_spark.operators.sampling import (
+        sample_fraction_deterministic,
+        stratified_sample,
+    )
+
+    rows = [(f"d{i}", ["en", "fr"][i % 2], f"s{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    s1 = {r.doc_id for r in stratified_sample(df, ["lang", "source"], 4).collect()}
+    # per-stratum quota respected: 6 strata × 4
+    assert len(s1) == 24
+    # determinism across partitioning
+    s2 = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(7), ["lang", "source"], 4).collect()
+    }
+    assert s1 == s2
+
+    f1 = {r.doc_id for r in sample_fraction_deterministic(df, 0.25).collect()}
+    f2 = {
+        r.doc_id
+        for r in sample_fraction_deterministic(df.repartition(5), 0.25).collect()
+    }
+    assert f1 == f2 and 10 <= len(f1) <= 50  # ~30 expected, loose bound
+
+
 def test_spark_soundex_matches_native(spark):
     """Spark's built-in soundex() and our core soundex() implement the same
     published American Soundex — q47's Spark side leans on this parity."""
