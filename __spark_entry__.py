@@ -656,6 +656,31 @@ def q36_stratified_sample(spark, sf_dir):
     )
 
 
+def q37_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k (operators/textstats.vocabulary_topk):
+    wordcount with occurrence + doc-frequency, deterministic tie-break on
+    the word so the top-k cut is exact. Map-side-combined groupBy +
+    TakeOrderedAndProject — no full sort at scale."""
+    from iamsystem_python_spark.operators.textstats import vocabulary_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_topk(docs, "text", top_n=20)
+
+
+def q38_redaction(spark, sf_dir):
+    """PII/secret redaction over customer names
+    (operators/textstats.redact_patterns) — the relational face of the
+    reference's replace_annots splice (annotation.py:293-311). Redacts
+    digit-run identifiers, keeps the extracted values and a sha256 of the
+    redacted text as the value-checkable integrity columns."""
+    from iamsystem_python_spark.operators.textstats import redact_patterns
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return redact_patterns(cust, "c_name", r"\d{4,}", "[ID]").select(
+        "c_custkey", "redacted", "n_redacted", "redacted_values", "redacted_sha"
+    ).orderBy("c_custkey")
+
+
 def q47_soundex_blocking(spark, sf_dir):
     """Phonetic blocking by American Soundex code over part-name words —
     the SQL-expressible face of the SoundexAlgo fuzzy measure
@@ -714,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_contamination": q34_contamination,
         "q35_repetition": q35_repetition,
         "q36_stratified_sample": q36_stratified_sample,
+        "q37_vocab_topk": q37_vocab_topk,
+        "q38_redaction": q38_redaction,
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
         "q42_nested_keywords": q42_nested_keywords,
@@ -1288,6 +1315,25 @@ SELECT doc_id, lang, source FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= 5 ORDER BY doc_id
+""",
+        "q37_vocab_topk": """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x != '')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM words GROUP BY word
+ORDER BY n_occurrences DESC, word LIMIT 20
+""",
+        "q38_redaction": """
+SELECT c_custkey,
+       regexp_replace(c_name, '\\d{4,}', '[ID]', 'g') AS redacted,
+       len(regexp_extract_all(c_name, '\\d{4,}'))::INTEGER AS n_redacted,
+       array_to_string(regexp_extract_all(c_name, '\\d{4,}'), ',') AS redacted_values,
+       sha256(regexp_replace(c_name, '\\d{4,}', '[ID]', 'g')) AS redacted_sha
+FROM customer ORDER BY c_custkey
 """,
         "q47_soundex_blocking": _soundex_oracle_sql(),
         "q50_media_features": """

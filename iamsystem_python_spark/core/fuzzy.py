@@ -403,19 +403,142 @@ class EditexAlgo(StringDistance):
         return out
 
 
+import re as _re
+
+
+def _apply_rules(word: str, rules: Sequence[Tuple[str, str]]) -> str:
+    for pat, rep in rules:
+        word = _re.sub(pat, rep, word)
+    return word
+
+
+# Shared step-6 consonant rewrites (identical in both Caverphone revisions).
+_CAVERPHONE_CONSONANTS = (
+    ("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"), ("tch", "2ch"),
+    ("c", "k"), ("q", "k"), ("x", "k"), ("v", "f"), ("dg", "2g"),
+    ("tio", "sio"), ("tia", "sia"), ("d", "t"), ("ph", "fh"), ("b", "p"),
+    ("sh", "s2"), ("z", "s"),
+)
+_CAVERPHONE_RUNS = (
+    ("s+", "S"), ("t+", "T"), ("p+", "P"), ("k+", "K"), ("f+", "F"),
+    ("m+", "M"), ("n+", "N"),
+)
+
+
+def caverphone1(word: str) -> str:
+    """Caverphone 1.0 code (published spec: David Hood, "Caverphone:
+    Phonetic Matching Algorithm", Caversham Project technical paper
+    CTP060902, University of Otago, 2002). 6-character code padded with
+    1s. Classic examples: Thompson→TMPSN1, Lee→L11111."""
+    w = _re.sub(r"[^a-z]", "", word.lower())
+    if not w:
+        return "111111"
+    w = _apply_rules(w, (
+        ("^cough", "cou2f"), ("^rough", "rou2f"), ("^tough", "tou2f"),
+        ("^enough", "enou2f"), ("^gn", "2n"), ("mb$", "m2"),
+    ))
+    w = _apply_rules(w, _CAVERPHONE_CONSONANTS)
+    w = _apply_rules(w, (("^[aeiou]", "A"), ("[aeiou]", "3")))
+    w = _apply_rules(w, (("3gh3", "3kh3"), ("gh", "22"), ("g", "k")))
+    w = _apply_rules(w, _CAVERPHONE_RUNS)
+    w = _apply_rules(w, (
+        ("w3", "W3"), ("wy", "Wy"), ("wh3", "Wh3"), ("why", "Why"), ("w", "2"),
+        ("^h", "A"), ("h", "2"),
+        ("r3", "R3"), ("ry", "Ry"), ("r", "2"),
+        ("l3", "L3"), ("ly", "Ly"), ("l", "2"),
+        ("j", "y"), ("y3", "Y3"), ("y", "2"),
+    ))
+    w = w.replace("2", "").replace("3", "")
+    return (w + "111111")[:6]
+
+
+def caverphone2(word: str) -> str:
+    """Caverphone 2.0 code (published revision: David Hood, "Caverphone
+    Revisited", Caversham Project technical paper CTP150804, University of
+    Otago, 2004). 10-character code padded with 1s; keeps a trailing-vowel
+    marker (final 3 → A). Classic examples: Stevenson→STFNSN1111,
+    Peter→PTA1111111, Thompson→TMPSN11111."""
+    w = _re.sub(r"[^a-z]", "", word.lower())
+    if not w:
+        return "1111111111"
+    w = _apply_rules(w, (
+        ("e$", ""),
+        ("^cough", "cou2f"), ("^rough", "rou2f"), ("^tough", "tou2f"),
+        ("^enough", "enou2f"), ("^trough", "trou2f"), ("^gn", "2n"),
+        ("mb$", "m2"),
+    ))
+    w = _apply_rules(w, _CAVERPHONE_CONSONANTS)
+    w = _apply_rules(w, (("^[aeiou]", "A"), ("[aeiou]", "3")))
+    w = _apply_rules(w, (("j", "y"), ("^y3", "Y3"), ("^y", "A"), ("y", "3")))
+    w = _apply_rules(w, (("3gh3", "3kh3"), ("gh", "22"), ("g", "k")))
+    w = _apply_rules(w, _CAVERPHONE_RUNS)
+    w = _apply_rules(w, (
+        ("w3", "W3"), ("wh3", "Wh3"), ("w$", "3"), ("w", "2"),
+        ("^h", "A"), ("h", "2"),
+        ("r3", "R3"), ("r$", "3"), ("r", "2"),
+        ("l3", "L3"), ("l$", "3"), ("l", "2"),
+    ))
+    w = w.replace("2", "")
+    w = _re.sub("3$", "A", w)
+    w = w.replace("3", "")
+    return (w + "1111111111")[:10]
+
+
+class CaverphoneAlgo(StringDistance):
+    """Phonetic approximate match via Caverphone codes — native analogue of
+    SpellWiseWrapper(CAVERPHONE_1/CAVERPHONE_2) (reference
+    spellwise.py:32-42,59-138). Same code-indexed lookup shape as
+    SoundexAlgo: dictionary unigrams indexed by code; max_distance=0 is the
+    classic identical-code phonetic join, >0 allows edits on the code."""
+
+    def __init__(
+        self,
+        revision: int = 2,
+        max_distance: int = 0,
+        name: Optional[str] = None,
+        min_nb_char: int = 5,
+        words2ignore: Optional[Iterable[str]] = None,
+    ):
+        if revision not in (1, 2):
+            raise ValueError(f"caverphone revision must be 1 or 2, got {revision!r}")
+        super().__init__(name or f"caverphone_{revision}", min_nb_char, words2ignore)
+        self._code = caverphone1 if revision == 1 else caverphone2
+        self.max_distance = max_distance
+        self._by_code: Dict[str, List[str]] = defaultdict(list)
+
+    def add_words(self, words: Iterable[str]) -> None:
+        for w in words:
+            if len(w) >= self.min_nb_char:
+                self._by_code[self._code(w)].append(w)
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:
+        if self._is_a_word_to_ignore(word):
+            return NO_SYN
+        code = self._code(word)
+        if self.max_distance == 0:
+            return [(c,) for c in self._by_code.get(code, ())]
+        out: List[SynType] = []
+        for cand_code, cand_words in self._by_code.items():
+            if levenshtein(code, cand_code, self.max_distance) <= self.max_distance:
+                out.extend((c,) for c in cand_words)
+        return out
+
+
 SPELLWISE_MEASURES = {
     "levenshtein": LevenshteinAlgo,
     "soundex": SoundexAlgo,
     "editex": EditexAlgo,
+    "caverphone_1": lambda **kw: CaverphoneAlgo(revision=1, **kw),
+    "caverphone_2": lambda **kw: CaverphoneAlgo(revision=2, **kw),
 }
 
 
 def spellwise_algo(measure="levenshtein", **params) -> StringDistance:
     """Factory matching the reference's SpellWiseWrapper(measure=...) config
     surface (spellwise.py:59-96). ``measure`` may be a string or an
-    enum-like with ``.name``. Unsupported measures (TYPOX, CAVERPHONE_1/2 —
-    reference spellwise.py:32-42) raise instead of silently degrading to
-    Levenshtein."""
+    enum-like with ``.name``. The one unsupported measure (TYPOX — reference
+    spellwise.py:32-42; no published algorithm spec to implement against)
+    raises instead of silently degrading to Levenshtein."""
     if hasattr(measure, "name"):
         measure = measure.name
     key = str(measure).lower()

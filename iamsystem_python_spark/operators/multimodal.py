@@ -264,6 +264,71 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # grayscale uint8, row-major
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _resample_area(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W) [0,1] → (out_h, out_w) by block-mean (area) resampling —
+    deterministic, library-free."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    out = np.zeros((out_h, out_w), dtype=np.float32)
+    for yi in range(out_h):
+        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+        for xi in range(out_w):
+            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+            out[yi, xi] = float(gray[y0:y1, x0:x1].mean())
+    return out
+
+
+def resize_images(
+    media_df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Image resize as an Arrow-batched kernel: decode (same seam as
+    extract_features) → area-resample to (height, width) grayscale → uint8
+    bytes. Undecodable rows get a deterministic fake thumbnail with
+    ``decoder='fake'``. Same repartition-by-id spread as extract_features —
+    one shuffle, then embarrassingly parallel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        img_decode, img_flag = _resolve_image_decoder()
+        for pdf in batches:
+            rows: List[dict] = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.data) if r.data is not None else b""
+                gray = None if fake else img_decode(data)
+                if gray is not None and gray.size:
+                    small, flag = _resample_area(gray, height, width), img_flag
+                else:
+                    seed = zlib.crc32(data) & 0x7FFFFFFF
+                    small = np.random.RandomState(seed).random_sample(
+                        (height, width)
+                    ).astype(np.float32)
+                    flag = "fake"
+                px = np.clip(small * 255.0, 0, 255).astype(np.uint8).tobytes()
+                rows.append(
+                    dict(media_id=r.media_id, width=width, height=height,
+                         pixels=px, decoder=flag)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return (
+        media_df.where(F.col("kind").isin("image", "video"))
+        .select("media_id", "data")
+        .repartition(F.xxhash64("media_id"))
+        .mapInPandas(kernel, schema=RESIZED_SCHEMA)
+    )
+
+
 def frame_sample_plan(
     media_df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

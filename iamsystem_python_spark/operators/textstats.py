@@ -131,6 +131,54 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocabulary_topk(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Corpus vocabulary statistics: the ``top_n`` most frequent words with
+    occurrence and document-frequency counts. The canonical wordcount — at
+    scale this is a map-side-combined groupBy over the exploded words plus
+    a TakeOrderedAndProject top-k (no full sort materialization). Tie-break
+    on the word itself keeps the top-k cut deterministic, which is what
+    makes the DuckDB oracle exact."""
+    words = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(top_n)
+    )
+
+
+def redact_patterns(
+    df: DataFrame,
+    col: str,
+    pattern: str = r"\d{4,}",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII/secret redaction: replace every regex match in ``col`` and count
+    what was removed — the relational face of the reference's
+    replace_annots / replace_offsets_by_new_str splice
+    (annotation.py:293-311, tokenization/util.py:55-75), with the regex
+    standing in for the annotation offsets. Pure codegen (regexp_replace /
+    regexp_extract_all + sha2); the sha256 of the redacted text is the
+    value-checkable integrity column."""
+    c = F.col(col)
+    matches = F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+    redacted = F.regexp_replace(c, pattern, replacement)
+    return (
+        df.withColumn("redacted", redacted)
+        .withColumn("n_redacted", F.size(matches))
+        .withColumn("redacted_values", F.array_join(matches, ","))
+        .withColumn("redacted_sha", F.sha2(redacted, 256))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization-invariant document fingerprint: sha256 of the
     whitespace-collapsed, lowercased text (catches whitespace-churn dups

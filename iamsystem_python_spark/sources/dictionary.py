@@ -1,0 +1,90 @@
+"""Dictionary / abbreviation sources: CSV- and DataFrame-backed keyword
+loading (SURVEY §2-B scans: "dictionary/abbreviation CSVs via
+spark.read.csv").
+
+The reference builds its Terminology from in-code keyword lists
+(keywords/collection.py:15-59, Entity adds kb_id keywords.py:31-41). In a
+Spark pipeline the dictionary lives in a table; it is always the SMALL side
+(≤ millions of entries vs 10^12 documents), so the load path is: read with
+Spark (any source the cluster can scan), project to (label, kb_id),
+``collect()`` to the driver, compile into the broadcastable Matcher/trie.
+The collect here is deliberate, not an anti-pattern — the compiled trie is
+what ships to executors (SURVEY D6)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Guard against a mis-pointed path silently collecting a huge table onto
+# the driver. Real dictionaries (UMLS-scale) stay far under this.
+MAX_DICTIONARY_ROWS = 5_000_000
+
+
+def read_keywords_csv(
+    spark: SparkSession,
+    path: str,
+    label_col: str = "label",
+    kb_id_col: Optional[str] = "kb_id",
+    **csv_options,
+) -> DataFrame:
+    """Keyword dictionary from CSV → DataFrame(label, kb_id). Header row
+    expected by default (override via csv_options). Rows with an empty
+    label are dropped (the reference warns-and-drops empty keywords at trie
+    build, trie.py:46-50 — here they never reach it)."""
+    opts = {"header": "true", **csv_options}
+    df = spark.read.options(**opts).csv(path)
+    if label_col not in df.columns:
+        raise ValueError(
+            f"dictionary CSV at {path!r} has no column {label_col!r}; "
+            f"found {df.columns}"
+        )
+    kb = (
+        F.col(kb_id_col)
+        if kb_id_col is not None and kb_id_col in df.columns
+        else F.lit(None).cast("string")
+    )
+    return (
+        df.select(F.col(label_col).alias("label"), kb.alias("kb_id"))
+        .where(F.col("label").isNotNull() & (F.trim("label") != ""))
+    )
+
+
+def collect_keywords(dict_df: DataFrame) -> List[Tuple[str, Optional[str]]]:
+    """Dictionary DataFrame → the [(label, kb_id)] list Matcher.build
+    consumes. Fails loudly if the frame is implausibly large for a
+    driver-side dictionary (see MAX_DICTIONARY_ROWS)."""
+    rows = dict_df.select("label", "kb_id").limit(MAX_DICTIONARY_ROWS + 1).collect()
+    if len(rows) > MAX_DICTIONARY_ROWS:
+        raise ValueError(
+            f"dictionary has more than {MAX_DICTIONARY_ROWS} rows; "
+            "that is not a broadcastable keyword dictionary"
+        )
+    return [(r.label, r.kb_id) for r in rows]
+
+
+def read_abbreviations_csv(
+    spark: SparkSession,
+    path: str,
+    short_col: str = "short",
+    long_col: str = "long",
+    **csv_options,
+) -> List[Tuple[str, str]]:
+    """Abbreviation table from CSV → [(short_form, long_form)] for
+    Matcher.build(abbreviations=...) (reference abbreviations.py:26-88)."""
+    opts = {"header": "true", **csv_options}
+    df = spark.read.options(**opts).csv(path)
+    for c in (short_col, long_col):
+        if c not in df.columns:
+            raise ValueError(
+                f"abbreviation CSV at {path!r} has no column {c!r}; "
+                f"found {df.columns}"
+            )
+    rows = (
+        df.select(F.col(short_col).alias("s"), F.col(long_col).alias("l"))
+        .where(F.col("s").isNotNull() & F.col("l").isNotNull())
+        .collect()
+    )
+    return [(r.s, r.l) for r in rows]

@@ -326,6 +326,38 @@ def test_soundex_editex_reference_spellwise_parity():
     assert ("insuffisance",) in list(ed.get_syns_of_word("insufizzance"))
 
 
+def test_caverphone_published_codes():
+    """Published worked examples (David Hood, Caversham Project, University
+    of Otago — CTP060902 for 1.0, CTP150804 'Caverphone Revisited' for
+    2.0). These are the classic spec examples, not reference-derived (the
+    spellwise library the reference wraps is unavailable here)."""
+    from iamsystem_python_spark.core.fuzzy import caverphone1, caverphone2
+
+    assert caverphone1("Thompson") == "TMPSN1"
+    assert caverphone1("Lee") == "L11111"
+    assert len(caverphone1("x")) == 6
+
+    assert caverphone2("Stevenson") == "STFNSN1111"
+    assert caverphone2("Peter") == "PTA1111111"
+    assert caverphone2("Thompson") == "TMPSN11111"
+    # spelling variants the algorithm was designed to conflate
+    assert caverphone2("Stephenson") == caverphone2("Stevenson")
+    assert caverphone2("Tompson") == caverphone2("Thompson")
+    assert len(caverphone2("x")) == 10
+
+
+def test_caverphone_algo_suggestions():
+    from iamsystem_python_spark.core.fuzzy import CaverphoneAlgo
+
+    cv = CaverphoneAlgo(revision=2, max_distance=0, min_nb_char=5)
+    cv.add_words(["stevenson", "cardiaque"])
+    assert list(cv.get_syns_of_word("stephenson")) == [("stevenson",)]
+    assert list(cv.get_syns_of_word("cardiaque")) == [("cardiaque",)]
+    assert list(cv.get_syns_of_word("zzzzzz")) == []
+    # min_nb_char gate (api.py:204-208 semantics shared across measures)
+    assert list(cv.get_syns_of_word("lee")) == []
+
+
 def test_spellwise_measure_dispatch_and_reject():
     """Matcher.build honors measure= (soundex/editex route to the native
     algos) and REJECTS unsupported measures instead of silently running
@@ -364,11 +396,19 @@ def test_spellwise_measure_dispatch_and_reject():
             keywords=["prostate"],
             spellwise=[dict(measure="typox", max_distance=2)],
         )
-    with pytest.raises(ValueError, match="unsupported spellwise measure"):
-        Matcher.build(
-            keywords=["prostate"],
-            spellwise=[dict(measure="caverphone_1", max_distance=2)],
-        )
+    # caverphone (both revisions) now dispatch to the native algo
+    m4 = Matcher.build(
+        keywords=["stevenson"],
+        spellwise=[dict(measure="caverphone_2", max_distance=0, min_nb_char=5)],
+        w=1,
+    )
+    assert len(m4.annot_text("stephenson")) == 1
+    m5 = Matcher.build(
+        keywords=["thompson"],
+        spellwise=[dict(measure="CAVERPHONE_1", max_distance=0, min_nb_char=5)],
+        w=1,
+    )
+    assert len(m5.annot_text("tompson")) == 1
 
 
 def test_abbreviations_gate():

@@ -109,3 +109,48 @@ def test_code_table_wrong_columns_fails_loudly(spark, tmp_path):
     bad.write.parquet(p)
     with pytest.raises(ValueError, match="missing columns"):
         read_code_table(spark, p)
+
+
+def test_dictionary_csv_sources(spark, tmp_path):
+    """CSV-backed keyword + abbreviation dictionaries (SURVEY §2-B scans:
+    'dictionary/abbreviation CSVs via spark.read.csv') feed Matcher.build
+    end-to-end: load → collect (the deliberate small-side collect, SURVEY
+    D6) → compile → annotate."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.sources.dictionary import (
+        collect_keywords,
+        read_abbreviations_csv,
+        read_keywords_csv,
+    )
+
+    kw_csv = tmp_path / "kw.csv"
+    kw_csv.write_text(
+        "label,kb_id\n"
+        "insuffisance cardiaque,I50.9\n"
+        "table scan,\n"
+        "  ,IGNORED\n"  # blank label dropped
+    )
+    ab_csv = tmp_path / "ab.csv"
+    ab_csv.write_text("short,long\nic,insuffisance cardiaque\n")
+
+    dict_df = read_keywords_csv(spark, str(kw_csv))
+    kws = collect_keywords(dict_df)
+    assert ("insuffisance cardiaque", "I50.9") in kws
+    assert len(kws) == 2  # blank label dropped
+
+    abbs = read_abbreviations_csv(spark, str(ab_csv))
+    assert abbs == [("ic", "insuffisance cardiaque")]
+
+    m = Matcher.build(keywords=kws, abbreviations=abbs, w=1)
+    annots = m.annot_text("ic severe")
+    assert len(annots) == 1
+    assert "I50.9" in str(annots[0])
+
+
+def test_dictionary_csv_missing_column_fails(spark, tmp_path):
+    from iamsystem_python_spark.sources.dictionary import read_keywords_csv
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("name\nfoo\n")
+    with pytest.raises(ValueError, match="no column 'label'"):
+        read_keywords_csv(spark, str(bad))

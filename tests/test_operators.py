@@ -321,6 +321,43 @@ def test_multimodal_real_decoders(spark):
     assert again == {k: v.features for k, v in got.items()}
 
 
+def test_multimodal_resize(spark):
+    """resize_images: real decode → area-resample → uint8 grayscale bytes.
+    A half-black/half-white PPM resized to 2×2 must keep its spatial
+    structure (left column black, right column white); undecodable bytes
+    fall back to a deterministic fake thumbnail flagged 'fake'."""
+    from iamsystem_python_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    # 8×8 PPM: left 4 columns black, right 4 columns white
+    w = h = 8
+    px = bytearray()
+    for _y in range(h):
+        for x in range(w):
+            v = 0 if x < 4 else 255
+            px += bytes((v, v, v))
+    split_ppm = b"P6\n8 8\n255\n" + bytes(px)
+    rows = [
+        ("img_split", "image", "image/x-ppm", 8, 8, None, split_ppm),
+        ("junk", "image", None, None, None, None, b"notanimage"),
+        ("aud", "audio", "audio/wav", None, None, 100, b"RIFFxxxx"),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r for r in resize_images(media, width=2, height=2).collect()}
+
+    assert set(got) == {"img_split", "junk"}  # audio rows filtered
+    r = got["img_split"]
+    assert r.decoder == "numpy" and r.width == 2 and r.height == 2
+    p = list(bytes(r.pixels))  # row-major: [y0x0, y0x1, y1x0, y1x1]
+    assert p[0] == 0 and p[2] == 0 and p[1] == 255 and p[3] == 255
+    assert got["junk"].decoder == "fake" and len(bytes(got["junk"].pixels)) == 4
+    again = {m.media_id: bytes(m.pixels)
+             for m in resize_images(media, width=2, height=2).collect()}
+    assert again == {k: bytes(v.pixels) for k, v in got.items()}
+
+
 # --- similarity: bucketed LSH vs brute force ----------------------------------
 
 
