@@ -681,6 +681,42 @@ def q38_redaction(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+def q39_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase event matched to the
+    same user's most recent click at-or-before it. Implemented as the
+    union + single-window carry (ONE shuffle, linear — no range-join pair
+    blowup); the DuckDB oracle is the semantically equivalent LATERAL
+    argmax, so the hash compare proves the window formulation matches the
+    declarative definition row-for-row."""
+    from iamsystem_python_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts",
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases, clicks,
+        left_key="user_id", right_key="user_id",
+        left_ts="purchase_ts", right_ts="ts",
+        value_cols=["click_id", "click_value"],
+        tiebreak_col="click_id",
+    )
+    # no-match nulls → sentinels: the driver's value compare (and pandas
+    # round-trips) treat NaN/NaT inconsistently across engines
+    return joined.select(
+        "purchase_id", "user_id", "purchase_ts",
+        F.coalesce("asof_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("asof_ts"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+    ).orderBy("purchase_id")
+
+
 def q47_soundex_blocking(spark, sf_dir):
     """Phonetic blocking by American Soundex code over part-name words —
     the SQL-expressible face of the SoundexAlgo fuzzy measure
@@ -741,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_stratified_sample": q36_stratified_sample,
         "q37_vocab_topk": q37_vocab_topk,
         "q38_redaction": q38_redaction,
+        "q39_asof_join": q39_asof_join,
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
         "q42_nested_keywords": q42_nested_keywords,
@@ -1334,6 +1371,21 @@ SELECT c_custkey,
        array_to_string(regexp_extract_all(c_name, '\\d{4,}'), ',') AS redacted_values,
        sha256(regexp_replace(c_name, '\\d{4,}', '[ID]', 'g')) AS redacted_sha
 FROM customer ORDER BY c_custkey
+""",
+        "q39_asof_join": """
+SELECT c.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS purchase_ts,
+       coalesce(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+       coalesce(p.event_id, -1) AS click_id,
+       coalesce(p.value, -1.0) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+LEFT JOIN LATERAL (
+  SELECT ts, value, event_id FROM events e
+  WHERE e.user_id = c.user_id AND e.event_type = 'click' AND e.ts <= c.ts
+  ORDER BY ts DESC, event_id DESC LIMIT 1
+) p ON true
+ORDER BY purchase_id
 """,
         "q47_soundex_blocking": _soundex_oracle_sql(),
         "q50_media_features": """

@@ -1,0 +1,102 @@
+"""As-of join — a temporal operator Spark's DataFrame API lacks natively
+(task brief §custom operators; cf. pandas ``merge_asof`` and Flink temporal
+joins).
+
+For each left row, find the single most recent right row with
+``right.ts <= left.ts`` for the same key. The naive relational form is a
+range join (``l.key = r.key AND r.ts <= l.ts`` + argmax), which explodes to
+O(|L|·|R|) per key before the argmax prunes it. This implementation is the
+scale shape: tag both sides, UNION, one window over (key) ordered by
+(ts, side, tiebreak), and ``last(..., ignorenulls=True)`` carries the most
+recent right row forward onto each left row. Cost: ONE shuffle on the key
++ a per-partition sort — linear in |L|+|R|, no pair blowup.
+
+Determinism: right rows sort before left rows at equal ts (inclusive
+match), and ties among right rows break by ``tiebreak_col`` ascending — so
+the carried row is exactly ``ORDER BY ts DESC, tiebreak DESC LIMIT 1`` of
+the matching right rows (the DuckDB LATERAL oracle in __spark_entry__ q39
+spells out that equivalent form). All carried columns travel in ONE struct
+so they always come from the same right row, even when some of its value
+columns are null.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``value_cols`` (and the
+    matched timestamp, as ``asof_ts``) from the most recent ``right`` row
+    with ``right_ts <= left_ts`` and matching key; nulls when no right row
+    precedes. ``tiebreak_col`` orders equal-timestamp right rows (last one
+    wins); pass it whenever right timestamps can tie, or the output is not
+    deterministic."""
+    lcols = left.columns
+    clash = (set(value_cols) | {"asof_ts"}) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"output columns {sorted(clash)} collide with left columns; "
+            "rename one side before joining"
+        )
+
+    lhs = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tie"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                [f"rts:{right.schema[right_ts].dataType.simpleString()}"]
+                + [f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols]
+            ) + ">"
+        ).alias("__pack"),
+        *[F.col(c) for c in lcols],
+    )
+    tie = (
+        F.col(tiebreak_col).cast("long")
+        if tiebreak_col is not None
+        else F.lit(0).cast("long")
+    )
+    rhs = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        tie.alias("__tie"),
+        F.struct(
+            F.col(right_ts).alias("rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__pack"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+
+    # right rows sort before left rows at equal ts (inclusive <=); equal-ts
+    # right rows resolve by tiebreak ascending → last() picks the max.
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).withColumn(
+        "__pack", F.last("__pack", ignorenulls=True).over(w)
+    )
+    return (
+        carried.where(F.col("__side") == 1)
+        .select(
+            *lcols,
+            F.col("__pack.rts").alias("asof_ts"),
+            *[F.col(f"__pack.{c}").alias(c) for c in value_cols],
+        )
+    )

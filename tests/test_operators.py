@@ -321,6 +321,43 @@ def test_multimodal_real_decoders(spark):
     assert again == {k: v.features for k, v in got.items()}
 
 
+def test_asof_join_planted(spark):
+    """asof_join on a hand-built truth table: inclusive <= match, per-key
+    isolation, null when nothing precedes, equal-ts ties resolved by the
+    tiebreak column, and null VALUE columns still travel with their own
+    row (the struct-carry guarantee — independent carry would desync)."""
+    from iamsystem_python_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 5, "L2"), ("b", 7, "L3"), ("c", 9, "L4")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 5, 1, "r1"),   # equal-ts inclusive match for L2
+            ("a", 5, 2, "r2"),   # tie at t=5: higher id wins
+            ("a", 8, 3, None),   # null value col must still be carried
+            ("b", 7, 4, "r4"),
+            ("b", 99, 5, "r5"),  # after L3 — never matched
+        ],
+        ["k", "t", "rid", "val"],
+    )
+    got = {
+        r.tag: r
+        for r in asof_join(
+            left, right, "k", "k", "t", "t",
+            value_cols=["rid", "val"], tiebreak_col="rid",
+        ).collect()
+    }
+    assert got["L1"].rid == 3 and got["L1"].val is None and got["L1"].asof_ts == 8
+    assert got["L2"].rid == 2 and got["L2"].val == "r2" and got["L2"].asof_ts == 5
+    assert got["L3"].rid == 4 and got["L3"].val == "r4"
+    assert got["L4"].rid is None and got["L4"].val is None and got["L4"].asof_ts is None
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "k", "t", "t", value_cols=["tag"])
+
+
 def test_multimodal_resize(spark):
     """resize_images: real decode → area-resample → uint8 grayscale bytes.
     A half-black/half-white PPM resized to 2×2 must keep its spatial
