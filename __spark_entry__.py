@@ -717,6 +717,68 @@ def q39_asof_join(spark, sf_dir):
     ).orderBy("purchase_id")
 
 
+def q48_session_overlap(spark, sf_dir):
+    """Range (interval-overlap) join (operators/ranges.py): pairs of
+    sessions of DIFFERENT users that overlap in time. Sessions from
+    gaps-and-islands (q05's 30-min rule); the self-join runs as the
+    bucketed equi-join (1-hour buckets, dedup-free via the
+    overlap-start-bucket trick) — no inequality-join cartesian. Interval
+    bounds use truncated epoch seconds on BOTH engines so boundary
+    semantics match exactly."""
+    from iamsystem_python_spark.operators.ranges import interval_overlap_join
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = (
+        e.withColumn("sess_id", F.sum(new_sess).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("s"),
+            F.max(F.unix_timestamp("ts")).alias("t"),
+        )
+    )
+
+    def side(p):
+        return sessions.select(
+            F.col("user_id").alias(f"{p}_user"),
+            F.col("sess_id").cast("long").alias(f"{p}_sess"),
+            F.col("s").alias(f"{p}_start"),
+            F.col("t").alias(f"{p}_end"),
+        )
+
+    pairs = interval_overlap_join(
+        side("a"), side("b"),
+        "a_start", "a_end", "b_start", "b_end",
+        bucket_width=3600,
+        extra_pred=F.col("a_user") < F.col("b_user"),
+    )
+    return pairs.select(
+        "a_user", "a_sess", "b_user", "b_sess",
+        (F.least("a_end", "b_end") - F.greatest("a_start", "b_start")).alias(
+            "overlap_s"
+        ),
+    ).orderBy("a_user", "a_sess", "b_user", "b_sess")
+
+
+def q49_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): per-user avg event value by event type as
+    columns. Spark's groupBy().pivot() with an EXPLICIT value list (no
+    extra distinct-scan job, deterministic column set) — compiles to one
+    hash aggregate over conditional aggregations, same as the ANSI oracle."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.avg("value"), 6))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(-1.0)).alias(f"avg_{t}") for t in types]
+    return out.select("user_id", *cols).orderBy("user_id")
+
+
 def q47_soundex_blocking(spark, sf_dir):
     """Phonetic blocking by American Soundex code over part-name words —
     the SQL-expressible face of the SoundexAlgo fuzzy measure
@@ -778,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_vocab_topk": q37_vocab_topk,
         "q38_redaction": q38_redaction,
         "q39_asof_join": q39_asof_join,
+        "q48_session_overlap": q48_session_overlap,
+        "q49_pivot": q49_pivot,
         "q40_keyword_matches": q40_keyword_matches,
         "q41_keyword_doc_freq": q41_keyword_doc_freq,
         "q42_nested_keywords": q42_nested_keywords,
@@ -1386,6 +1450,40 @@ LEFT JOIN LATERAL (
   ORDER BY ts DESC, event_id DESC LIMIT 1
 ) p ON true
 ORDER BY purchase_id
+""",
+        "q48_session_overlap": """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM marked
+), sessions AS (
+  SELECT user_id, sess_id::BIGINT AS sess_id,
+         min(floor(epoch(ts)))::BIGINT AS s,
+         max(floor(epoch(ts)))::BIGINT AS t
+  FROM numbered GROUP BY user_id, sess_id
+)
+SELECT a.user_id AS a_user, a.sess_id AS a_sess,
+       b.user_id AS b_user, b.sess_id AS b_sess,
+       (least(a.t, b.t) - greatest(a.s, b.s))::BIGINT AS overlap_s
+FROM sessions a JOIN sessions b
+  ON a.user_id < b.user_id AND a.s <= b.t AND b.s <= a.t
+ORDER BY a_user, a_sess, b_user, b_sess
+""",
+        "q49_pivot": """
+SELECT user_id,
+       coalesce(round(avg(CASE WHEN event_type = 'click' THEN value END), 6), -1.0) AS avg_click,
+       coalesce(round(avg(CASE WHEN event_type = 'view' THEN value END), 6), -1.0) AS avg_view,
+       coalesce(round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6), -1.0) AS avg_purchase,
+       coalesce(round(avg(CASE WHEN event_type = 'signup' THEN value END), 6), -1.0) AS avg_signup,
+       coalesce(round(avg(CASE WHEN event_type = 'error' THEN value END), 6), -1.0) AS avg_error
+FROM events GROUP BY user_id ORDER BY user_id
 """,
         "q47_soundex_blocking": _soundex_oracle_sql(),
         "q50_media_features": """

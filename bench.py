@@ -237,6 +237,59 @@ def scaling_run(work: str, n: int | None = None) -> dict:
     return results
 
 
+def _pinned_attempt(work: str, cpus: int, rows: int, tag: str, runs: int = 2) -> dict:
+    """One taskset-pinned subprocess running the dedup pipeline at `cpus`."""
+    import subprocess
+    import sys
+
+    cores = f"0-{cpus - 1}" if cpus > 1 else "0"
+    cmd = [
+        "taskset", "-c", cores,
+        sys.executable, os.path.abspath(__file__),
+        "--dedup-only", "--cpus", str(cpus), "--work", work,
+        "--rows", str(rows), "--tag", tag, "--runs", str(runs),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def scaling_run_interleaved(work: str, n: int | None = None, rounds: int = 3) -> dict:
+    """Scaling evidence robust to this host's minute-scale performance
+    windows: instead of all-N-then-all-4N (scaling_run — whose best-of-N
+    legs can land in DIFFERENT host windows and skew the ratio), alternate
+    single attempts N, 4N, N, 4N, ... and compute efficiency per
+    temporally-ADJACENT pair. Headline = the pair whose two fresh-page
+    probes are healthiest and most similar (matched windows); every pair
+    is reported."""
+    n = n or int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    m = 4 * n
+    pairs = []
+    for i in range(rounds):
+        rn = _pinned_attempt(work, n, DEDUP_ROWS, f"scale_i{i}_c{n}", runs=1)
+        rm = _pinned_attempt(work, m, DEDUP_ROWS, f"scale_i{i}_c{m}", runs=1)
+        pn = rn["runs"][0]["host_probe_mb_s"]
+        pm = rm["runs"][0]["host_probe_mb_s"]
+        pairs.append({
+            "round": i,
+            f"files_per_sec_{n}": rn["files_per_sec"],
+            f"files_per_sec_{m}": rm["files_per_sec"],
+            "probe_n_mb_s": pn,
+            "probe_4n_mb_s": pm,
+            "probes_matched": min(pn, pm) > 50 and max(pn, pm) / max(min(pn, pm), 1e-9) < 10,
+            "efficiency": round(rm["files_per_sec"] / (4.0 * rn["files_per_sec"]), 4),
+        })
+    matched = [p for p in pairs if p["probes_matched"]] or pairs
+    headline = max(matched, key=lambda p: min(p["probe_n_mb_s"], p["probe_4n_mb_s"]))
+    return {
+        "metric": "interleaved pinned N vs 4N (adjacent-window pairs)",
+        "n": n, "4n": m, "rows": DEDUP_ROWS,
+        "pairs": pairs,
+        "headline_pair": headline,
+        "scaling_efficiency": headline["efficiency"],
+        "hardware_ceiling_pure_cpu": hardware_ceiling(n, m),
+    }
+
+
 def _dedup_only_cli() -> None:
     """Subprocess entry for pinned scaling runs: run the dedup pipeline at
     --cpus over the shared corpus and print one JSON line."""
@@ -248,10 +301,14 @@ def _dedup_only_cli() -> None:
     ap.add_argument("--work", required=True)
     ap.add_argument("--rows", type=int, required=True)
     ap.add_argument("--tag", required=True)
+    ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
     spark = make_spark(str(args.cpus))
     try:
-        r = run_dedup_pipeline(spark, args.rows, args.work, tag=args.tag, cpus=args.cpus)
+        r = run_dedup_pipeline(
+            spark, args.rows, args.work, tag=args.tag, cpus=args.cpus,
+            runs=args.runs,
+        )
     finally:
         spark.stop()
     print(json.dumps(r))

@@ -358,6 +358,44 @@ def test_asof_join_planted(spark):
         asof_join(left, right, "k", "k", "t", "t", value_cols=["tag"])
 
 
+def test_interval_overlap_join_planted(spark):
+    """interval_overlap_join on planted intervals: closed-interval touch
+    counts, disjoint pairs don't, a pair spanning MANY shared buckets is
+    emitted exactly once (overlap-start-bucket dedup — no distinct), and
+    max_span_buckets drops degenerate long intervals."""
+    from iamsystem_python_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("L1", 0, 100), ("L2", 500, 600), ("L3", 50, 950)],
+        ["lid", "a_s", "a_e"],
+    )
+    right = spark.createDataFrame(
+        [("R1", 100, 150),   # touches L1 at 100 (closed) + inside L3
+         ("R2", 200, 300),   # inside L3 only
+         ("R3", 2000, 2100)],  # disjoint from all
+        ["rid", "b_s", "b_e"],
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "a_s", "a_e", "b_s", "b_e", bucket_width=10
+        ).collect()
+    )
+    # L3×R1 and L3×R2 share many 10-wide buckets but appear once each
+    assert got == [("L1", "R1"), ("L3", "R1"), ("L3", "R2")]
+
+    capped = interval_overlap_join(
+        left, right, "a_s", "a_e", "b_s", "b_e",
+        bucket_width=10, max_span_buckets=50,
+    ).collect()
+    # L3 spans 90 buckets > 50 → dropped; only L1×R1 survives
+    assert [(r.lid, r.rid) for r in capped] == [("L1", "R1")]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="both sides"):
+        interval_overlap_join(left, left, "a_s", "a_e", "a_s", "a_e", 10)
+
+
 def test_multimodal_resize(spark):
     """resize_images: real decode → area-resample → uint8 grayscale bytes.
     A half-black/half-white PPM resized to 2×2 must keep its spatial
