@@ -599,16 +599,17 @@ class NgramSimilarity(StringDistance):
             return inter / ((len(a) * len(b)) ** 0.5)
         if self.measure == "overlap":
             return inter / min(len(a), len(b))
-        if self.measure == "exact":
-            # simstring's 'exact' (ESimStringMeasure.EXACT): identical
-            # feature sets only — for padded char-n-grams that means the
-            # identical string
-            return 1.0 if a == b else 0.0
         raise ValueError(f"unknown measure {self.measure!r}")
 
     def get_syns_of_word(self, word: str) -> Iterable[SynType]:
         if self._is_a_word_to_ignore(word):
             return NO_SYN
+        if self.measure == "exact":
+            # simstring's 'exact' (ESimStringMeasure.EXACT) retrieves the
+            # identical STRING. Feature-set equality is not enough: any two
+            # same-char runs of length ≥ n share the identical padded
+            # n-gram set ('aaaaaa' vs 'aaaaaaa').
+            return [(word,)] if word in self._grams else NO_SYN
         grams = _char_ngrams(word, self.n)
         cands: Set[str] = set()
         for g in grams:

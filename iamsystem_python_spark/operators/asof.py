@@ -52,11 +52,16 @@ def asof_join(
             "rename one side before joining"
         )
 
+    tie_type = (
+        right.schema[tiebreak_col].dataType.simpleString()
+        if tiebreak_col is not None
+        else "long"
+    )
     lhs = left.select(
         F.col(left_key).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tie"),
+        F.lit(None).cast(tie_type).alias("__tie"),
         F.lit(None).cast(
             "struct<" + ",".join(
                 [f"rts:{right.schema[right_ts].dataType.simpleString()}"]
@@ -65,8 +70,11 @@ def asof_join(
         ).alias("__pack"),
         *[F.col(c) for c in lcols],
     )
+    # keep the tiebreak column's own (orderable) type — casting to long
+    # would silently turn e.g. string ids into all-NULLs and break the
+    # determinism the parameter exists to provide
     tie = (
-        F.col(tiebreak_col).cast("long")
+        F.col(tiebreak_col)
         if tiebreak_col is not None
         else F.lit(0).cast("long")
     )

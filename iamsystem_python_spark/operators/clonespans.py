@@ -120,7 +120,15 @@ def clone_spans(
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "tok": blobs})
 
-    blobs = docs.mapInPandas(tokenize_kernel, schema=blob_schema)
+    # persist: the blob frame feeds BOTH pair-side joins below — without it
+    # the scan + semi-join + Python tokenize kernel re-executes per side,
+    # doubling the most expensive stage. (Unlike the rejected array-column
+    # signature persist — BENCH/BASELINE.md — this is two compact scalar
+    # columns; caching them is cheap.) DataFrame caches are NOT freed by
+    # GC: long-lived sessions calling this repeatedly should
+    # spark.catalog.clearCache() between runs (same caveat as the
+    # persisted band/sim frames in dedup_text.py).
+    blobs = docs.mapInPandas(tokenize_kernel, schema=blob_schema).persist()
 
     paired = pairs.join(
         blobs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tok", "tok_a"),

@@ -71,9 +71,14 @@ def decontaminate(
     """Filter: corpus rows whose contamination is ≤ max_contamination
     (default: drop any doc sharing even one k-gram with the benchmark).
     Implemented as a broadcast-friendly left-anti pattern: scores are one
-    row per doc, joined back onto the corpus by id."""
+    row per doc, joined back onto the corpus by id. ``id_col`` names the
+    corpus' id column (renamed to the gram builder's expected ``doc_id``
+    internally)."""
+    scored_input = (
+        corpus if id_col == "doc_id" else corpus.withColumnRenamed(id_col, "doc_id")
+    )
     bad = (
-        contamination_scores(corpus, ref, text_col, k)
+        contamination_scores(scored_input, ref, text_col, k)
         .where(F.col("contamination") > max_contamination)
         .select(F.col("doc_id").alias(id_col))
     )

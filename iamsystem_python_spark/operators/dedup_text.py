@@ -170,6 +170,10 @@ def minhash_lsh_pairs_sql(
     # columnar cache is cheap: measured at sf0.1, cold 9.9→3.3 s, warm
     # 2.9→2.3 s. MEMORY_AND_DISK spills if the corpus outgrows executor
     # memory; the big pipeline shares this stage via parquet checkpoints.
+    # NOTE: DataFrame caches are not GC-freed — sessions calling these
+    # SQL variants in a loop should spark.catalog.clearCache() between
+    # runs (the returned frame is lazy, so the operator itself cannot
+    # unpersist before the caller executes it).
     bands = sig.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -214,10 +218,11 @@ def ngram_jaccard_pairs(
     ``band_bucket_cap`` in the LSH path): a block of B docs contributes
     O(B²) pairs, so any block over the cap is dropped from pair generation
     entirely rather than silently absorbing a shuffle partition at scale.
-    Dropped-block/row counts are surfaced as named ``observe`` metrics
-    (``ngram_blocks_dropped`` / ``ngram_rows_dropped`` — readable from a
-    QueryExecutionListener, no extra job). Use LSH (lsh_candidate_pairs)
-    when blocks can be large; this operator is for bounded blocks."""
+    Dropped-row counts are surfaced as one named ``observe`` metric
+    (observation ``ngram_block_cap``, column ``ngram_rows_dropped`` —
+    readable from a QueryExecutionListener, no extra job). Use LSH
+    (lsh_candidate_pairs) when blocks can be large; this operator is for
+    bounded blocks."""
     tok = (
         df.select(
             "doc_id",

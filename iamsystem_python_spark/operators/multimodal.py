@@ -156,7 +156,13 @@ def _resolve_image_decoder() -> Tuple[object, str]:
         return _pil, "pil"
     except ImportError:
         def _numpy(data: bytes) -> Optional[np.ndarray]:
-            return _decode_ppm(data) if data.startswith(b"P6") else _decode_bmp(data)
+            # malformed-but-P6-prefixed bytes must degrade to the fake
+            # path (decoder='fake'), not crash the Spark task — frombuffer/
+            # reshape raise on truncated or lying headers
+            try:
+                return _decode_ppm(data) if data.startswith(b"P6") else _decode_bmp(data)
+            except Exception:
+                return None
 
         return _numpy, "numpy"
 

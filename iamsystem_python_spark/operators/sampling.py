@@ -61,4 +61,7 @@ def sample_fraction_deterministic(
         16,
         10,
     ).cast("long")
-    return df.where(bucket < F.lit(int(fraction * 0xFFFFFFFF)))
+    # bucket is uniform on [0, 2^32); the cutoff must be fraction * 2^32
+    # (not 2^32 - 1) so fraction=1.0 keeps every row including bucket
+    # 0xFFFFFFFF
+    return df.where(bucket < F.lit(int(fraction * (1 << 32))))

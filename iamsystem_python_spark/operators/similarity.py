@@ -189,16 +189,22 @@ def kmeans_centroids(
     collects). Returns List[List[float]] (k × dim)."""
     import numpy as np
 
-    # Seeded Bernoulli sample + limit: a scan-light narrow op (no sort, no
-    # shuffle). The hash-filter form keeps it deterministic w.r.t. content
-    # rather than partition layout; fall back to a plain limit when the
-    # sampled fraction underfills (tiny test inputs).
+    # Seeded hash filter sized from a count so it keeps ~2×sample rows,
+    # then a hash-ordered limit over that SMALL filtered set: deterministic
+    # w.r.t. content regardless of partition layout (a bare filter+limit
+    # keeps whichever rows the scan delivers first whenever the filter
+    # passes more than `sample`), while the sort never touches more than
+    # ~2×sample rows. The count is one metadata-cheap job for a quantizer
+    # built once per run.
+    n = df.count()
+    mod = max(1, n // max(1, 2 * sample))
     sampled = df.select(vec_col).where(
-        F.pmod(F.xxhash64(vec_col, F.lit(seed)), F.lit(4)) == 0
+        F.pmod(F.xxhash64(vec_col, F.lit(seed)), F.lit(mod)) == 0
     )
-    rows = sampled.limit(sample).collect()
+    order = F.xxhash64(vec_col, F.lit(seed + 1))
+    rows = sampled.orderBy(order).limit(sample).collect()
     if len(rows) < min(sample, 4 * k):
-        rows = df.select(vec_col).limit(sample).collect()
+        rows = df.select(vec_col).orderBy(order).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]

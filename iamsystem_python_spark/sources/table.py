@@ -75,13 +75,15 @@ def write_code_table(
     df: DataFrame, path: str, fmt: Optional[str] = None, mode: str = "overwrite"
 ) -> None:
     """Write a code table; Iceberg `writeTo` when available (append/replace
-    semantics with snapshot isolation), parquet otherwise."""
+    semantics with snapshot isolation), parquet otherwise.
+
+    The write path never auto-routes to Iceberg: the target usually does
+    not exist yet, so the filesystem probe that disambiguates reads cannot
+    help, and a bare name like ``data`` or ``out.parquet`` is
+    indistinguishable from a catalog identifier. Writes are destructive —
+    pass ``fmt='iceberg'`` explicitly to write a catalog table."""
     if fmt is None:
-        fmt = (
-            "iceberg"
-            if iceberg_available(df.sparkSession) and not _looks_like_fs_path(path)
-            else "parquet"
-        )
+        fmt = "parquet"
     if fmt == "iceberg":
         if mode == "overwrite":
             df.writeTo(path).createOrReplace()

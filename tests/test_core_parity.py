@@ -468,6 +468,12 @@ def test_ngram_similarity_exact_measure():
     ss.add_words(["prostate", "prostates"])
     assert list(ss.get_syns_of_word("prostate")) == [("prostate",)]
     assert list(ss.get_syns_of_word("prostat")) == []
+    # identical padded n-gram SETS are not enough: same-char runs of
+    # different length share the full 3-gram set but are different strings
+    ss2 = NgramSimilarity(threshold=0.5, measure="exact", min_nb_char=5)
+    ss2.add_words(["aaaaaaa"])
+    assert list(ss2.get_syns_of_word("aaaaaa")) == []
+    assert list(ss2.get_syns_of_word("aaaaaaa")) == [("aaaaaaa",)]
 
 
 # --- annotation formatting — tests/test_annotation.py / test_brat.py ---------

@@ -98,6 +98,10 @@ def test_decontaminate_filters_leaked_docs(spark):
         ["doc_id", "text"],
     )
     assert decontaminate(leak, bench, k=5, max_contamination=0.99).count() == 0
+    # non-default id_col: renamed internally before gram building
+    corpus2 = corpus.withColumnRenamed("doc_id", "id")
+    kept2 = {r.id for r in decontaminate(corpus2, bench, k=5, id_col="id").collect()}
+    assert kept2 == {"c2", "c3"}
 
 
 def test_repetition_stats(spark):
@@ -144,6 +148,10 @@ def test_stratified_sample_deterministic(spark):
         for r in sample_fraction_deterministic(df.repartition(5), 0.25).collect()
     }
     assert f1 == f2 and 10 <= len(f1) <= 50  # ~30 expected, loose bound
+    # boundary semantics: fraction=1.0 keeps EVERY row (cutoff is 2^32,
+    # not 2^32-1), fraction=0.0 keeps none
+    assert sample_fraction_deterministic(df, 1.0).count() == 120
+    assert sample_fraction_deterministic(df, 0.0).count() == 0
 
 
 def test_spark_soundex_matches_native(spark):
@@ -357,6 +365,18 @@ def test_asof_join_planted(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "k", "k", "t", "t", value_cols=["tag"])
 
+    # non-numeric tiebreak columns keep their own type (a silent cast to
+    # long would NULL them all and make equal-ts resolution nondeterministic)
+    rs = spark.createDataFrame(
+        [("a", 5, "u1", "x"), ("a", 5, "u2", "y")], ["k", "t", "uid", "val"]
+    )
+    got2 = asof_join(
+        left, rs, "k", "k", "t", "t", value_cols=["uid", "val"],
+        tiebreak_col="uid",
+    ).collect()
+    byl = {r.tag: r for r in got2}
+    assert byl["L2"].uid == "u2" and byl["L2"].val == "y"  # max string uid wins
+
 
 def test_interval_overlap_join_planted(spark):
     """interval_overlap_join on planted intervals: closed-interval touch
@@ -431,6 +451,26 @@ def test_multimodal_resize(spark):
     again = {m.media_id: bytes(m.pixels)
              for m in resize_images(media, width=2, height=2).collect()}
     assert again == {k: bytes(v.pixels) for k, v in got.items()}
+
+
+def test_multimodal_malformed_ppm_falls_back(spark):
+    """P6-prefixed but malformed bytes (truncated body, lying header) must
+    degrade to decoder='fake', not crash the task — the numpy decode path
+    wraps header/body parsing the same way the PIL path does."""
+    from iamsystem_python_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [
+        ("trunc", "image", "image/x-ppm", 8, 8, None, b"P6\n8 8\n255\n" + b"\x00" * 10),
+        ("neg", "image", "image/x-ppm", 8, 8, None, b"P6\n-3 8\n255\n" + b"\x00" * 64),
+        ("badbmp", "image", "image/bmp", 8, 8, None, b"BM" + b"\x00" * 60),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(media, dim=8, fake=False).collect()}
+    assert {r.decoder for r in got.values()} == {"fake"}
+    assert all(len(r.features) == 8 for r in got.values())
 
 
 # --- similarity: bucketed LSH vs brute force ----------------------------------
