@@ -739,6 +739,10 @@ def q48_session_overlap(spark, sf_dir):
             F.min(F.unix_timestamp("ts")).alias("s"),
             F.max(F.unix_timestamp("ts")).alias("t"),
         )
+        # both self-join sides derive from this frame; without a persist
+        # the events scan + two window passes execute once PER SIDE. The
+        # aggregated sessions frame is tiny (one row per session).
+        .persist()
     )
 
     def side(p):
