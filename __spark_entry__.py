@@ -286,6 +286,26 @@ def q14_percentiles(spark, sf_dir):
     )
 
 
+def q15_json_extract(spark, sf_dir):
+    """Semi-structured scalar functions: parse the events.props JSON column
+    (get_json_object path extraction + cast) and aggregate per type — the
+    JSON family of the §2-B scalar surface. Stays fully in codegen; at
+    scale prefer from_json with an explicit schema once the shape is known
+    (single parse, typed columns) — this is the exploratory path-extract
+    form."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q20_exact_dedup(spark, sf_dir):
     """Per-row exact-dedup verdict (doc_id, sha, keep) — non-trivial even on
     dup-free corpora (the groups-only view returns 0 rows at sf0.01)."""
@@ -824,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_matrix": q12_priority_matrix,
         "q13_rollup": q13_rollup,
         "q14_percentiles": q14_percentiles,
+        "q15_json_extract": q15_json_extract,
         "q20_exact_dedup": q20_exact_dedup,
         "q21_fingerprint": q21_fingerprint,
         "q22_token_counts": q22_token_counts,
@@ -1270,6 +1291,12 @@ SELECT o_orderstatus,
        sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_high,
        count(*) AS n_total
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+        "q15_json_extract": """
+SELECT event_type, count(*) AS n,
+       round(avg(json_extract(props, '$.k')::INTEGER), 6) AS avg_k,
+       max(json_extract(props, '$.k')::INTEGER)::INTEGER AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "q20_exact_dedup": """
 SELECT doc_id,
