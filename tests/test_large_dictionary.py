@@ -154,3 +154,27 @@ def test_dictionary_csv_missing_column_fails(spark, tmp_path):
     bad.write_text("name\nfoo\n")
     with pytest.raises(ValueError, match="no column 'label'"):
         read_keywords_csv(spark, str(bad))
+
+
+def test_partitioned_sink_and_pruning(spark, tmp_path):
+    """Partitioned parquet sink + partition pruning (§2-B sinks): writing
+    with partitionBy(lang) lays out lang=<v>/ directories, and a reader
+    filtering on the partition column shows PartitionFilters in the scan
+    (the partition never touches the data files) — the layout a 100 TB
+    corpus table would use so per-language jobs scan only their slice."""
+    df = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "fr"][i % 2]) for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    p = str(tmp_path / "docs_by_lang")
+    df.write.partitionBy("lang").parquet(p)
+
+    import os
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("lang=")
+    ) == ["lang=en", "lang=fr"]
+
+    back = spark.read.parquet(p).where(F.col("lang") == "en")
+    assert back.count() == 20
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
