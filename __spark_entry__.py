@@ -349,12 +349,14 @@ def q24_lang_id(spark, sf_dir):
 
 
 def q25_minhash_pairs(spark, sf_dir):
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
     from iamsystem_python_spark.operators.dedup_text import minhash_lsh_pairs_sql
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_sql(
-        docs, k=3, num_perm=16, num_bands=8, threshold=0.5
-    ).orderBy("doc_a", "doc_b")
+    # re-tie: the orderBy-derived frame must keep the operator result (and
+    # its scoped band cache) alive until the driver materializes it
+    pairs = minhash_lsh_pairs_sql(docs, k=3, num_perm=16, num_bands=8, threshold=0.5)
+    return tie_cache(pairs.orderBy("doc_a", "doc_b"), pairs)
 
 
 def q26_ngram_jaccard(spark, sf_dir):
@@ -369,24 +371,24 @@ def q26_ngram_jaccard(spark, sf_dir):
 
 
 def q27_neardup_clusters(spark, sf_dir):
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
     from iamsystem_python_spark.operators.dedup_text import near_dup_clusters_sql
 
     docs = _t(spark, sf_dir, "documents")
-    return near_dup_clusters_sql(
-        docs, k=3, num_perm=16, num_bands=8, threshold=0.5
-    ).orderBy("doc_id")
+    clusters = near_dup_clusters_sql(docs, k=3, num_perm=16, num_bands=8, threshold=0.5)
+    return tie_cache(clusters.orderBy("doc_id"), clusters)
 
 
 def q28_simhash_pairs(spark, sf_dir):
     """SQL-portable SimHash + exact Hamming-join (pigeonhole over 4 bit
     blocks — a plain equi-join, no cross product; see
     operators/dedup_text.simhash_pairs_sql)."""
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
     from iamsystem_python_spark.operators.dedup_text import simhash_pairs_sql
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs_sql(docs, k=3, bits=32, max_hamming=3).orderBy(
-        "doc_a", "doc_b"
-    )
+    pairs = simhash_pairs_sql(docs, k=3, bits=32, max_hamming=3)
+    return tie_cache(pairs.orderBy("doc_a", "doc_b"), pairs)
 
 
 def q29_clone_spans(spark, sf_dir):
@@ -399,10 +401,13 @@ def q29_clone_spans(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+
     pairs = minhash_lsh_pairs_sql(docs, k=3, num_perm=16, num_bands=8, threshold=0.5)
-    return clone_spans(
+    spans = clone_spans(
         pairs, docs, min_len=5, token_col="text", tokenizer_name="english"
-    ).orderBy("doc_a", "doc_b")
+    )
+    return tie_cache(spans.orderBy("doc_a", "doc_b"), spans, pairs)
 
 
 def q30_ann_topk(spark, sf_dir):
@@ -746,6 +751,7 @@ def q48_session_overlap(spark, sf_dir):
     bounds use truncated epoch seconds on BOTH engines so boundary
     semantics match exactly."""
     from iamsystem_python_spark.operators.ranges import interval_overlap_join
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -779,12 +785,13 @@ def q48_session_overlap(spark, sf_dir):
         bucket_width=3600,
         extra_pred=F.col("a_user") < F.col("b_user"),
     )
-    return pairs.select(
+    out = pairs.select(
         "a_user", "a_sess", "b_user", "b_sess",
         (F.least("a_end", "b_end") - F.greatest("a_start", "b_start")).alias(
             "overlap_s"
         ),
     ).orderBy("a_user", "a_sess", "b_user", "b_sess")
+    return tie_cache(out, sessions)
 
 
 def q49_pivot(spark, sf_dir):

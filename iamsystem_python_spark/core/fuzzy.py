@@ -368,11 +368,30 @@ def editex(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _run_compressed_len(word: str) -> int:
+    """Length after collapsing runs of repeated letters (``prosssstate`` →
+    ``prostate`` → 8). Editex's only zero-cost insert/delete is a repeated
+    letter (``_editex_d(x, x) == 0``), which leaves the run-compressed form
+    unchanged; every costed op (≥1) changes the compressed length by ≤2
+    (a delete/substitute can merge two runs). Hence
+    ``|clen(a) - clen(b)| ≤ 2 · editex(a, b)`` — the sound pruning bound."""
+    prev = ""
+    n = 0
+    for c in word:
+        if c != prev:
+            n += 1
+            prev = c
+    return n
+
+
 class EditexAlgo(StringDistance):
     """Phonetic-aware edit distance — native analogue of
     SpellWiseWrapper(EDITEX) (reference spellwise.py:32-42,59-138).
-    Length-bucketed like LevenshteinAlgo: every insert/delete costs ≥1, so
-    candidates outside ±max_distance length never match."""
+    Candidates are bucketed by run-compressed length and scanned within
+    ±2·max_distance in compressed space: plain-length bucketing (as in
+    LevenshteinAlgo) is UNSOUND here because editex deletes repeated
+    letters at cost 0 (editex('prosssssstate', 'prostate') == 0), so valid
+    matches can differ in raw length by far more than max_distance."""
 
     def __init__(
         self,
@@ -383,21 +402,22 @@ class EditexAlgo(StringDistance):
     ):
         super().__init__(name, min_nb_char, words2ignore)
         self.max_distance = max_distance
-        self._by_len: Dict[int, List[str]] = defaultdict(list)
+        self._by_clen: Dict[int, List[str]] = defaultdict(list)
 
     def add_words(self, words: Iterable[str]) -> None:
         for w in words:
             if len(w) >= self.min_nb_char:
-                self._by_len[len(w)].append(w)
+                self._by_clen[_run_compressed_len(w)].append(w)
 
     def get_syns_of_word(self, word: str) -> Iterable[SynType]:
         if self._is_a_word_to_ignore(word):
             return NO_SYN
         out: List[SynType] = []
+        clen = _run_compressed_len(word)
         for length in range(
-            len(word) - self.max_distance, len(word) + self.max_distance + 1
+            clen - 2 * self.max_distance, clen + 2 * self.max_distance + 1
         ):
-            for cand in self._by_len.get(length, ()):
+            for cand in self._by_clen.get(length, ()):
                 if editex(word, cand) <= self.max_distance:
                     out.append((cand,))
         return out

@@ -160,7 +160,11 @@ def simhash_batch(shingle_lists, chunk_shingles: int = 1 << 21) -> np.ndarray:
             s.view(np.uint8).reshape(n, 8), axis=1, bitorder="little"
         )
         sums = bits.sum(axis=0)
-        acc = weights[sums * 2 > n]
+        # canonical tie rule: bit set iff 2·popcount >= n (ties → 1),
+        # identical to simhash64 and to the SQL variant
+        # (operators/dedup_text.simhash_sql) so signatures are comparable
+        # across all three paths
+        acc = weights[sums * 2 >= n]
         out[i] = np.bitwise_or.reduce(acc).view(np.int64) if len(acc) else 0
     return out
 
@@ -197,15 +201,17 @@ def band_hashes_batch(sigs: np.ndarray, num_bands: int) -> np.ndarray:
 
 def simhash64(shingles: np.ndarray) -> int:
     """64-bit SimHash: sign of per-bit sums of shingle hashes. Returns a
-    Python int (int64-safe) for a LongType column."""
+    Python int (int64-safe) for a LongType column. Canonical tie rule:
+    bit set iff 2·popcount >= n (ties → 1), matching ``simhash_batch`` and
+    the SQL variant (operators/dedup_text.simhash_sql)."""
     if len(shingles) == 0:
         return 0
     bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     sums = bits.sum(axis=0, dtype=np.int64)
-    half = len(shingles) / 2.0
+    n = len(shingles)
     v = 0
     for bit in range(64):
-        if sums[bit] > half:
+        if 2 * int(sums[bit]) >= n:
             v |= 1 << bit
     return v - (1 << 64) if v >= (1 << 63) else v
 

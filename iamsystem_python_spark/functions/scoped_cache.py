@@ -1,0 +1,74 @@
+"""Scoped persist — tie an operator's INTERNAL persisted frames to the
+lifetime of the frame it returns.
+
+Several operators persist an intermediate that two downstream joins consume
+(the LSH band frame, the SimHash signature frame, the clone-span token
+blobs, the q48 sessions frame). DataFrame caches are not freed by Python
+GC, so a long-running service calling such an operator in a loop accretes
+storage memory until ``spark.catalog.clearCache()``. ``tie_cache`` closes
+that leak: when the RETURNED frame is garbage-collected (or ``release`` is
+called explicitly), every internal persist registered for it is
+unpersisted.
+
+Semantics: unpersisting is always safe for correctness — Spark simply
+recomputes the lineage — so the worst case of an early release (caller
+derives a child frame, drops the parent, then materializes the child) is a
+recompute, never a wrong answer.
+"""
+
+from __future__ import annotations
+
+import weakref
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+
+# result-frame → finalizer. WeakValueDictionary semantics are wrong here
+# (we need the RESULT as the weak side); WeakKeyDictionary drops the entry
+# when the result frame dies, and `weakref.finalize` fires the unpersist.
+_FINALIZERS: "weakref.WeakKeyDictionary[DataFrame, weakref.finalize]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _unpersist_all(frames: Tuple[DataFrame, ...]) -> None:
+    for f in frames:
+        try:
+            f.unpersist(blocking=False)
+        except Exception:
+            # session already stopped / gateway gone at interpreter exit
+            pass
+
+
+def tie_cache(result: DataFrame, *persisted: DataFrame) -> DataFrame:
+    """Register ``persisted`` frames to be unpersisted when ``result`` is
+    garbage-collected (or when :func:`release` is called on it). Returns
+    ``result`` for chaining. The finalizer holds the only extra reference
+    to the persisted frames, so nothing here extends ``result``'s own
+    lifetime.
+
+    Deriving a new frame from a tied result (``tied.orderBy(...)``) does
+    NOT extend the scope — the JVM plan references the cache but the
+    Python derived object doesn't reference the tied one, so dropping the
+    tied frame would release the cache before the derived frame runs.
+    Re-tie at such call sites: ``tie_cache(tied.orderBy(...), tied)``.
+    That keeps ``tied`` alive for the derived frame's lifetime and then
+    releases transitively (``unpersist()`` on a frame that was never
+    persisted is a no-op, so tying a non-persisted owner purely for
+    keep-alive is fine)."""
+    fin = weakref.finalize(result, _unpersist_all, tuple(persisted))
+    # do not run at interpreter exit: the JVM gateway may already be gone,
+    # and the OS reclaims executor memory anyway
+    fin.atexit = False
+    _FINALIZERS[result] = fin
+    return result
+
+
+def release(result: DataFrame) -> bool:
+    """Explicitly unpersist the internal caches tied to ``result``.
+    Idempotent; returns True if anything was released."""
+    fin = _FINALIZERS.pop(result, None)
+    if fin is None or not fin.alive:
+        return False
+    fin()
+    return True

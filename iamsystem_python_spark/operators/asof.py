@@ -51,6 +51,15 @@ def asof_join(
             f"output columns {sorted(clash)} collide with left columns; "
             "rename one side before joining"
         )
+    # the union/window below manufactures these columns; an input column
+    # with one of these names would be silently clobbered → wrong results
+    reserved = {"__key", "__ts", "__side", "__tie", "__pack"}
+    res_clash = reserved & (set(lcols) | set(right.columns))
+    if res_clash:
+        raise ValueError(
+            f"columns {sorted(res_clash)} are reserved internal names of "
+            "asof_join; rename them before joining"
+        )
 
     tie_type = (
         right.schema[tiebreak_col].dataType.simpleString()

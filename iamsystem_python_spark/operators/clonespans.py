@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iamsystem_python_spark.functions.hashing import TokenIdMap
+from iamsystem_python_spark.functions.scoped_cache import tie_cache
 
 SPAN_SCHEMA = T.StructType(
     [
@@ -124,10 +125,9 @@ def clone_spans(
     # the scan + semi-join + Python tokenize kernel re-executes per side,
     # doubling the most expensive stage. (Unlike the rejected array-column
     # signature persist — BENCH/BASELINE.md — this is two compact scalar
-    # columns; caching them is cheap.) DataFrame caches are NOT freed by
-    # GC: long-lived sessions calling this repeatedly should
-    # spark.catalog.clearCache() between runs (same caveat as the
-    # persisted band/sim frames in dedup_text.py).
+    # columns; caching them is cheap.) The cache is scoped to the returned
+    # frame via tie_cache: GC of the result (or scoped_cache.release())
+    # unpersists it, so looping callers no longer accrete storage memory.
     blobs = docs.mapInPandas(tokenize_kernel, schema=blob_schema).persist()
 
     paired = pairs.join(
@@ -152,4 +152,4 @@ def clone_spans(
                 rows, columns=["doc_a", "doc_b", "a_start_i", "b_start_i", "run_len"]
             )
 
-    return paired.mapInPandas(span_kernel, schema=SPAN_SCHEMA)
+    return tie_cache(paired.mapInPandas(span_kernel, schema=SPAN_SCHEMA), blobs)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from iamsystem_python_spark.functions import sqlhash
+from iamsystem_python_spark.functions.scoped_cache import tie_cache
 
 
 def _cap_blocks(df: DataFrame, blk_col: str, max_block_size, tag: str) -> DataFrame:
@@ -170,10 +171,8 @@ def minhash_lsh_pairs_sql(
     # columnar cache is cheap: measured at sf0.1, cold 9.9→3.3 s, warm
     # 2.9→2.3 s. MEMORY_AND_DISK spills if the corpus outgrows executor
     # memory; the big pipeline shares this stage via parquet checkpoints.
-    # NOTE: DataFrame caches are not GC-freed — sessions calling these
-    # SQL variants in a loop should spark.catalog.clearCache() between
-    # runs (the returned frame is lazy, so the operator itself cannot
-    # unpersist before the caller executes it).
+    # The cache is scoped to the returned frame (tie_cache): it is
+    # unpersisted when the result is GC'd, or via scoped_cache.release().
     bands = sig.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -183,7 +182,7 @@ def minhash_lsh_pairs_sql(
         .distinct()
     )
     sh = sig.select("doc_id", F.col("hset").alias("shingles"))
-    return (
+    out = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
         .withColumn(
@@ -197,6 +196,7 @@ def minhash_lsh_pairs_sql(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return tie_cache(out, bands)
 
 
 def ngram_jaccard_pairs(
@@ -292,6 +292,9 @@ def near_dup_clusters_sql(
     # the whole signature+join subtree runs once. Unlike the array-column
     # signature stage (see minhash_lsh_pairs_sql), pairs is a tiny
     # 3-scalar-column result, so caching is cheap and correct here.
+    # tie_cache below also keeps the pairs Python object alive for the
+    # result's lifetime, so the inner bands cache (scoped to `pairs` by
+    # minhash_lsh_pairs_sql) is released transitively, in order.
     pairs = minhash_lsh_pairs_sql(
         df, text_col, k, num_perm, num_bands, threshold
     ).persist()
@@ -306,13 +309,14 @@ def near_dup_clusters_sql(
         .groupBy("doc_a")
         .agg(F.min("m1").alias("m2"))
     )
-    return (
+    out = (
         hop1.join(hop2, "doc_a", "left")
         .select(
             F.col("doc_a").alias("doc_id"),
             F.least("m1", F.coalesce("m2", "m1")).alias("cluster_id"),
         )
     )
+    return tie_cache(out, pairs)
 
 
 _MASK32 = 4294967295  # low 32 bits of the portable 60-bit shingle hash
@@ -396,7 +400,7 @@ def simhash_pairs_sql(
     ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
     a = blocks.alias("a")
     b_ = blocks.alias("b")
-    return (
+    out = (
         a.join(b_, ["block_id", "block_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -409,6 +413,7 @@ def simhash_pairs_sql(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return tie_cache(out, sim)
 
 
 def exact_dedup_decision(df: DataFrame, text_col: str = "text") -> DataFrame:

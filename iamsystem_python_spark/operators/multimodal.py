@@ -107,6 +107,12 @@ def _decode_ppm(data: bytes) -> Optional[np.ndarray]:
     if len(parts) < 3:
         return None
     w, h, maxval = parts
+    if not (1 <= maxval <= 255):
+        # maxval > 255 means 2-byte (16-bit) samples, which this uint8
+        # reader cannot decode; maxval == 0 is malformed. Returning None
+        # routes both to the flagged fake-fallback path instead of
+        # producing garbage (or inf) features labeled decoder='numpy'.
+        return None
     idx += 1  # single whitespace after maxval
     need = w * h * 3
     raw = np.frombuffer(data, dtype=np.uint8, count=need, offset=idx)

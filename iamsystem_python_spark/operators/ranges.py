@@ -16,9 +16,10 @@ exactly once.
 
 Bucket width tuning: width ≈ the typical interval length keeps the fanout
 per row at ~2 buckets. A degenerate long interval fans out into
-span/width buckets; ``max_span_buckets`` drops such rows (count observable
-via the returned frame's lineage) the same way the LSH band caps bound
-degenerate buckets (dedup_text.py).
+span/width buckets; ``max_span_buckets`` drops such rows, and each drop is
+surfaced as a named ``observe`` metric (``range_{l,r}_rows_dropped`` —
+read it from a QueryExecutionListener / ``Observation``), mirroring the
+``_cap_blocks`` backstop in dedup_text.py. Drops are never silent.
 """
 
 from __future__ import annotations
@@ -30,12 +31,25 @@ from pyspark.sql import functions as F
 
 
 def _bucketed(
-    df: DataFrame, start: str, end: str, width: int, max_span_buckets: Optional[int]
+    df: DataFrame,
+    start: str,
+    end: str,
+    width: int,
+    max_span_buckets: Optional[int],
+    tag: str,
 ) -> DataFrame:
     b0 = F.floor(F.col(start) / width)
     b1 = F.floor(F.col(end) / width)
     if max_span_buckets is not None:
-        df = df.where((b1 - b0) < max_span_buckets)
+        # surface over-span drops as a named metric (same pattern as
+        # dedup_text._cap_blocks) so degenerate-interval loss is visible
+        # at scale, then filter
+        df = df.observe(
+            f"{tag}_span_cap",
+            F.sum(
+                F.when(b1 - b0 >= max_span_buckets, 1).otherwise(0)
+            ).alias(f"{tag}_rows_dropped"),
+        ).where((b1 - b0) < max_span_buckets)
     return df.withColumn("__bucket", F.explode(F.sequence(b0, b1)))
 
 
@@ -61,8 +75,8 @@ def interval_overlap_join(
         raise ValueError(
             f"column names {sorted(clash)} appear on both sides; alias them"
         )
-    lb = _bucketed(left, l_start, l_end, bucket_width, max_span_buckets)
-    rb = _bucketed(right, r_start, r_end, bucket_width, max_span_buckets)
+    lb = _bucketed(left, l_start, l_end, bucket_width, max_span_buckets, "range_l")
+    rb = _bucketed(right, r_start, r_end, bucket_width, max_span_buckets, "range_r")
     overlap = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     # keep each true pair only in the bucket where its overlap starts
     once = F.col("__bucket") == F.floor(

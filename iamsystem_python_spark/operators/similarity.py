@@ -104,11 +104,15 @@ def lsh_bucketed_topk(
             code = code + F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
         return code
 
-    def with_buckets(df, id_alias, vec_alias):
+    def with_buckets(df, id_alias):
         # One pass over the source: all per-table bucket codes are computed
         # in a single projection and exploded, exactly like the MinHash band
         # explode (dedup_text.py) — a union of num_tables projections would
         # re-execute the source scan per table (the round-1 fan-out trap).
+        # Only the id rides along: the bucket join + candidate dedup shuffle
+        # ids, never vectors (at dim=512 a vector is ~100× the key width;
+        # shipping it through the distinct Exchange once per surviving
+        # bucket co-occurrence was the round-2 payload bug).
         per_table = F.array(
             *[
                 F.struct(
@@ -120,20 +124,30 @@ def lsh_bucketed_topk(
         )
         return df.select(
             F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
             F.explode(per_table).alias("tb"),
-        ).select(id_alias, vec_alias, "tb.table_id", "tb.bucket")
+        ).select(id_alias, "tb.table_id", "tb.bucket")
 
-    it = with_buckets(items, "neighbor_id", "i_vec")
-    q = with_buckets(queries, "query_id", "q_vec")
+    it = with_buckets(items, "neighbor_id")
+    q = with_buckets(queries, "query_id")
     cand = (
         it.join(q, ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "i_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_col(F.col("q_vec"), F.col("i_vec")), 6)
+    # re-attach vectors AFTER the id-only dedup: one equi-join per side
+    # against the id→vec projection, so each vector crosses the wire once
+    # per distinct pair, not once per bucket co-occurrence
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    i_vecs = items.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("i_vec")
+    )
+    scored = (
+        cand.join(q_vecs, "query_id")
+        .join(i_vecs, "neighbor_id")
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("i_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -189,22 +203,29 @@ def kmeans_centroids(
     collects). Returns List[List[float]] (k × dim)."""
     import numpy as np
 
-    # Seeded hash filter sized from a count so it keeps ~2×sample rows,
-    # then a hash-ordered limit over that SMALL filtered set: deterministic
-    # w.r.t. content regardless of partition layout (a bare filter+limit
-    # keeps whichever rows the scan delivers first whenever the filter
-    # passes more than `sample`), while the sort never touches more than
-    # ~2×sample rows. The count is one metadata-cheap job for a quantizer
-    # built once per run.
-    n = df.count()
-    mod = max(1, n // max(1, 2 * sample))
-    sampled = df.select(vec_col).where(
-        F.pmod(F.xxhash64(vec_col, F.lit(seed)), F.lit(mod)) == 0
-    )
+    # Seeded hash filter + hash-ordered limit over the FILTERED frame:
+    # deterministic w.r.t. content regardless of partition layout (a bare
+    # filter+limit keeps whichever rows the scan delivers first whenever
+    # the filter passes more than `sample`). `mod` is widened geometrically
+    # from a corpus-scale starting point instead of being sized from
+    # `df.count()` — a count() is a full scan at 10^12 rows just to size
+    # one knob, and the old under-fill fallback re-ranked the WHOLE corpus.
+    # Here every branch filters first, and every orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-k + driver merge — no global
+    # Sort node in any branch of the plan). At 10^12 rows the first mod
+    # already passes ~n/2^22 rows, so the widen loop (each step one cheap
+    # filtered scan) only iterates on small corpora where scans are trivial.
     order = F.xxhash64(vec_col, F.lit(seed + 1))
-    rows = sampled.orderBy(order).limit(sample).collect()
-    if len(rows) < min(sample, 4 * k):
-        rows = df.select(vec_col).orderBy(order).limit(sample).collect()
+    enough = min(sample, 4 * k)
+    mod = 1 << 22
+    while True:
+        sampled = df.select(vec_col).where(
+            F.pmod(F.xxhash64(vec_col, F.lit(seed)), F.lit(mod)) == 0
+        )
+        rows = sampled.orderBy(order).limit(sample).collect()
+        if len(rows) >= enough or mod == 1:
+            break
+        mod = max(1, mod >> 6)
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]

@@ -298,6 +298,33 @@ def test_editex_algo_suggestions():
     assert list(ed.get_syns_of_word("zzzzzz")) == []
 
 
+def test_editex_algo_free_repeat_deletes_not_pruned():
+    """Editex deletes a doubled letter at cost 0, so a candidate whose RAW
+    length differs from the query's by far more than max_distance can still
+    match (editex('prosssssstate','prostate') == 0). Plain-length bucketing
+    would silently miss it (the round-2 ADVICE recall bug); run-compressed
+    length bucketing with a ±2·max_distance scan keeps it."""
+    from iamsystem_python_spark.core.fuzzy import (
+        EditexAlgo,
+        _run_compressed_len,
+        editex,
+    )
+
+    assert editex("prosssssstate", "prostate") == 0
+    assert _run_compressed_len("prosssssstate") == _run_compressed_len("prostate") == 8
+
+    ed = EditexAlgo(max_distance=1, min_nb_char=5)
+    ed.add_words(["prostate", "cancer"])
+    # raw length differs by 5 > max_distance=1, yet the match is valid
+    assert ("prostate",) in list(ed.get_syns_of_word("prosssssstate"))
+    # and the reverse direction: long dictionary word, short query
+    ed2 = EditexAlgo(max_distance=1, min_nb_char=5)
+    ed2.add_words(["prosssssstate"])
+    assert ("prosssssstate",) in list(ed2.get_syns_of_word("prostate"))
+    # pruning still prunes: far-compressed-length words never scanned
+    assert list(ed.get_syns_of_word("zzzzzzzzzzzzzzzzzzzzzz")) == []
+
+
 def test_soundex_editex_reference_spellwise_parity():
     """Ported assertions from reference tests/test_spellwise.py:117-130:
     at max_distance=1, SOUNDEX hears 'inssssuffffizzzensssse' as

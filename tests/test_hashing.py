@@ -115,3 +115,22 @@ def test_splitmix_avalanche():
     x = np.array([1, 2], dtype=np.uint64)
     h = splitmix64(x)
     assert bin(int(h[0]) ^ int(h[1])).count("1") > 16
+
+
+def test_simhash_tie_rule_unified():
+    """Canonical tie rule: bit set iff 2·popcount >= n (ties → 1) — the
+    same rule in the scalar path, the batch kernel, and the SQL variant
+    (operators/dedup_text.simhash_sql), so signatures are comparable
+    across all three paths (round-2 VERDICT #5)."""
+    # two shingles, bit 0 split exactly 1/1 → tie → bit 0 SET
+    s = np.array([0, 1], dtype=np.uint64)
+    assert simhash64(s) & 1 == 1
+    assert int(simhash_batch([s])[0]) & 1 == 1
+    # an empty-tie corner: 4 shingles, bit 1 split 2/2 → set
+    s2 = np.array([0b10, 0b10, 0b00, 0b01], dtype=np.uint64)
+    assert simhash64(s2) & 0b10 == 0b10
+    assert int(simhash_batch([s2])[0]) & 0b10 == 0b10
+    # majority-0 bits stay clear: bit 2 appears once out of 4 (2*1 < 4)
+    s3 = np.array([0b100, 0, 0, 0], dtype=np.uint64)
+    assert simhash64(s3) & 0b100 == 0
+    assert int(simhash_batch([s3])[0]) & 0b100 == 0

@@ -802,3 +802,133 @@ def test_streaming_neardup_stateful(spark, tmp_path):
         assert r.hamming == 0
         assert int(r.dup_of) < 6  # matched a run-1 representative
         assert int(r.dup_of) % 3 == int(r.doc_id) % 3
+
+
+def test_asof_join_rejects_reserved_internal_names(spark):
+    """An input column named like one of asof_join's internal union/window
+    columns would be silently clobbered → wrong results; it must raise."""
+    from iamsystem_python_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 1, 9)], ["k", "t", "__pack"])
+    right = spark.createDataFrame([("a", 1, "v")], ["k", "t", "val"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, "k", "k", "t", "t", value_cols=["val"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            right.withColumnRenamed("val", "x"),
+            left.withColumnRenamed("__pack", "__side"),
+            "k", "k", "t", "t", value_cols=["__side"],
+        )
+
+
+def test_ppm_maxval_guard_routes_to_fallback(spark):
+    """PPM maxval outside 1..255 (16-bit samples, or the malformed 0) must
+    take the flagged fake-fallback path — the uint8 reader would otherwise
+    emit garbage (or inf) features labeled decoder='numpy'."""
+    from iamsystem_python_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    body16 = b"\x01\x00" * (2 * 2 * 3)  # 16-bit big-endian samples
+    rows = [
+        ("deep", "image", "image/x-ppm", 2, 2, None, b"P6\n2 2\n65535\n" + body16),
+        ("zero", "image", "image/x-ppm", 2, 2, None, b"P6\n2 2\n0\n" + b"\x00" * 12),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(media, dim=8, fake=False).collect()}
+    assert {r.decoder for r in got.values()} == {"fake"}
+    assert all(np.isfinite(got[m].features).all() for m in got)
+
+
+def test_interval_overlap_join_span_cap_observed(spark):
+    """max_span_buckets drops are surfaced as named observe metrics
+    (range_{l,r}_rows_dropped), mirroring _cap_blocks — degenerate-interval
+    loss is never silent (round-2 VERDICT #4 / ADVICE)."""
+    from iamsystem_python_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("L1", 0, 100), ("L3", 50, 950)], ["lid", "a_s", "a_e"]
+    )
+    right = spark.createDataFrame(
+        [("R1", 100, 150), ("R2", 200, 300)], ["rid", "b_s", "b_e"]
+    )
+    joined = interval_overlap_join(
+        left, right, "a_s", "a_e", "b_s", "b_e",
+        bucket_width=10, max_span_buckets=50,
+    )
+    assert [(r.lid, r.rid) for r in joined.collect()] == [("L1", "R1")]
+    jm = joined._jdf.queryExecution().observedMetrics()
+    l_row = jm.get("range_l_span_cap").get()
+    r_row = jm.get("range_r_span_cap").get()
+    assert l_row.getLong(0) == 1  # L3 spans 90 buckets > 50 → dropped
+    assert r_row.getLong(0) == 0  # no degenerate right intervals
+
+
+def test_lsh_bucketed_topk_dedup_carries_ids_only(spark):
+    """The candidate distinct must shuffle (query_id, neighbor_id) ONLY —
+    vectors re-attach after the dedup. At dim=512 shipping the two float
+    arrays through the distinct Exchange once per bucket co-occurrence was
+    the round-2 payload bug: no Aggregate in the plan may group on a vector
+    column."""
+    from iamsystem_python_spark.operators.similarity import lsh_bucketed_topk
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(dim).tolist()) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    queries = df.where(F.col("vec_id") < 2)
+    out = lsh_bucketed_topk(df, queries, dim=dim, k=3, bits=3, num_tables=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate [" in ln]
+    assert agg_lines, "expected a distinct Aggregate in the plan"
+    for ln in agg_lines:
+        assert "q_vec" not in ln and "i_vec" not in ln and "embedding" not in ln, ln
+    assert out.count() > 0
+
+
+def test_scoped_cache_released_on_gc_and_release(spark):
+    """Operator-internal persists are scoped to the returned frame: looping
+    an operator and dropping its results leaves storage memory empty
+    (round-2 VERDICT #6), and scoped_cache.release() frees them eagerly."""
+    import gc
+
+    from iamsystem_python_spark.functions.scoped_cache import release
+    from iamsystem_python_spark.operators.dedup_text import (
+        minhash_lsh_pairs_sql,
+        near_dup_clusters_sql,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    df = spark.createDataFrame(
+        [(i, f"shared dedup corpus text {i % 4} lorem ipsum dolor") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    for _ in range(3):
+        pairs = minhash_lsh_pairs_sql(df, "text")
+        pairs.count()
+        assert not cm.isEmpty()
+        del pairs
+        gc.collect()
+        assert cm.isEmpty(), "internal band cache must die with the result frame"
+
+    # nested case: near_dup_clusters_sql persists the pairs frame, which
+    # itself scopes the bands cache — both must be released transitively
+    clusters = near_dup_clusters_sql(df, "text")
+    clusters.count()
+    assert not cm.isEmpty()
+    del clusters
+    gc.collect()
+    assert cm.isEmpty()
+
+    # explicit, idempotent release
+    pairs = minhash_lsh_pairs_sql(df, "text")
+    pairs.count()
+    assert not cm.isEmpty()
+    assert release(pairs) is True
+    assert cm.isEmpty()
+    assert release(pairs) is False
