@@ -59,6 +59,37 @@ def host_fresh_page_mb_s() -> float:
     return round(160.0 / max(time.time() - t0, 1e-9), 1)
 
 
+def wait_for_healthy_window(
+    min_mb_s: float | None = None,
+    max_wait_s: float | None = None,
+    poll_s: float = 20.0,
+) -> dict:
+    """Probe-gate: block until the host's fresh-page supply rate is at
+    least `min_mb_s` (default 500, env SPARK_GRAFT_MIN_PROBE_MB_S; 0
+    disables) or `max_wait_s` elapses (default 1800, env
+    SPARK_GRAFT_PROBE_WAIT_S). A bench captured in a degraded hypervisor
+    window reports the host, not the engine (measured 16.7 vs 4,250 MB/s
+    between rounds — a ~250× swing); gating the timed sections keeps the
+    recorded artifact comparable across rounds. Never fails the run: on
+    timeout it proceeds and records met=false so the reader can see the
+    evidence was host-limited."""
+    if min_mb_s is None:
+        min_mb_s = float(os.environ.get("SPARK_GRAFT_MIN_PROBE_MB_S", "500"))
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT_S", "1800"))
+    t0 = time.time()
+    probe = host_fresh_page_mb_s()
+    while probe < min_mb_s and time.time() - t0 < max_wait_s:
+        time.sleep(poll_s)
+        probe = host_fresh_page_mb_s()
+    return {
+        "min_mb_s": min_mb_s,
+        "waited_s": round(time.time() - t0, 1),
+        "probe_mb_s": probe,
+        "met": probe >= min_mb_s,
+    }
+
+
 def make_spark(cpus: str):
     # glibc malloc tunables are read at process START, so setting them here
     # cannot affect this already-running driver — they apply only to
@@ -328,6 +359,19 @@ def main() -> None:
     work = os.environ.get("SPARK_GRAFT_WORK", default_work)
     os.makedirs(work, exist_ok=True)
 
+    # probe-gate the timed sections: a headline captured in a degraded
+    # hypervisor window reads as an engine regression when it is host noise
+    # (the round-2 artifact lesson). Waits for a healthy window (bounded,
+    # env-tunable), then measures; on timeout proceeds with met=false.
+    gate = wait_for_healthy_window()
+    if not gate["met"]:
+        print(
+            f"probe gate NOT met after {gate['waited_s']}s "
+            f"(probe {gate['probe_mb_s']} < {gate['min_mb_s']} MB/s); "
+            "proceeding — read this artifact against the host condition",
+            file=sys.stderr,
+        )
+
     spark = make_spark(CPUS)
     try:
         qtimes = run_queries(spark)
@@ -344,6 +388,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "dedup_pipeline": dedup,
+        "probe_gate": gate,
         "host_fresh_page_mb_s": host_fresh_page_mb_s(),
     }
 
