@@ -554,3 +554,360 @@ def test_negative_stopwords_fuzzy_keep():
     )
     annots = m.annot_text("insuffisance cardiaqu")
     assert len(annots) == 1
+
+
+# --- documentation examples — tests/test_doc.py ------------------------------
+# End-to-end Matcher.build goldens ported from the reference's doc-driven
+# suite (the richest untapped parity corpus, 1,008 LoC). Algo names in
+# debug strings are lowercase here (reference uses enum names like
+# LEVENSHTEIN) — a naming divergence only, asserted as such.
+
+
+def test_doc_readme_example():
+    """test_doc.py:17-32: Levenshtein + abbreviation + stopword, w=2."""
+    m = Matcher.build(
+        keywords=["North America", "South America"],
+        stopwords=["and"],
+        abbreviations=[("amer", "America")],
+        spellwise=[dict(measure="Levenshtein", max_distance=1)],
+        w=2,
+    )
+    annots = m.annot_text("Northh and south Amer.")
+    assert [str(a) for a in annots] == [
+        "Northh Amer\t0 6;17 21\tNorth America",
+        "south Amer\t11 21\tSouth America",
+    ]
+
+
+def test_doc_exact_match_keywords():
+    """test_doc.py:34-55: exact match goldens with offsets."""
+    m = Matcher.build(
+        keywords=["acute respiratory distress syndrome", "diarrrhea"]
+    )
+    annots = m.annot_text(
+        "Pt c/o Acute Respiratory Distress Syndrome and diarrrhea"
+    )
+    assert str(annots[0]) == (
+        "Acute Respiratory Distress Syndrome\t7 42\t"
+        "acute respiratory distress syndrome"
+    )
+    assert str(annots[1]) == "diarrrhea\t47 56\tdiarrrhea"
+
+
+def test_doc_exact_match_ents():
+    """test_doc.py:57-78: kb_id rendered as 'label (kb_id)'."""
+    m = Matcher.build(
+        keywords=[
+            ("acute respiratory distress syndrome", "J80"),
+            ("diarrrhea", "R19.7"),
+        ]
+    )
+    annots = m.annot_text(
+        "Pt c/o acute respiratory distress syndrome and diarrrhea"
+    )
+    assert str(annots[0]) == (
+        "acute respiratory distress syndrome\t7 42\t"
+        "acute respiratory distress syndrome (J80)"
+    )
+    assert str(annots[1]) == "diarrrhea\t47 56\tdiarrrhea (R19.7)"
+
+
+def test_doc_fail_order():
+    """test_doc.py:154-164: tokens out of order never match (w=2)."""
+    m = Matcher.build(keywords=["calcium level"], w=2)
+    assert m.annot_text("level calcium") == []
+
+
+def test_doc_tokenizer_plus_sign():
+    """test_doc.py:168-203: '+' is not an alphanumeric token; a custom
+    split pattern makes it one (field-level, repr layout differs)."""
+    from iamsystem_python_spark.core.tokenize import split_find_iter_closure
+
+    tok = english_tokenizer()
+    tokens = tok.tokenize("SARS-CoV+")
+    assert [(t.label, t.norm_label, t.start, t.end, t.i) for t in tokens] == [
+        ("SARS", "sars", 0, 4, 0),
+        ("CoV", "cov", 5, 8, 1),
+    ]
+    tok2 = english_tokenizer()
+    tok2.split = split_find_iter_closure(pattern=r"(\w+|\+)")
+    tokens2 = tok2.tokenize("SARS-CoV+")
+    assert [(t.label, t.norm_label, t.start, t.end, t.i) for t in tokens2] == [
+        ("SARS", "sars", 0, 4, 0),
+        ("CoV", "cov", 5, 8, 1),
+        ("+", "+", 8, 9, 2),
+    ]
+
+
+def test_doc_matcher_with_custom_tokenizer():
+    """test_doc.py:205-223: custom split makes 'sars-cov+' matchable."""
+    from iamsystem_python_spark.core.tokenize import split_find_iter_closure
+
+    tok = english_tokenizer()
+    tok.split = split_find_iter_closure(pattern=r"(\w+|\+)")
+    m = Matcher.build(keywords=[("SARS-CoV+", "95209-3")], tokenizer=tok)
+    annots = m.annot_text(
+        "Pt c/o acute respiratory distress syndrome. RT-PCR sars-cov+"
+    )
+    assert [str(a) for a in annots] == ["sars-cov+\t51 60\tSARS-CoV+ (95209-3)"]
+
+
+def test_doc_unordered_words_seq():
+    """test_doc.py:225-245: order_tokens=True matches any word order."""
+    m = Matcher.build(
+        keywords=["blood calcium level"],
+        tokenizer=english_tokenizer(),
+        order_tokens=True,
+        w=5,
+    )
+    annots = m.annot_text("the level of calcium can measured in the blood.")
+    assert len(annots) == 1
+    assert str(annots[0]) == (
+        "level calcium blood\t4 9;13 20;41 46\tblood calcium level"
+    )
+
+
+def test_doc_add_stopword():
+    """test_doc.py:249-274: stopword bridges a missing keyword token."""
+    m = Matcher.build(
+        keywords=[("Essential hypertension, unspecified", "I10.9")],
+        tokenizer=english_tokenizer(),
+        stopwords=["unspecified"],
+    )
+    annots = m.annot_text("Medical history: essential hypertension")
+    assert [str(a) for a in annots] == [
+        "essential hypertension\t17 39\t"
+        "Essential hypertension, unspecified (I10.9)"
+    ]
+
+
+def test_doc_negative_stopword():
+    """test_doc.py:276-288: everything except keyword unigrams is a
+    stopword."""
+    m = Matcher.build(keywords=["calcium blood"], negative=True)
+    annots = m.annot_text("the level of calcium can be measured in the blood.")
+    assert len(annots) == 1
+    assert str(annots[0]).startswith("calcium blood\t13 20;44 49")
+
+
+def test_doc_annotation_format():
+    """test_doc.py:292-325: to_string text/debug goldens."""
+    m = Matcher.build(
+        keywords=[("infectious disease", "D007239")],
+        abbreviations=[("infect", "infectious")],
+        w=2,
+    )
+    text = "Infect mononucleosis disease"
+    annots = m.annot_text(text)
+    assert str(annots[0]) == (
+        "Infect disease\t0 6;21 28\tinfectious disease (D007239)"
+    )
+    assert annots[0].to_string(text=True) == (
+        "Infect disease\t0 6;21 28\tinfectious disease (D007239)\t"
+        "Infect mononucleosis disease"
+    )
+    assert annots[0].to_string(text=True, debug=True) == (
+        "Infect disease\t0 6;21 28\tinfectious disease (D007239)\t"
+        "Infect mononucleosis disease\tinfect(abbs);disease(exact)"
+    )
+
+
+def test_doc_annotation_multiple_keywords():
+    """test_doc.py:327-358: one annotation, several keywords."""
+    m = Matcher.build(
+        keywords=[
+            ("Infectious Disease", "J80"),
+            ("infectious disease", "C0042029"),
+            ("infectious disease, unspecified", "C0042029"),
+        ],
+        tokenizer=english_tokenizer(),
+        stopwords=["unspecified"],
+    )
+    annots = m.annot_text("History of infectious disease")
+    assert len(annots) == 1
+    kws = annots[0].kw_strings
+    assert "Infectious Disease (J80)" in kws
+    assert "infectious disease (C0042029)" in kws
+    assert "infectious disease, unspecified (C0042029)" in kws
+
+
+def test_doc_annotation_overlapping_ancestors():
+    """test_doc.py:360-379: nested-annot removal toggle."""
+    m = Matcher.build(keywords=["lung", "lung cancer"], w=1)
+    text = "Presence of a lung cancer"
+    assert [str(a) for a in m.annot_text(text)] == [
+        "lung cancer\t14 25\tlung cancer"
+    ]
+    m.remove_nested_annots = False
+    assert [str(a) for a in m.annot_text(text)] == [
+        "lung\t14 18\tlung",
+        "lung cancer\t14 25\tlung cancer",
+    ]
+
+
+def test_doc_annotation_partial_overlap():
+    """test_doc.py:401-417: partial overlaps (shared word) both kept."""
+    m = Matcher.build(keywords=["lung cancer", "cancer prognosis"])
+    annots = m.annot_text("lung cancer prognosis")
+    assert [str(a) for a in annots] == [
+        "lung cancer\t0 11\tlung cancer",
+        "cancer prognosis\t5 21\tcancer prognosis",
+    ]
+
+
+def test_doc_abbreviations():
+    """test_doc.py:608-636: ungated abbreviations — ambiguous short form
+    annotates BOTH expansions."""
+    m = Matcher.build(
+        keywords=[
+            ("acute respiratory distress", "J80"),
+            ("patient", "D007290"),
+            ("patient hospitalized", "D007297"),
+            ("physiotherapy", "D007297"),
+        ],
+        abbreviations=[
+            ("Pt", "patient"),
+            ("PT", "physiotherapy"),
+            ("ARD", "Acute Respiratory Distress"),
+        ],
+    )
+    annots = m.annot_text("Pt hospitalized with ARD. Treament: PT")
+    assert len(annots) == 4
+    got = [a.to_string(debug=True) for a in annots]
+    assert got[0] == (
+        "Pt hospitalized\t0 15\tpatient hospitalized (D007297)\t"
+        "pt(abbs);hospitalized(exact)"
+    )
+    assert got[1] == (
+        "ARD\t21 24\tacute respiratory distress (J80)\tard(abbs)"
+    )
+    assert got[2] == "PT\t36 38\tpatient (D007290)\tpt(abbs)"
+    assert got[3] == "PT\t36 38\tphysiotherapy (D007297)\tpt(abbs)"
+
+
+def test_doc_uppercase_gated_abbreviations():
+    """test_doc.py:638-693: case-sensitive gates disambiguate 'Pt' vs
+    'PT' — only 3 annotations survive, each via the right gate."""
+    from iamsystem_python_spark.core.fuzzy import token_is_upper_case
+
+    def first_letter_capitalized(token):
+        return token.label[:1].isupper() and not token.label.isupper()
+
+    tok = english_tokenizer()
+    m = Matcher(tokenizer=tok)
+    m.add_keywords(
+        [
+            ("acute respiratory distress", "J80"),
+            ("patient", "D007290"),
+            ("patient hospitalized", "D007297"),
+            ("physiotherapy", "D007297"),
+        ]
+    )
+    abbs_upper = Abbreviations(
+        name="upper case abbs", token_is_an_abbreviation=token_is_upper_case
+    )
+    abbs_upper.add("PT", "physiotherapy", tok)
+    abbs_upper.add("ARD", "Acute Respiratory Distress", tok)
+    abbs_cap = Abbreviations(
+        name="capitalized abbs",
+        token_is_an_abbreviation=first_letter_capitalized,
+    )
+    abbs_cap.add("Pt", "patient", tok)
+    m.add_fuzzy_algo(abbs_upper)
+    m.add_fuzzy_algo(abbs_cap)
+    annots = m.annot_text("Pt hospitalized with ARD. Treament: PT")
+    got = [a.to_string(debug=True) for a in annots]
+    assert got == [
+        "Pt hospitalized\t0 15\tpatient hospitalized (D007297)\t"
+        "pt(capitalized abbs);hospitalized(exact)",
+        "ARD\t21 24\tacute respiratory distress (J80)\tard(upper case abbs)",
+        "PT\t36 38\tphysiotherapy (D007297)\tpt(upper case abbs)",
+    ]
+
+
+def test_doc_spellwise():
+    """test_doc.py:695-719: Levenshtein + Soundex per-token attribution
+    (algo names lowercase here; reference prints enum names)."""
+    m = Matcher.build(
+        keywords=[("acute respiratory distress", "J80")],
+        spellwise=[
+            dict(measure="Levenshtein", max_distance=1, min_nb_char=5),
+            dict(measure="Soundex", max_distance=1),
+        ],
+    )
+    annots = m.annot_text("acute resiratory distresssss")
+    assert [a.to_string(debug=True) for a in annots] == [
+        "acute resiratory distresssss\t0 28\tacute respiratory distress (J80)\t"
+        "acute(exact,levenshtein,soundex);resiratory(levenshtein);"
+        "distresssss(soundex)"
+    ]
+
+
+def test_doc_string_distance_ignored_w():
+    """test_doc.py:721-757: words2ignore suppresses a false-positive
+    Levenshtein match ('poils' ~ 'poids')."""
+    kw = ["poids"]
+    sw = [dict(measure="Levenshtein", max_distance=1, min_nb_char=4)]
+    m = Matcher.build(keywords=kw, spellwise=sw)
+    assert len(m.annot_text("Absence de poils.")) == 1
+    m2 = Matcher.build(
+        keywords=kw, spellwise=sw, string_distance_ignored_w=["poils"]
+    )
+    assert m2.annot_text("Absence de poils.") == []
+
+
+def test_doc_simstring_cosine():
+    """test_doc.py:759-776: char-3-gram cosine at 0.7 catches two typos."""
+    m = Matcher.build(
+        keywords=[("acute respiratory distress", "J80")],
+        simstring=[dict(measure="cosine", threshold=0.7)],
+    )
+    annots = m.annot_text("acute respiratori disstress")
+    assert len(annots) == 1
+    assert annots[0].kw_strings == ["acute respiratory distress (J80)"]
+
+
+def test_doc_cache_fuzzy_algos():
+    """test_doc.py:778-809: cached spellwise + uncached abbreviation
+    combine on one annotation."""
+    from iamsystem_python_spark.core.fuzzy import (
+        CacheFuzzyAlgos,
+        SoundexAlgo,
+    )
+
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords([("acute respiratory distress", "J80")])
+    abbs = Abbreviations(name="abbs")
+    abbs.add("a", "acute", french_tokenizer())
+    lev = LevenshteinAlgo(max_distance=1, min_nb_char=5)
+    sdx = SoundexAlgo(max_distance=1)
+    cache = CacheFuzzyAlgos()
+    for algo in [lev, sdx]:
+        algo.add_words(m.get_keywords_unigrams())
+        cache.add_algo(algo)
+    m.add_fuzzy_algo(cache)
+    m.add_fuzzy_algo(abbs)
+    annots = m.annot_text("a resiratory distresssss")
+    assert len(annots) == 1
+    assert annots[0].to_string(debug=True) == (
+        "a resiratory distresssss\t0 24\tacute respiratory distress (J80)\t"
+        "a(abbs);resiratory(levenshtein);distresssss(soundex)"
+    )
+
+
+def test_doc_word_normalization_stemmer():
+    """test_doc.py:871-893 with a deterministic stand-in for nltk's
+    FrenchStemmer (not in this container): both 'prostate' and
+    'prostatique' stem to 'prostat'."""
+    stems = {"prostate": "prostat", "prostatique": "prostat",
+             "cancer": "cancer"}
+    m = Matcher.build(
+        keywords=[("cancer de la prostate", "C61")],
+        tokenizer=french_tokenizer(),
+        stopwords=["de", "la"],
+        normalizers=[dict(name="french_stemmer",
+                          norm_fun=lambda w: stems.get(w, w))],
+    )
+    annots = m.annot_text("cancer prostatique")
+    assert len(annots) == 1
+    assert annots[0].kw_strings == ["cancer de la prostate (C61)"]
