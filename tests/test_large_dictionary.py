@@ -94,11 +94,47 @@ def test_code_table_parquet_roundtrip(spark, tmp_path):
         ["repo", "path", "commit", "lang", "content"],
     )
     p = str(tmp_path / "tbl")
-    write_code_table(df, p)  # sandbox: parquet fallback (no Iceberg jars)
-    assert not iceberg_available(spark)
+    write_code_table(df, p)  # parquet is the explicit-or-fallback path
     out = read_code_table(spark, p)
     assert out.columns == ["repo", "path", "commit", "lang", "content"]
     assert out.count() == 1
+
+
+def test_code_table_iceberg_roundtrip(spark, tmp_path):
+    """Exercises the REAL Iceberg branch (sources/table.py:59-60, 87-91)
+    through a local hadoop-catalog warehouse when the Iceberg Spark
+    runtime is on the classpath; skipped in environments without the jars
+    (this sandbox ships none — the branch stays validated-by-this-test the
+    moment a runtime appears)."""
+    from iamsystem_python_spark.sources.table import (
+        iceberg_available, read_code_table, write_code_table,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("org.apache.iceberg.spark runtime not on the classpath")
+    spark.conf.set(
+        "spark.sql.catalog.it_local", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.it_local.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.it_local.warehouse", str(tmp_path / "warehouse")
+    )
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c1", "python", "def f(): pass"),
+         ("r2", "b.py", "c2", "python", "def g(): return 1")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    tbl = "it_local.db.code"
+    write_code_table(df, tbl, fmt="iceberg")
+    out = read_code_table(spark, tbl, fmt="iceberg")
+    assert out.columns == ["repo", "path", "commit", "lang", "content"]
+    assert out.count() == 2
+    # append mode hits the writeTo(...).append() branch
+    write_code_table(df.limit(1), tbl, fmt="iceberg", mode="append")
+    assert read_code_table(spark, tbl, fmt="iceberg").count() == 3
+    # auto-detect: a catalog identifier (no fs path, no separator probe
+    # hit) routes to iceberg when the runtime is present
+    assert read_code_table(spark, tbl).count() == 3
 
 
 def test_code_table_wrong_columns_fails_loudly(spark, tmp_path):
