@@ -44,6 +44,7 @@ from iamsystem_python_spark.core.stopwords import (
     Stopwords,
 )
 from iamsystem_python_spark.core.tokenize import (
+    OrderedTokenizerWrapper,
     Token,
     Tokenizer,
     french_tokenizer,
@@ -573,7 +574,12 @@ class Matcher:
     ) -> "Matcher":
         tokenizer = tokenizer or french_tokenizer()
         if order_tokens:
-            tokenizer = Tokenizer(tokenizer.split, tokenizer.normalize, order_tokens=True)
+            if hasattr(tokenizer, "split"):
+                tokenizer = Tokenizer(
+                    tokenizer.split, tokenizer.normalize, order_tokens=True
+                )
+            else:
+                tokenizer = OrderedTokenizerWrapper(tokenizer)
         matcher = cls(tokenizer=tokenizer)
         if stopwords is None:
             matcher.stopwords = NoStopwords()

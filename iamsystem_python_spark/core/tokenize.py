@@ -139,6 +139,19 @@ class Tokenizer:
         return [normed[s:e] for s, e in self.split(normed)]
 
 
+class OrderedTokenizerWrapper:
+    """tokenize_and_order_decorator (reference tokenize.py:117-131) for
+    tokenizers without the split/normalize seam (e.g. the spaCy adapter):
+    sorts any tokenizer's output alphabetically by label, keeping offsets
+    and document ``i`` (re-sorted later by create_annot)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def tokenize(self, text):
+        return sorted(self.inner.tokenize(text), key=lambda t: t.label)
+
+
 def french_tokenizer(order_tokens: bool = False) -> Tokenizer:
     """lower + unaccent (tokenize.py:94-103)."""
     return Tokenizer(split_alpha_num, lower_no_accents, order_tokens)

@@ -1,0 +1,40 @@
+"""spaCy integration surface (reference: src/iamsystem/spacy/).
+
+spaCy is an optional dependency (not bundled in every runtime); this
+package gates on its availability the same way ``sources/table.py`` gates
+the Iceberg runtime.  When spaCy is importable, two pipeline factories are
+registered — ``"iamsystem"`` and ``"iamsystem_matcher"`` — plus the token /
+tokenizer / stopword adapters.  When it is not, ``SPACY_AVAILABLE`` is
+False and importing the symbols below raises the original ImportError.
+"""
+
+from __future__ import annotations
+
+try:  # pragma: no cover - exercised only where spaCy is installed
+    import spacy as _spacy  # noqa: F401
+
+    SPACY_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    SPACY_AVAILABLE = False
+
+if SPACY_AVAILABLE:
+    from iamsystem_python_spark.spacy.component import (  # noqa: F401
+        BaseCustomComp,
+        IAMsystemBuildSpacy,
+        IAMsystemSpacy,
+    )
+    from iamsystem_python_spark.spacy.stopwords import IsStopSpacy  # noqa: F401
+    from iamsystem_python_spark.spacy.token import TokenSpacyAdapter  # noqa: F401
+    from iamsystem_python_spark.spacy.tokenizer import SpacyTokenizer  # noqa: F401
+
+    __all__ = [
+        "SPACY_AVAILABLE",
+        "BaseCustomComp",
+        "IAMsystemSpacy",
+        "IAMsystemBuildSpacy",
+        "IsStopSpacy",
+        "TokenSpacyAdapter",
+        "SpacyTokenizer",
+    ]
+else:
+    __all__ = ["SPACY_AVAILABLE"]

@@ -1,0 +1,178 @@
+"""Custom spaCy pipeline components (reference: spacy/component.py:1-221).
+
+Two factories, registered under the same names as the reference so a user
+of ``iamsystem`` can move their ``nlp.add_pipe(...)`` calls over verbatim:
+
+- ``"iamsystem"`` — stateful component: keywords / fuzzy algos / stopwords
+  are injected as objects (typically via ``@spacy.registry.misc``
+  functions), mirroring reference spacy/component.py:101-160.
+- ``"iamsystem_matcher"`` — serializable component: a ``build_params`` dict
+  is forwarded to :meth:`Matcher.build`, mirroring reference
+  spacy/component.py:163-221.
+
+Annotations are stored in ``doc.spans[attr]`` (default ``"iamsystem"``),
+and each created ``Span`` carries the full core ``Annotation`` in the
+``span._.iamsystem`` extension.
+
+Known divergence, deliberate: the reference builds
+``Span(doc, start=ann.start_i, end=ann.end_i)`` (component.py:85-96) where
+``end_i`` is the *inclusive* last-token index while spaCy's ``Span.end`` is
+exclusive — so reference spans always drop their last token (and are empty
+for single-token matches).  Here ``end=ann.end_i + 1`` so the span text
+covers every matched token; span *counts* (all the reference asserts on)
+are identical.
+
+This module requires spaCy at import time; import through
+:mod:`iamsystem_python_spark.spacy`, which gates on its availability.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
+
+from spacy import Language
+from spacy.tokens import Doc, Span
+
+from iamsystem_python_spark.core.fuzzy import FuzzyAlgo
+from iamsystem_python_spark.core.matcher import Annotation, Matcher
+from iamsystem_python_spark.core.tokenize import lower_no_accents
+from iamsystem_python_spark.spacy.token import TokenSpacyAdapter
+from iamsystem_python_spark.spacy.tokenizer import SpacyTokenizer
+
+KeywordLike = Union[str, Tuple[str, Optional[str]]]
+
+
+class BaseCustomComp(ABC):
+    """Base class for iamsystem spaCy components (reference
+    spacy/component.py:30-96)."""
+
+    def __init__(self, nlp: Language, name: str, attr: str = "iamsystem"):
+        self.name = name
+        self.nlp = nlp
+        self.attr = attr
+        self._set_extensions()
+
+    @property
+    @abstractmethod
+    def matcher(self) -> Matcher:
+        """The wrapped :class:`Matcher` (dependency-injection seam)."""
+        raise NotImplementedError
+
+    def _set_extensions(self) -> None:
+        if not Span.has_extension(self.attr):
+            Span.set_extension(self.attr, default=None)
+
+    def __call__(self, doc: Doc) -> Doc:
+        if self.attr not in doc.spans:
+            doc.spans[self.attr] = []
+        for span in self.process(doc):
+            doc.spans[self.attr].append(span)
+        return doc
+
+    def process(self, doc: Doc) -> List[Span]:
+        """Annotate an already-tokenized spaCy Doc (reference
+        component.py:72-96)."""
+        tokens = self.matcher.tokenize(doc)
+        anns: List[Annotation] = self.matcher.annot_tokens(tokens=tokens)
+        spacy_spans: List[Span] = []
+        for ann in anns:
+            label = ";".join(ann.kw_strings)
+            kbids = [kb for _, kb in ann.keywords if kb is not None]
+            if kbids:
+                span = Span(
+                    doc,
+                    start=ann.start_i,
+                    end=ann.end_i + 1,
+                    label=label,
+                    kb_id=";".join(kbids),
+                )
+            else:
+                span = Span(doc, start=ann.start_i, end=ann.end_i + 1, label=label)
+            span._.set(self.attr, ann)
+            spacy_spans.append(span)
+        return spacy_spans
+
+
+class IAMsystemSpacy(BaseCustomComp):
+    """Stateful component: explicit keywords / fuzzy algos / stopwords
+    (reference spacy/component.py:101-160)."""
+
+    def __init__(
+        self,
+        nlp: Language,
+        name: str,
+        keywords: Iterable[KeywordLike],
+        fuzzy_algos: Iterable[FuzzyAlgo] = (),
+        w: int = 1,
+        remove_nested_annots: bool = True,
+        stopwords: Optional[Any] = None,
+        norm_fun: Optional[Callable[[str], str]] = None,
+        attr: str = "iamsystem",
+    ):
+        super().__init__(nlp=nlp, name=name, attr=attr)
+        tokenizer = SpacyTokenizer(nlp=nlp, norm_fun=norm_fun or lower_no_accents)
+        self._matcher = Matcher(tokenizer=tokenizer, stopwords=stopwords)
+        self._matcher.remove_nested_annots = remove_nested_annots
+        self._matcher.w = w
+        for algo in fuzzy_algos:
+            self._matcher.add_fuzzy_algo(algo)
+        self._matcher.add_keywords(keywords=keywords)
+
+    @property
+    def matcher(self) -> Matcher:
+        return self._matcher
+
+
+class IAMsystemBuildSpacy(BaseCustomComp):
+    """Serializable component: JSON-friendly ``build_params`` forwarded to
+    :meth:`Matcher.build` (reference spacy/component.py:163-221)."""
+
+    def __init__(
+        self,
+        nlp: Language,
+        name: str,
+        build_params: Dict[str, Any],
+        serialized_kw: Optional[Dict[str, Any]] = None,
+        attr: str = "iamsystem",
+        norm_fun: Optional[Callable[[str], str]] = None,
+    ):
+        super().__init__(nlp=nlp, name=name, attr=attr)
+        build_params = dict(build_params)
+        build_params["tokenizer"] = SpacyTokenizer(
+            nlp=nlp, norm_fun=norm_fun or lower_no_accents
+        )
+        if serialized_kw is not None:
+            # Reference re-imports a Keyword class by module/class_name and
+            # rebuilds objects from asdict() output (component.py:204-212).
+            # This core models keywords as (label, kb_id) pairs, so the
+            # dicts map directly; 'module'/'class_name' are accepted for
+            # config compatibility but the field mapping is the contract.
+            kws: List[KeywordLike] = []
+            for params in serialized_kw["kws"]:
+                kb_id = params.get("kb_id")
+                kws.append(params["label"] if kb_id is None else (params["label"], kb_id))
+            build_params["keywords"] = kws
+        # keywords given as lists of [label, kb_id] through spaCy's JSON
+        # config arrive as lists, not tuples — normalize.
+        if "keywords" in build_params:
+            build_params["keywords"] = [
+                tuple(kw) if isinstance(kw, (list, tuple)) else kw
+                for kw in build_params["keywords"]
+            ]
+        self._matcher = Matcher.build(**build_params)
+
+    @property
+    def matcher(self) -> Matcher:
+        return self._matcher
+
+
+def _register_factories() -> None:
+    """Register both factories once (idempotent across re-imports)."""
+    if not Language.has_factory("iamsystem"):
+        Language.factory("iamsystem")(IAMsystemSpacy)
+    if not Language.has_factory("iamsystem_matcher"):
+        Language.factory("iamsystem_matcher")(IAMsystemBuildSpacy)
+
+
+_register_factories()

@@ -1,0 +1,32 @@
+"""Stopwords backed by spaCy's ``is_stop`` (reference: spacy/stopwords.py).
+
+The token-level check delegates to ``token.spacy_token.is_stop`` exactly as
+the reference does.  The core ``Matcher.add_keywords`` path additionally
+filters keyword tokens through a *word*-level check; the reference reaches
+the same information via the keyword tokens' wrapped spaCy tokens, and here
+the optional ``nlp`` handle provides it (``nlp.vocab[word].is_stop``) —
+without it, keyword-side filtering is a no-op (documented superset).
+"""
+
+from __future__ import annotations
+
+
+class IsStopSpacy:
+    """Stopword predicate using spaCy's per-token ``is_stop`` flag."""
+
+    def __init__(self, nlp=None):
+        self.nlp = nlp
+
+    def is_token_a_stopword(self, token) -> bool:
+        return bool(token.spacy_token.is_stop)
+
+    def is_word_a_stopword(self, word: str) -> bool:
+        if self.nlp is None:
+            return False
+        return bool(self.nlp.vocab[word].is_stop)
+
+    def add(self, words) -> None:  # pragma: no cover - parity surface
+        raise TypeError(
+            "IsStopSpacy delegates to spaCy's vocabulary; add stopwords via "
+            "nlp.Defaults.stop_words / token.is_stop flags instead"
+        )

@@ -1,0 +1,47 @@
+"""spaCy Token adapter (reference: spacy/token.py:1-29).
+
+Wraps a ``spacy.tokens.Token`` with the attribute surface the core matcher
+kernels consume (``start``/``end``/``label``/``norm_label``/``i``), so a
+spaCy-tokenized document can flow through ``window_detect`` /
+``no_overlap_detect`` unchanged.  Requires spaCy (not bundled in this
+container) — import it via :mod:`iamsystem_python_spark.spacy`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+from iamsystem_python_spark.core.tokenize import lower_no_accents
+
+
+class TokenSpacyAdapter:
+    """A token view over a spaCy token (reference spacy/token.py:8-29).
+
+    Offsets come from ``spacy_token.idx``; ``norm_label`` is computed by
+    applying ``norm_fun`` to spaCy's ``norm_`` attribute (same contract as
+    the reference: the matcher sees the *normalized* form while Brat/plain
+    output keeps the raw text).
+    """
+
+    __slots__ = ("spacy_token", "start", "end", "label", "norm_label", "i")
+
+    def __init__(
+        self,
+        spacy_token,
+        norm_fun: Callable[[str], str] = lower_no_accents,
+    ):
+        self.spacy_token = spacy_token
+        self.start: int = spacy_token.idx
+        self.end: int = self.start + len(spacy_token.text)
+        self.label: str = spacy_token.text
+        self.i: int = spacy_token.i
+        self.norm_label: str = norm_fun(spacy_token.norm_)
+
+    def as_tuple(self) -> Tuple[int, int, str, str, int]:
+        return (self.start, self.end, self.label, self.norm_label, self.i)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return (
+            f"TokenSpacyAdapter(start={self.start}, end={self.end}, "
+            f"label={self.label!r}, norm_label={self.norm_label!r}, i={self.i})"
+        )

@@ -1,0 +1,32 @@
+"""Keyword tokenizer backed by spaCy (reference: spacy/tokenizer.py:1-41).
+
+Used by the custom component to tokenize *keywords* the same way spaCy
+tokenizes documents, so trie paths and document tokens agree.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+from iamsystem_python_spark.core.tokenize import lower_no_accents
+from iamsystem_python_spark.spacy.token import TokenSpacyAdapter
+
+
+class SpacyTokenizer:
+    """Wraps spaCy's tokenizer behind the core ``Tokenizer`` protocol
+    (``tokenize(text) -> Sequence[token]``).
+
+    The reference (spacy/tokenizer.py:36-41) runs the full ``nlp`` with all
+    pipes disabled; ``nlp.make_doc`` is the documented spaCy equivalent
+    (tokenizer only, no pipeline components) and avoids the pipe-toggling
+    context manager.
+    """
+
+    def __init__(self, nlp, norm_fun: Callable[[str], str] = lower_no_accents):
+        self.nlp = nlp
+        self.norm_fun = norm_fun
+
+    def tokenize(self, text) -> List[TokenSpacyAdapter]:
+        """Tokenize a string (keyword labels) or adapt an existing Doc."""
+        doc = text if hasattr(text, "__iter__") and not isinstance(text, str) else self.nlp.make_doc(text)
+        return [TokenSpacyAdapter(t, norm_fun=self.norm_fun) for t in doc]

@@ -1,0 +1,362 @@
+"""spaCy integration surface (reference: tests/test_spacy.py, 217 LoC).
+
+Two tiers:
+
+1. Stub-token tests (always run): ``TokenSpacyAdapter`` / ``IsStopSpacy`` /
+   ``SpacyTokenizer`` don't import spaCy — they consume its Token duck
+   type — so the whole adapter surface, including a full Matcher detect
+   over spaCy-shaped tokens, is exercised with stubs in this container.
+2. Real-spaCy tests (ported from the reference suite): skipped when spaCy
+   is not installed, same policy as the Iceberg runtime test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iamsystem_python_spark.core.matcher import Matcher
+from iamsystem_python_spark.core.tokenize import (
+    OrderedTokenizerWrapper,
+    french_tokenizer,
+)
+from iamsystem_python_spark.spacy.stopwords import IsStopSpacy
+from iamsystem_python_spark.spacy.token import TokenSpacyAdapter
+from iamsystem_python_spark.spacy.tokenizer import SpacyTokenizer
+
+
+# ---------------------------------------------------------------------------
+# spaCy duck-type stubs (attribute surface of spacy.tokens.Token / Language)
+# ---------------------------------------------------------------------------
+
+
+class _StubSpacyToken:
+    def __init__(self, text: str, idx: int, i: int, is_stop: bool = False):
+        self.text = text
+        self.idx = idx
+        self.i = i
+        self.norm_ = text.lower()
+        self.is_stop = is_stop
+
+
+class _StubNlp:
+    """Whitespace tokenizer with a spaCy-like ``make_doc``."""
+
+    def __init__(self, stop_words=()):
+        self.stop_words = set(stop_words)
+
+    def make_doc(self, text: str):
+        toks, pos = [], 0
+        for i, word in enumerate(text.split()):
+            idx = text.index(word, pos)
+            toks.append(
+                _StubSpacyToken(word, idx, i, is_stop=word.lower() in self.stop_words)
+            )
+            pos = idx + len(word)
+        return toks
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: stub-driven (always run)
+# ---------------------------------------------------------------------------
+
+
+def test_token_adapter_attribute_mapping():
+    t = TokenSpacyAdapter(_StubSpacyToken("Insuffisance", idx=4, i=2))
+    assert (t.start, t.end, t.label, t.norm_label, t.i) == (
+        4,
+        16,
+        "Insuffisance",
+        "insuffisance",
+        2,
+    )
+
+
+def test_token_adapter_custom_norm_fun():
+    t = TokenSpacyAdapter(_StubSpacyToken("ABC", idx=0, i=0), norm_fun=lambda s: s[::-1])
+    assert t.norm_label == "cba"
+
+
+def test_is_stop_spacy_token_level():
+    stop = IsStopSpacy()
+    t_stop = TokenSpacyAdapter(_StubSpacyToken("de", 0, 0, is_stop=True))
+    t_word = TokenSpacyAdapter(_StubSpacyToken("coeur", 3, 1))
+    assert stop.is_token_a_stopword(t_stop)
+    assert not stop.is_token_a_stopword(t_word)
+    # word-level check is a no-op without an nlp handle
+    assert not stop.is_word_a_stopword("de")
+
+
+def test_spacy_tokenizer_str_and_doc_inputs():
+    tok = SpacyTokenizer(nlp=_StubNlp())
+    toks = tok.tokenize("insuffisance cardiaque")
+    assert [t.norm_label for t in toks] == ["insuffisance", "cardiaque"]
+    assert [t.start for t in toks] == [0, 13]
+    # an already-tokenized doc (iterable of tokens) is adapted, not re-split
+    doc = _StubNlp().make_doc("ic gauche")
+    toks2 = tok.tokenize(doc)
+    assert [t.label for t in toks2] == ["ic", "gauche"]
+
+
+def test_matcher_detect_over_spacy_shaped_tokens():
+    """Full pipeline: spaCy-duck tokens drive the core window kernel."""
+    nlp = _StubNlp()
+    tokenizer = SpacyTokenizer(nlp=nlp)
+    m = Matcher(tokenizer=tokenizer)
+    m.add_keywords([("insuffisance cardiaque", "I50.9")])
+    tokens = tokenizer.tokenize(nlp.make_doc("grave insuffisance cardiaque gauche"))
+    anns = m.annot_tokens(tokens)
+    assert len(anns) == 1
+    assert anns[0].start_i == 1 and anns[0].end_i == 2
+    assert anns[0].keywords == [("insuffisance cardiaque", "I50.9")]
+    # character offsets flow from the spaCy token idx values
+    assert (anns[0].start, anns[0].end) == (6, 28)
+
+
+def test_matcher_detect_spacy_is_stop_respected():
+    nlp = _StubNlp(stop_words={"de"})
+    tokenizer = SpacyTokenizer(nlp=nlp)
+    m = Matcher(tokenizer=tokenizer, stopwords=IsStopSpacy())
+    m.add_keywords(["insuffisance cardiaque"])
+    tokens = tokenizer.tokenize(nlp.make_doc("insuffisance de cardiaque"))
+    anns = m.annot_tokens(tokens)
+    assert len(anns) == 1  # 'de' skipped as stopword, sequence still matches
+
+
+def test_ordered_tokenizer_wrapper_sorts_by_label():
+    inner = french_tokenizer()
+    wrapped = OrderedTokenizerWrapper(inner)
+    toks = wrapped.tokenize("gauche cardiaque insuffisance")
+    assert [t.label for t in toks] == ["cardiaque", "gauche", "insuffisance"]
+    # document position preserved for create_annot's re-sort
+    assert [t.i for t in toks] == [1, 0, 2]
+
+
+def test_spacy_package_gate_flag():
+    import iamsystem_python_spark.spacy as pkg
+
+    try:
+        import spacy  # noqa: F401
+
+        assert pkg.SPACY_AVAILABLE is True
+    except ImportError:
+        assert pkg.SPACY_AVAILABLE is False
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: real spaCy (ported from reference tests/test_spacy.py) — skipped
+# without the runtime
+# ---------------------------------------------------------------------------
+
+try:
+    import spacy
+
+    HAS_SPACY = True
+except ImportError:
+    spacy = None
+    HAS_SPACY = False
+
+needs_spacy = pytest.mark.skipif(not HAS_SPACY, reason="spaCy not installed")
+
+
+@pytest.fixture(scope="module")
+def registered():
+    from iamsystem_python_spark.core.fuzzy import Abbreviations
+
+    if "umls_ents.v1" not in spacy.registry.misc.get_all():
+
+        @spacy.registry.misc("umls_ents.v1")
+        def get_termino_umls():
+            return [
+                ("Insuffisance Cardiaque", "I50.9"),
+                ("Insuffisance Cardiaque Gauche", "I50.1"),
+            ]
+
+        @spacy.registry.misc("fuzzy_algos_short_notes.v1")
+        def get_fuzzy_algos_short_notes():
+            tokenizer = french_tokenizer()
+            abbs = Abbreviations(name="French medical abbreviations")
+            abbs.add("ins", "insuffisance", tokenizer)
+            abbs.add("ic", "insuffisance cardiaque", tokenizer)
+            return [abbs]
+
+        @spacy.registry.misc("stopwords_spacy.v1")
+        def get_stopwords_short_notes():
+            return IsStopSpacy()
+
+    return True
+
+
+def _french_nlp_with_component(**extra_config):
+    from spacy.lang.fr import French
+
+    import iamsystem_python_spark.spacy.component  # noqa: F401 - registers factories
+
+    nlp = French()
+    nlp.add_pipe(
+        "iamsystem",
+        name="iamsystem",
+        last=True,
+        config={
+            "keywords": {"@misc": "umls_ents.v1"},
+            "stopwords": {"@misc": "stopwords_spacy.v1"},
+            "fuzzy_algos": {"@misc": "fuzzy_algos_short_notes.v1"},
+            **extra_config,
+        },
+    )
+    return nlp
+
+
+@needs_spacy
+def test_comp_presence(registered):
+    nlp = _french_nlp_with_component()
+    assert "iamsystem" in nlp.pipe_names
+
+
+@needs_spacy
+def test_set_span_extension(registered):
+    nlp = _french_nlp_with_component()
+    doc = nlp("somethingThatReturnsNoAnnotation")
+    assert "iamsystem" in doc.spans
+    assert len(doc.spans["iamsystem"]) == 0
+
+
+@needs_spacy
+def test_detect(registered):
+    from iamsystem_python_spark.core.matcher import Annotation
+
+    nlp = _french_nlp_with_component()
+    doc = nlp("insuffisance cardiaque gauche")
+    assert len(doc.spans["iamsystem"]) == 1
+    span = doc.spans["iamsystem"][0]
+    assert isinstance(span._.iamsystem, Annotation)
+    # divergence from reference (see component.py docstring): span text
+    # covers every matched token
+    assert span.text == "insuffisance cardiaque gauche"
+
+
+@needs_spacy
+def test_detect_abb(registered):
+    nlp = _french_nlp_with_component()
+    doc = nlp("ic gauche")
+    assert len(doc.spans["iamsystem"]) == 1
+
+
+@needs_spacy
+def test_change_default_config(registered):
+    nlp = _french_nlp_with_component(w=4, remove_nested_annots=False)
+    doc = nlp("ic: contraction du ventricule gauche faible")
+    assert len(doc.spans["iamsystem"]) == 2
+
+
+@needs_spacy
+def test_matcher_keywords_registered(registered):
+    from spacy.lang.fr import French
+
+    import iamsystem_python_spark.spacy.component  # noqa: F401
+
+    nlp = French()
+    nlp.add_pipe(
+        "iamsystem_matcher",
+        name="iamsystem",
+        last=True,
+        config={"build_params": {"keywords": {"@misc": "umls_ents.v1"}}},
+    )
+    doc = nlp("insuffisance cardiaque gauche")
+    assert len(doc.spans["iamsystem"]) == 1
+
+
+@needs_spacy
+def test_serializable_json(registered):
+    from spacy.lang.fr import French
+
+    import iamsystem_python_spark.spacy.component  # noqa: F401
+
+    nlp = French()
+    nlp.add_pipe(
+        "iamsystem_matcher",
+        name="iamsystem",
+        last=True,
+        config={
+            "serialized_kw": {
+                "module": "iamsystem_python_spark",
+                "class_name": "Keyword",
+                "kws": [{"label": "insuffisance cardiaque"}],
+            },
+            "build_params": {"w": 1},
+        },
+    )
+    doc = nlp("insuffisance cardiaque gauche")
+    assert len(doc.spans["iamsystem"]) == 1
+
+
+@needs_spacy
+def test_component_name(registered):
+    import iamsystem_python_spark.spacy.component  # noqa: F401
+
+    nlp = spacy.blank("fr")
+    nlp.add_pipe(
+        "iamsystem_matcher",
+        name="my_custom_name",
+        last=True,
+        config={"build_params": {"keywords": ["cancer"]}},
+    )
+    doc = nlp("prostate cancer")
+    assert len(doc.spans["iamsystem"]) == 1
+
+
+@needs_spacy
+def test_multiple_components(registered):
+    import iamsystem_python_spark.spacy.component  # noqa: F401
+
+    nlp = spacy.blank("fr")
+    nlp.add_pipe(
+        "iamsystem_matcher",
+        name="first_iam_component",
+        last=True,
+        config={"build_params": {"keywords": ["cancer"]}},
+    )
+    nlp.add_pipe(
+        "iamsystem_matcher",
+        name="second_iam_component",
+        last=True,
+        config={"build_params": {"keywords": ["prostate"]}},
+    )
+    doc = nlp("prostate cancer")
+    assert len(doc.spans["iamsystem"]) == 2
+
+
+@needs_spacy
+def test_all_params(registered):
+    from spacy.lang.fr import French
+
+    import iamsystem_python_spark.spacy.component  # noqa: F401
+
+    nlp = French()
+    nlp.add_pipe(
+        "iamsystem_matcher",
+        name="iamsystem",
+        last=True,
+        config={
+            "build_params": {
+                "keywords": [
+                    "insuffisance cardiaque",
+                    "insuffisance cardiaque gauche en valueannees",
+                ],
+                "stopwords": ["à"],
+                "negative": True,
+                "w": 4,
+                "remove_nested_annots": True,
+                "spellwise": [dict(max_distance=1, measure="Levenshtein")],
+                "simstring": [dict(threshold=1, measure="dice")],
+                "fuzzy_regex": [
+                    dict(
+                        name="detection_annee",
+                        pattern=r"[(19|20)0-9{2}]",
+                        pattern_name="valueannees",
+                    )
+                ],
+            },
+        },
+    )
+    doc = nlp("insuffisance cardiaque gauche en 2010")
+    assert len(doc.spans["iamsystem"]) == 1
