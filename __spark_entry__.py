@@ -835,6 +835,27 @@ def q47_soundex_blocking(spark, sf_dir):
     )
 
 
+def q51_chunk_dedup(spark, sf_dir):
+    """Fixed-window exact-substring dedup (the coarse window pass of Lee et
+    al. 2022; CCNet line-dedup analogue for line-less corpora): every
+    10-token window that repeats anywhere in the corpus is dropped except
+    its globally-first occurrence, and each doc is rebuilt without its
+    dropped windows (operators/dedup_text.py chunk_dedup — row-local
+    chunking, one narrow hash-ownership shuffle, text never shuffled).
+    Non-vacuous at sf0.01: ~2,950 windows, ~150 duplicate occurrences.
+    cleaned_sha = sha256 of the rebuilt text, value-checked by the oracle."""
+    from iamsystem_python_spark.operators.dedup_text import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_dedup(docs, chunk_tokens=10)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dropped",
+        F.sha2(F.col("cleaned_text"), 256).alias("cleaned_sha"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -883,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_brat_export": q46_brat_export,
         "q47_soundex_blocking": q47_soundex_blocking,
         "q50_media_features": q50_media_features,
+        "q51_chunk_dedup": q51_chunk_dedup,
     }
 
 
@@ -1530,5 +1552,37 @@ SELECT doc_id AS media_id,
        sha256(text) AS sha256,
        octet_length(encode(text))::INTEGER AS n_bytes
 FROM documents ORDER BY media_id
+""",
+        # identical window/keep rule as the Spark side: 10-token windows,
+        # 60-bit sha prefix as the ownership key, first (doc_id, chunk_i)
+        # occurrence kept, doc rebuilt from kept windows in order
+        "q51_chunk_dedup": """
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS ord,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+  WHERE text IS NOT NULL
+), chunks AS (
+  SELECT doc_id,
+         CAST(floor(ord / 10) AS BIGINT) AS chunk_i,
+         string_agg(w, ' ' ORDER BY ord) AS chunk
+  FROM words GROUP BY doc_id, floor(ord / 10)
+), flagged AS (
+  SELECT doc_id, chunk_i, chunk,
+         row_number() OVER (
+           PARTITION BY ('0x' || substring(sha256(chunk), 1, 15))::UBIGINT
+           ORDER BY doc_id, chunk_i) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_dropped,
+       sha256(coalesce(
+         string_agg(chunk, ' ' ORDER BY chunk_i) FILTER (WHERE rn = 1), ''
+       )) AS cleaned_sha
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
 """,
     }

@@ -427,3 +427,87 @@ def exact_dedup_decision(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select("doc_id", F.sha2(F.col(text_col).cast("string"), 256).alias("sha"))
         .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Fixed-window exact-substring dedup (the coarse window-level pass of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better";
+    the CCNet line-dedup analogue for corpora without line structure):
+    split each document into consecutive ``chunk_tokens``-token windows and
+    keep only the globally-first occurrence — ordered by (id, chunk_i) — of
+    every distinct window. No reference counterpart (new Spark-side
+    surface; the finer exact-span pass is operators/clonespans.py).
+
+    100-TB shape: chunking is row-local (split + slice inside one
+    projection — no word-level explode, no text shuffle); global ownership
+    is ONE shuffle of narrow (hash60, id, chunk_i) rows; drop-sets come
+    back as per-doc int arrays (usually tiny) on an id equi-join, and the
+    rebuild filters the row-local chunk array — document text never
+    crosses a shuffle. Degenerate skew (one chunk shared by millions of
+    docs) concentrates only narrow rows on the hot hash. The 60-bit chunk
+    hash keeps the shuffle key int64-portable (same trick as
+    functions/sqlhash.py); at 10^12-chunk scale widen to the full sha.
+
+    Returns (id_col, n_chunks, n_dropped, cleaned_text): cleaned_text is
+    the document with duplicate windows removed, delimiter-rejoined.
+    """
+    k = int(chunk_tokens)
+    split_re = f"\\Q{delimiter}\\E"  # literal delimiter, regex-quoted
+    base = (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__words", F.split(F.col(text_col), split_re))
+        .withColumn("__nc", F.ceil(F.size("__words") / F.lit(k)).cast("int"))
+        .withColumn(
+            "__chunks",
+            F.when(F.col("__nc") <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nc") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__words"), i * k + 1, k), delimiter
+                    ),
+                )
+            ),
+        )
+        .drop("__words")
+    )
+    narrow = base.select(
+        F.col(id_col), F.posexplode("__chunks").alias("__ci", "__chunk")
+    ).select(
+        id_col,
+        "__ci",
+        F.conv(F.substring(F.sha2(F.col("__chunk"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__ci").asc())
+    dropped = (
+        narrow.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__ci")).alias("__dropped"))
+    )
+    return (
+        base.join(dropped, on=id_col, how="left")
+        .withColumn(
+            "__kept",
+            F.when(F.col("__dropped").isNull(), F.col("__chunks")).otherwise(
+                F.filter(
+                    F.col("__chunks"),
+                    lambda c, i: ~F.array_contains(F.col("__dropped"), i),
+                )
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.size("__dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            F.array_join("__kept", delimiter).alias("cleaned_text"),
+        )
+    )

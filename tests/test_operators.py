@@ -932,3 +932,69 @@ def test_scoped_cache_released_on_gc_and_release(spark):
     assert release(pairs) is True
     assert cm.isEmpty()
     assert release(pairs) is False
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup — fixed-window exact-substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _brute_chunk_dedup(rows, k=3):
+    """Python oracle: same keep-first-global-occurrence rule."""
+    chunks = []  # (doc_id, chunk_i, chunk)
+    for doc_id, text in rows:
+        words = text.split(" ")
+        for ci in range((len(words) + k - 1) // k):
+            chunks.append((doc_id, ci, " ".join(words[ci * k : ci * k + k])))
+    seen = {}
+    kept = {}
+    for doc_id, ci, chunk in sorted(chunks):
+        kept.setdefault(doc_id, [])
+        if chunk not in seen:
+            seen[chunk] = (doc_id, ci)
+            kept[doc_id].append(chunk)
+    out = {}
+    for doc_id, text in rows:
+        words = text.split(" ")
+        n_chunks = (len(words) + k - 1) // k
+        cleaned = " ".join(kept.get(doc_id, []))
+        out[doc_id] = (n_chunks, n_chunks - len(kept.get(doc_id, [])), cleaned)
+    return out
+
+
+def test_chunk_dedup_matches_brute_force(spark):
+    from iamsystem_python_spark.operators.dedup_text import chunk_dedup
+
+    rows = [
+        (1, "a b c d e f g h i"),          # 3 chunks of 3
+        (2, "a b c x y z"),                # chunk 'a b c' dups doc1's first
+        (3, "x y z x y z a b c"),          # dups doc2's 2nd and doc1's 1st
+        (4, "q r"),                        # short tail chunk
+        (5, "a b c"),                      # whole doc is a duplicate chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["cleaned_text"])
+        for r in chunk_dedup(df, chunk_tokens=3).collect()
+    }
+    assert got == _brute_chunk_dedup(rows, k=3)
+    # doc5 must be fully emptied (its only chunk is a duplicate)
+    assert got[5] == (1, 1, "")
+
+
+def test_chunk_dedup_keep_rule_is_global_first(spark):
+    from iamsystem_python_spark.operators.dedup_text import chunk_dedup
+
+    # identical chunk in three docs: only (doc 10, chunk 0) keeps it
+    rows = [(30, "dup dup dup"), (10, "dup dup dup"), (20, "dup dup dup")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_dropped"] for r in chunk_dedup(df, chunk_tokens=3).collect()}
+    assert got == {10: 0, 20: 1, 30: 1}
+
+
+def test_chunk_dedup_null_text_rows_excluded(spark):
+    from iamsystem_python_spark.operators.dedup_text import chunk_dedup
+
+    df = spark.createDataFrame([(1, "a b"), (2, None)], ["doc_id", "text"])
+    out = chunk_dedup(df, chunk_tokens=2).collect()
+    assert [r["doc_id"] for r in out] == [1]
