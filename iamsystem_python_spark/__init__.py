@@ -21,6 +21,11 @@ Reference parity: scossin/iamsystem_python v0.6.1 (read-only at
 
 __version__ = "0.1.0"
 
+from iamsystem_python_spark.core.keywords import (  # noqa: F401
+    Entity,
+    Keyword,
+    Terminology,
+)
 from iamsystem_python_spark.core.matcher import Matcher  # noqa: F401
 from iamsystem_python_spark.core.tokenize import (  # noqa: F401
     english_tokenizer,

@@ -1,0 +1,119 @@
+"""Keyword classes (reference: keywords/keywords.py + keywords/collection.py).
+
+The core's internal keyword model is the ``(label, kb_id)`` pair — compact,
+pickle-cheap, broadcastable.  This module provides the reference's public
+classes on top of it:
+
+- :class:`Keyword` / :class:`Entity` — the concrete classes a reference
+  user constructs (keywords.py:18-63), with ``asdict`` for serialization
+  (used by the spaCy ``serialized_kw`` contract).
+- :class:`Terminology` — keyword collection (collection.py:10-40).
+- :class:`StoredKeyword` — internal: a 2-tuple subclass that *is* the
+  ``(label, kb_id)`` pair every consumer unpacks, but remembers the
+  original user object so ``str(annotation)`` renders custom ``__str__``
+  implementations exactly like the reference (IKeyword polymorphism,
+  keywords/api.py; exercised by reference test_doc.py:80-120).
+
+Any object with a ``label`` attribute (optionally ``kb_id``) is accepted
+wherever keywords are added — no registration or base class required.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional
+
+
+class Keyword:
+    """A plain keyword (reference keywords.py:18-36)."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __str__(self) -> str:
+        return self.label
+
+    def asdict(self) -> dict:
+        return {"label": self.label}
+
+
+class Entity(Keyword):
+    """A keyword linked to a knowledge base (reference keywords.py:39-63)."""
+
+    def __init__(self, label: str, kb_id: str):
+        super().__init__(label)
+        self.kb_id = kb_id
+
+    def __str__(self) -> str:
+        return f"{self.label} ({self.kb_id})"
+
+    def asdict(self) -> dict:
+        return {"label": self.label, "kb_id": self.kb_id}
+
+
+class Terminology:
+    """A keyword collection (reference keywords/collection.py:10-40)."""
+
+    def __init__(self, keywords: Optional[Iterable] = None):
+        self._keywords: List = list(keywords) if keywords is not None else []
+
+    def add_keywords(self, keywords: Iterable) -> None:
+        self._keywords.extend(keywords)
+
+    @property
+    def keywords(self) -> List:
+        return self._keywords
+
+    def __iter__(self):
+        return iter(self._keywords)
+
+    def __len__(self) -> int:
+        return len(self._keywords)
+
+
+class StoredKeyword(tuple):
+    """Internal storage: IS the ``(label, kb_id)`` tuple (so every existing
+    unpacking consumer — brat, to_dict, annotate kernels — keeps working,
+    and equality with plain tuples holds), plus the original object for
+    faithful ``str()`` rendering when the user supplied one.  Picklable
+    (``__getnewargs__``) so matchers with custom keywords still broadcast."""
+
+    def __new__(cls, label: str, kb_id: Optional[str], obj=None):
+        t = super().__new__(cls, (label, kb_id))
+        t.obj = obj
+        return t
+
+    def __getnewargs__(self):
+        return (self[0], self[1], self.obj)
+
+    def render(self) -> str:
+        if self.obj is not None:
+            return str(self.obj)
+        label, kb_id = self
+        return label if kb_id is None else f"{label} ({kb_id})"
+
+
+def normalize_keyword_input(kw):
+    """str | (label, kb_id) | object-with-.label → (label, kb_id, obj)."""
+    if isinstance(kw, str):
+        return kw, None, None
+    if isinstance(kw, StoredKeyword):
+        return kw[0], kw[1], kw.obj
+    if isinstance(kw, tuple):
+        label, kb_id = kw
+        return label, kb_id, None
+    label = getattr(kw, "label", None)
+    if label is None:
+        raise TypeError(
+            f"keyword {kw!r} must be a string, a (label, kb_id) tuple, or an "
+            "object with a 'label' attribute (reference IKeyword contract)"
+        )
+    return label, getattr(kw, "kb_id", None), kw
+
+
+def kw_render(kw) -> str:
+    """str(keyword) — custom object rendering when present, else the
+    reference's default 'label' / 'label (kb_id)' (keywords.py:26-41)."""
+    if isinstance(kw, StoredKeyword):
+        return kw.render()
+    label, kb_id = kw
+    return label if kb_id is None else f"{label} ({kb_id})"

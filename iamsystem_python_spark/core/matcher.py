@@ -162,11 +162,12 @@ class Annotation:
 
     @property
     def kw_strings(self) -> List[str]:
-        """str(keyword): 'label' or 'label (kb_id)' (keywords.py:26-41)."""
-        return [
-            label if kb_id is None else f"{label} ({kb_id})"
-            for label, kb_id in self._keywords
-        ]
+        """str(keyword): 'label' or 'label (kb_id)' (keywords.py:26-41);
+        custom keyword objects render with their own __str__
+        (keywords/api.py IKeyword; test_doc.py:80-120)."""
+        from iamsystem_python_spark.core.keywords import kw_render
+
+        return [kw_render(kw) for kw in self._keywords]
 
     @property
     def stop_tokens(self) -> List[Token]:
@@ -488,14 +489,17 @@ class Matcher:
         self.trie = Trie()
 
     # --- dictionary -------------------------------------------------------
-    def add_keywords(self, keywords: Iterable[Union[str, Tuple[str, Optional[str]]]]) -> None:
+    def add_keywords(self, keywords: Iterable) -> None:
+        """Accepts strings, (label, kb_id) tuples, or any object with a
+        ``label`` attribute (reference IKeyword contract, keywords/api.py —
+        custom objects keep their own __str__ in annotation rendering)."""
+        from iamsystem_python_spark.core.keywords import normalize_keyword_input
+
         for kw in keywords:
-            if isinstance(kw, str):
-                label, kb_id = kw, None
-            else:
-                label, kb_id = kw
+            label, kb_id, obj = normalize_keyword_input(kw)
             self.trie.add_keyword(
-                label, kb_id, self.tokenizer, self.stopwords.is_word_a_stopword
+                label, kb_id, self.tokenizer, self.stopwords.is_word_a_stopword,
+                obj=obj,
             )
 
     def get_keywords_unigrams(self) -> Set[str]:
@@ -603,13 +607,19 @@ class Matcher:
                 label = algo.replace_pattern_in_label(label, tokenizer)
             return label
 
+        from iamsystem_python_spark.core.keywords import (
+            StoredKeyword,
+            normalize_keyword_input,
+        )
+
         kws = []
         for kw in keywords:
             if isinstance(kw, str):
                 kws.append(rewrite(kw) if regex_algos else kw)
             else:
-                label, kb_id = kw
-                kws.append((rewrite(label) if regex_algos else label, kb_id))
+                label, kb_id, obj = normalize_keyword_input(kw)
+                label = rewrite(label) if regex_algos else label
+                kws.append(StoredKeyword(label, kb_id, obj) if obj is not None else (label, kb_id))
         matcher.add_keywords(kws)
 
         if negative:

@@ -101,7 +101,11 @@ class Trie:
         return self._node_count
 
     def add_keyword_with_tokens(
-        self, label: str, kb_id: Optional[str], norm_tokens: Sequence[str]
+        self,
+        label: str,
+        kb_id: Optional[str],
+        norm_tokens: Sequence[str],
+        obj=None,
     ) -> Optional[int]:
         """Insert a pre-tokenized path (trie.py:71-91). Returns the keyword
         index, or None when the token path is empty (trie.py:46-50 warns)."""
@@ -117,16 +121,23 @@ class Trie:
                 child = self._new_node(tok, parent=node)
             node = child
         kw_idx = len(self.keywords)
-        self.keywords.append((label, kb_id))
+        if obj is not None:
+            from iamsystem_python_spark.core.keywords import StoredKeyword
+
+            self.keywords.append(StoredKeyword(label, kb_id, obj))
+        else:
+            self.keywords.append((label, kb_id))
         node.kw_indices.append(kw_idx)
         return kw_idx
 
-    def add_keyword(self, label: str, kb_id: Optional[str], tokenizer, is_stop) -> Optional[int]:
+    def add_keyword(
+        self, label: str, kb_id: Optional[str], tokenizer, is_stop, obj=None
+    ) -> Optional[int]:
         """Tokenize label, drop stopwords, insert (trie.py:29-51)."""
         toks = [
             t.norm_label for t in tokenizer.tokenize(label) if not is_stop(t.norm_label)
         ]
-        return self.add_keyword_with_tokens(label, kb_id, toks)
+        return self.add_keyword_with_tokens(label, kb_id, toks, obj=obj)
 
     def get_unigrams(self) -> FrozenSet[str]:
         """Distinct first-level-and-below tokens of all keywords

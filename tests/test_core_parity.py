@@ -911,3 +911,117 @@ def test_doc_word_normalization_stemmer():
     annots = m.annot_text("cancer prostatique")
     assert len(annots) == 1
     assert annots[0].kw_strings == ["cancer de la prostate (C61)"]
+
+
+def test_doc_exact_match_custom_keyword():
+    """test_doc.py:80-120: custom keyword objects (IKeyword contract) keep
+    their own __str__ in annotation rendering; Entity renders
+    'label (kb_id)'."""
+    from iamsystem_python_spark import Entity
+
+    class MyKeyword:
+        def __init__(self, label, category, kb_name, uri):
+            self.label = label
+            self.kb_name = kb_name
+            self.category = category
+            self.kb_id = uri
+
+        def __str__(self):
+            return f"{self.kb_id}"
+
+    ent1 = MyKeyword(
+        label="acute respiratory distress syndrome",
+        category="disease",
+        kb_name="wikipedia",
+        uri="https://www.wikidata.org/wiki/Q344873",
+    )
+    ent2 = Entity(label="diarrrhea", kb_id="R19.7")
+    m = Matcher.build(keywords=[ent1, ent2])
+    annots = m.annot_text("Pt c/o acute respiratory distress syndrome and diarrrhea")
+    assert str(annots[0]) == (
+        "acute respiratory distress syndrome\t7 42\t"
+        "https://www.wikidata.org/wiki/Q344873"
+    )
+    assert str(annots[1]) == "diarrrhea\t47 56\tdiarrrhea (R19.7)"
+    # tuple-compatible internal model: existing consumers still unpack
+    assert annots[0].keywords[0] == (
+        "acute respiratory distress syndrome",
+        "https://www.wikidata.org/wiki/Q344873",
+    )
+
+
+def test_doc_window():
+    """test_doc.py:122-135: w=2 matches across one interleaved token."""
+    m = Matcher.build(keywords=["calcium level"], w=2)
+    annots = m.annot_text("calcium blood level")
+    assert str(annots[0]) == "calcium level\t0 7;14 19\tcalcium level"
+
+
+def test_doc_no_overlap_strategy():
+    """test_doc.py:137-152: NoOverlap strategy keeps the rightmost
+    backtracked match only."""
+    m = Matcher.build(
+        keywords=["North America", "South America"], strategy="no_overlap"
+    )
+    annots = m.annot_text("North and South America")
+    assert [str(a) for a in annots] == ["South America\t10 23\tSouth America"]
+
+
+def test_doc_annotation_overlapping_not_ancestors():
+    """test_doc.py:381-399: overlapping but not ancestors — both kept."""
+    m = Matcher.build(keywords=["North America", "South America"], w=3)
+    annots = m.annot_text("North and South America")
+    assert str(annots[0]) == "North America\t0 5;16 23\tNorth America"
+    assert str(annots[1]) == "South America\t10 23\tSouth America"
+
+
+def test_doc_fuzzy_regex_negative_stopwords():
+    """test_doc.py:841-869: NegativeStopwords + FuzzyRegex + custom split
+    pattern detect 'calcium 2.1 mmol L'."""
+    from iamsystem_python_spark.core.tokenize import (
+        Tokenizer,
+        lower_no_accents,
+        split_find_iter_closure,
+    )
+
+    tokenizer = Tokenizer(
+        split=split_find_iter_closure(pattern=r"(\w|\.|,)+"),
+        normalize=lower_no_accents,
+    )
+    m = Matcher.build(
+        keywords=["calcium numval mmol/L"],
+        tokenizer=tokenizer,
+        negative=True,
+        fuzzy_regex=[
+            dict(name="regex_num", pattern=r"^\d*[.,]?\d*$", pattern_name="numval")
+        ],
+    )
+    annots = m.annot_text("the blood calcium level is normal: 2.1 mmol/L")
+    assert len(annots) == 1
+    # reference test asserts only the count; its inline comment golden
+    # 'calcium 2.1 mmol L' is stale — ContSeqFormatter slices annot.text per
+    # continuous sequence (tokenization/util.py:142-151), so the second
+    # sequence (2.1, mmol, L → offsets 35..45) renders as '2.1 mmol/L'
+    assert str(annots[0]) == "calcium 2.1 mmol/L\t10 17;35 45\tcalcium numval mmol/L"
+
+
+def test_keyword_classes_terminology_and_broadcast_roundtrip():
+    """Keyword/Entity/Terminology (reference keywords/keywords.py:18-63,
+    collection.py:10-40) + the Spark broadcast path: a matcher built from
+    keyword objects survives cloudpickle (what Spark uses for UDF closures)
+    with custom rendering intact."""
+    from pyspark import cloudpickle
+
+    from iamsystem_python_spark import Entity, Keyword, Matcher, Terminology
+
+    t = Terminology()
+    t.add_keywords([Entity("insuffisance cardiaque", "I50.9"), Keyword("diarrrhea")])
+    assert len(t) == 2
+    assert [str(k) for k in t] == ["insuffisance cardiaque (I50.9)", "diarrrhea"]
+    assert Entity("a", "b").asdict() == {"label": "a", "kb_id": "b"}
+    m = cloudpickle.loads(cloudpickle.dumps(Matcher.build(keywords=t)))
+    a = m.annot_text("insuffisance cardiaque et diarrrhea")
+    assert [str(x) for x in a] == [
+        "insuffisance cardiaque\t0 22\tinsuffisance cardiaque (I50.9)",
+        "diarrrhea\t26 35\tdiarrrhea",
+    ]
