@@ -166,10 +166,16 @@ def registered():
 
         @spacy.registry.misc("umls_ents.v1")
         def get_termino_umls():
-            return [
-                ("Insuffisance Cardiaque", "I50.9"),
-                ("Insuffisance Cardiaque Gauche", "I50.1"),
-            ]
+            from iamsystem_python_spark import Entity, Terminology
+
+            termino = Terminology()
+            termino.add_keywords(
+                [
+                    Entity("Insuffisance Cardiaque", "I50.9"),
+                    Entity("Insuffisance Cardiaque Gauche", "I50.1"),
+                ]
+            )
+            return termino
 
         @spacy.registry.misc("fuzzy_algos_short_notes.v1")
         def get_fuzzy_algos_short_notes():
@@ -360,3 +366,45 @@ def test_all_params(registered):
     )
     doc = nlp("insuffisance cardiaque gauche en 2010")
     assert len(doc.spans["iamsystem"]) == 1
+
+
+@needs_spacy
+def test_doc_component(registered):
+    """Reference test_doc.py:897-968: abbreviation 'ic' expands inside the
+    component; golden annotation string."""
+    nlp = _french_nlp_with_component(w=1, remove_nested_annots=True)
+    doc = nlp("ic gauche")
+    spans = doc.spans["iamsystem"]
+    assert len(spans) == 1
+    assert (
+        str(spans[0]._.iamsystem)
+        == "ic gauche\t0 9\tInsuffisance Cardiaque Gauche (I50.1)"
+    )
+
+
+@needs_spacy
+def test_doc_spacy_readme_example(registered):
+    """Reference test_doc.py:971-1004: serializable component with the
+    README build params."""
+    from spacy.lang.fr import French
+
+    import iamsystem_python_spark.spacy.component  # noqa: F401
+
+    nlp = French()
+    nlp.add_pipe(
+        "iamsystem_matcher",
+        name="iamsystem",
+        last=True,
+        config={
+            "build_params": {
+                "keywords": ["North America", "South America"],
+                "abbreviations": [("amer", "America")],
+                "stopwords": ["and"],
+                "w": 2,
+                "remove_nested_annots": True,
+                "spellwise": [dict(max_distance=1, measure="Levenshtein")],
+            },
+        },
+    )
+    doc = nlp("Northh and South Amer.")
+    assert len(doc.spans["iamsystem"]) == 2
