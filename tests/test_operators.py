@@ -998,3 +998,41 @@ def test_chunk_dedup_null_text_rows_excluded(spark):
     df = spark.createDataFrame([(1, "a b"), (2, None)], ["doc_id", "text"])
     out = chunk_dedup(df, chunk_tokens=2).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_chunk_dedup_corpus_invariants(spark):
+    """Corpus-level invariants on a randomized-but-seeded corpus: (1)
+    corpus-wide kept-chunk occurrences equal the number of distinct
+    chunks (each distinct window survives exactly once), (2) per-doc
+    chunk-count conservation, (3) deterministic under repartitioning."""
+    import collections
+    import random
+
+    from iamsystem_python_spark.operators.dedup_text import chunk_dedup
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(60)
+    ]
+    k = 4
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_dedup(df, chunk_tokens=k).collect()
+
+    for r in out:  # (2) conservation
+        words = dict(rows)[r["doc_id"]].split(" ")
+        assert r["n_chunks"] == (len(words) + k - 1) // k
+        assert 0 <= r["n_dropped"] <= r["n_chunks"]
+
+    all_chunks = collections.Counter()  # (1) each distinct window kept once
+    for doc_id, text in rows:
+        words = text.split(" ")
+        for ci in range((len(words) + k - 1) // k):
+            all_chunks[" ".join(words[ci * k : ci * k + k])] += 1
+    total_kept = sum(r["n_chunks"] - r["n_dropped"] for r in out)
+    assert total_kept == len(all_chunks)
+    assert sum(all_chunks.values()) == sum(r["n_chunks"] for r in out)
+
+    again = chunk_dedup(df.repartition(13), chunk_tokens=k).collect()  # (3)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
