@@ -120,6 +120,14 @@ class Tokenizer:
         """Vectorization seam: one call per Arrow batch."""
         return [self.tokenize(t) if t is not None else [] for t in texts]
 
+    def norm_labels_iter(self, text: str):
+        """Exact norm labels without Token construction: same boundaries
+        and per-token normalize as ``tokenize`` (unlike ``norm_tokens_fast``,
+        which normalizes the whole text first and can shift \\w boundaries
+        on NFKD compatibility chars). Lazy — callers can early-exit."""
+        normalize = self.normalize
+        return (normalize(text[s:e]) for s, e in self.split(text))
+
     def norm_tokens_fast(self, text: Optional[str]) -> List[str]:
         """Fast path for signature stages that only need normalized token
         strings (no offsets, no Token objects — 18× faster): normalize the

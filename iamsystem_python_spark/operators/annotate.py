@@ -31,6 +31,38 @@ from pyspark.sql import types as T
 
 from iamsystem_python_spark.core.matcher import Matcher
 
+
+def _exact_prefilter(matcher: Matcher, enabled: bool):
+    """Return a ``skip(text) -> bool`` fast path, or None.
+
+    For EXACT-ONLY matchers (no fuzzy algos beyond ExactMatch), a document
+    whose normalized tokens are disjoint from the trie root's children
+    cannot produce any annotation — the first state transition always
+    consumes a root child, and fuzzy synonyms are the only way a
+    non-dictionary token can transition.  The check is an O(tokens)
+    set-membership scan using the tokenizer's exact split+normalize
+    (``norm_labels_iter`` — no Token construction, early exit on first
+    hit), so web-scale corpora where most documents match nothing skip the
+    whole automaton.  Disabled automatically when any fuzzy algo is
+    configured (a fuzzy synonym can map an out-of-vocabulary token onto a
+    root child)."""
+    from iamsystem_python_spark.core.fuzzy import ExactMatch
+
+    if not enabled:
+        return None
+    if not all(type(a) is ExactMatch for a in matcher.fuzzy_algos):
+        return None
+    norm_labels_iter = getattr(matcher.tokenizer, "norm_labels_iter", None)
+    if norm_labels_iter is None:
+        return None
+    roots = frozenset(matcher.trie.root.children)
+
+    def skip(text: str) -> bool:
+        return not any(t in roots for t in norm_labels_iter(text))
+
+    return skip
+
+
 ANNOTATION_FIELDS = [
     T.StructField("start", T.IntegerType()),
     T.StructField("end", T.IntegerType()),
@@ -50,9 +82,12 @@ def annotate(
     matcher: Matcher,
     text_col: str = "content",
     id_cols: Optional[Sequence[str]] = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Annotate ``df[text_col]`` with the compiled matcher; returns one row
-    per annotation with ``id_cols`` carried through."""
+    per annotation with ``id_cols`` carried through.  ``prefilter=True``
+    enables the exact-only unigram skip (see ``_exact_prefilter``) — a
+    no-op for fuzzy-configured matchers."""
     id_cols = list(id_cols) if id_cols is not None else [
         c for c in df.columns if c != text_col
     ]
@@ -62,6 +97,7 @@ def annotate(
     )
 
     ann_names = [f.name for f in ANNOTATION_FIELDS]
+    skip = _exact_prefilter(matcher, prefilter)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Columnar accumulation: one list per output column plus a source-row
@@ -76,6 +112,8 @@ def annotate(
             texts = pdf[text_col].tolist()
             for row_i, text in enumerate(texts):
                 if text is None:
+                    continue
+                if skip is not None and skip(text):
                     continue
                 for a in matcher.annot_text(text):
                     src_idx.append(row_i)
@@ -103,17 +141,23 @@ def contains_keyword(
     df: DataFrame,
     matcher: Matcher,
     text_col: str = "content",
+    prefilter: bool = True,
 ) -> DataFrame:
     """Filter: rows whose text contains ≥1 dictionary match — the minimal
     end-to-end slice of SURVEY.md §7.3 ('find all files containing keyword
     X, fuzzy'). Implemented as a boolean mapInPandas column so the filter
-    short-circuits inside the kernel (first match wins)."""
+    short-circuits inside the kernel (first match wins; exact-only
+    matchers additionally skip the automaton via ``_exact_prefilter``)."""
+    skip = _exact_prefilter(matcher, prefilter)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             flags = []
             for text in pdf[text_col].tolist():
                 if text is None:
+                    flags.append(False)
+                    continue
+                if skip is not None and skip(text):
                     flags.append(False)
                     continue
                 flags.append(bool(matcher.annot_text(text)))

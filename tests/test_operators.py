@@ -1036,3 +1036,56 @@ def test_chunk_dedup_corpus_invariants(spark):
 
     again = chunk_dedup(df.repartition(13), chunk_tokens=k).collect()  # (3)
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# annotate exact-only unigram prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_annotate_prefilter_equivalence_exact(spark):
+    """prefilter=True ≡ prefilter=False for an exact-only matcher, on a
+    corpus where most docs match nothing (the web-scale shape)."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    m = Matcher.build(keywords=["insuffisance cardiaque", "cancer"])
+    rows = [(i, f"filler words only row {i}") for i in range(40)]
+    rows += [
+        (100, "signes d'insuffisance cardiaque gauche"),
+        (101, "cancer du poumon"),
+        (102, "insuffisance hepatique"),  # unigram hit but no full match
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, annotate(df, m, text_col="text", prefilter=True).collect()))
+    b = sorted(map(tuple, annotate(df, m, text_col="text", prefilter=False).collect()))
+    assert a == b
+    assert len(a) == 2  # docs 100 and 101
+
+
+def test_annotate_prefilter_disabled_for_fuzzy(spark):
+    """Fuzzy-configured matchers must not prefilter (a fuzzy synonym can
+    map an OOV token onto a root child): 'cancerr' still matches via
+    Levenshtein with prefilter=True."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.operators.annotate import annotate, _exact_prefilter
+
+    m = Matcher.build(
+        keywords=["cancer"], spellwise=[dict(measure="Levenshtein", max_distance=1)]
+    )
+    assert _exact_prefilter(m, True) is None
+    df = spark.createDataFrame([(1, "cancerr du poumon")], ["doc_id", "text"])
+    out = annotate(df, m, text_col="text", prefilter=True).collect()
+    assert len(out) == 1
+
+
+def test_contains_keyword_prefilter_equivalence(spark):
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.operators.annotate import contains_keyword
+
+    m = Matcher.build(keywords=["spark engine"])
+    rows = [(1, "the spark engine runs"), (2, "nothing here"), (3, "spark alone")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(r["doc_id"] for r in contains_keyword(df, m, "text", prefilter=True).collect())
+    b = sorted(r["doc_id"] for r in contains_keyword(df, m, "text", prefilter=False).collect())
+    assert a == b == [1]
