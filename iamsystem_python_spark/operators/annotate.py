@@ -22,6 +22,8 @@ operator is a narrow map.
 
 from __future__ import annotations
 
+import collections
+
 from typing import Iterator, List, Optional, Sequence
 
 import pandas as pd
@@ -30,6 +32,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iamsystem_python_spark.core.matcher import Matcher
+
+# Worker-side memo: broadcast payload (bytes) → deserialized matcher.
+# PySpark's per-worker _broadcastRegistry caches the *bytes* of a broadcast
+# across tasks; this memo caches the cloudpickle.loads on top, so a
+# 300K-keyword dictionary unpickles once per Python worker process, not
+# once per task.  Keyed by payload object identity (pinned by the strong
+# reference held in the memo); bounded LRU so a long-running service
+# cycling many matchers doesn't accrete.
+_WORKER_MATCHER_MEMO: "collections.OrderedDict[int, tuple]" = (
+    collections.OrderedDict()
+)
+_WORKER_MATCHER_MEMO_CAP = 8
+
+
+def _broadcast_matcher(df: DataFrame, matcher: Matcher):
+    """Ship the matcher as a broadcast of cloudpickle bytes (plain pickle —
+    what sc.broadcast uses for objects — cannot serialize the tokenizer's
+    split closures; cloudpickle handles any matcher a closure capture
+    could)."""
+    import pickle
+
+    from pyspark import cloudpickle
+
+    payload = cloudpickle.dumps(matcher, protocol=pickle.HIGHEST_PROTOCOL)
+    return df.sparkSession.sparkContext.broadcast(payload)
+
+
+def _resolve_matcher(bc) -> Matcher:
+    from pyspark import cloudpickle
+
+    blob = bc.value  # bytes, cached per worker by pyspark's registry
+    key = id(blob)
+    entry = _WORKER_MATCHER_MEMO.get(key)
+    if entry is not None and entry[0] is blob:
+        _WORKER_MATCHER_MEMO.move_to_end(key)
+        return entry[1]
+    m = cloudpickle.loads(blob)
+    _WORKER_MATCHER_MEMO[key] = (blob, m)
+    if len(_WORKER_MATCHER_MEMO) > _WORKER_MATCHER_MEMO_CAP:
+        _WORKER_MATCHER_MEMO.popitem(last=False)
+    return m
 
 
 def _exact_prefilter(matcher: Matcher, enabled: bool):
@@ -83,11 +126,20 @@ def annotate(
     text_col: str = "content",
     id_cols: Optional[Sequence[str]] = None,
     prefilter: bool = True,
+    use_broadcast: bool = True,
 ) -> DataFrame:
     """Annotate ``df[text_col]`` with the compiled matcher; returns one row
     per annotation with ``id_cols`` carried through.  ``prefilter=True``
     enables the exact-only unigram skip (see ``_exact_prefilter``) — a
-    no-op for fuzzy-configured matchers."""
+    no-op for fuzzy-configured matchers.
+
+    ``use_broadcast=True`` ships the compiled matcher as a Spark broadcast
+    variable instead of a closure capture: the dictionary then travels
+    torrent-style once per executor and unpickles once per Python worker
+    (cached in the worker's broadcast registry), instead of riding inside
+    every serialized task.  For a 300K-keyword matcher on a 1000-executor
+    cluster that is the difference between per-task and per-worker
+    deserialization cost."""
     id_cols = list(id_cols) if id_cols is not None else [
         c for c in df.columns if c != text_col
     ]
@@ -97,9 +149,14 @@ def annotate(
     )
 
     ann_names = [f.name for f in ANNOTATION_FIELDS]
-    skip = _exact_prefilter(matcher, prefilter)
+    bc = _broadcast_matcher(df, matcher) if use_broadcast else None
+    # the closure must not capture `matcher` when broadcasting, or the
+    # pickle still rides in every task — capture a None placeholder instead
+    matcher_ref = None if bc is not None else matcher
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = _resolve_matcher(bc) if bc is not None else matcher_ref
+        skip = _exact_prefilter(matcher, prefilter)
         # Columnar accumulation: one list per output column plus a source-row
         # index, materialized with a single vectorized .iloc take for the
         # id columns — no per-annotation dict construction inside the Arrow
@@ -142,15 +199,20 @@ def contains_keyword(
     matcher: Matcher,
     text_col: str = "content",
     prefilter: bool = True,
+    use_broadcast: bool = True,
 ) -> DataFrame:
     """Filter: rows whose text contains ≥1 dictionary match — the minimal
     end-to-end slice of SURVEY.md §7.3 ('find all files containing keyword
     X, fuzzy'). Implemented as a boolean mapInPandas column so the filter
     short-circuits inside the kernel (first match wins; exact-only
-    matchers additionally skip the automaton via ``_exact_prefilter``)."""
-    skip = _exact_prefilter(matcher, prefilter)
+    matchers additionally skip the automaton via ``_exact_prefilter``).
+    ``use_broadcast``: see :func:`annotate`."""
+    bc = _broadcast_matcher(df, matcher) if use_broadcast else None
+    matcher_ref = None if bc is not None else matcher
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = _resolve_matcher(bc) if bc is not None else matcher_ref
+        skip = _exact_prefilter(matcher, prefilter)
         for pdf in batches:
             flags = []
             for text in pdf[text_col].tolist():
