@@ -1,0 +1,109 @@
+"""Typing surface (reference: the I* protocol classes exported from
+`iamsystem`'s top level — tokenization/api.py, matcher/api.py,
+stopwords/api.py, fuzzy/api.py, keywords/api.py).
+
+The engine itself is duck-typed (any object with the right attributes is
+accepted), so these are ``typing.Protocol``s — reference user code that
+imports them for annotations or ``isinstance`` structural checks keeps
+working, without forcing inheritance."""
+
+from __future__ import annotations
+
+from typing import (
+    Iterable,
+    List,
+    Optional,
+    Protocol,
+    Sequence,
+    Tuple,
+    TypeVar,
+    runtime_checkable,
+)
+
+
+@runtime_checkable
+class IOffsets(Protocol):
+    """(start, end) character offsets (reference tokenization/api.py)."""
+
+    start: int
+    end: int
+
+
+@runtime_checkable
+class IToken(IOffsets, Protocol):
+    """A token (reference tokenization/api.py IToken)."""
+
+    label: str
+    norm_label: str
+    i: int
+
+
+TokenT = TypeVar("TokenT", bound=IToken)
+
+
+@runtime_checkable
+class ITokenizer(Protocol):
+    """Tokenizer contract (reference tokenization/api.py ITokenizer)."""
+
+    def tokenize(self, text: str) -> Sequence[IToken]: ...
+
+
+@runtime_checkable
+class IStopwords(Protocol):
+    """Stopword predicate (reference stopwords/api.py IStopwords)."""
+
+    def is_token_a_stopword(self, token) -> bool: ...
+
+
+@runtime_checkable
+class IWords2ignore(Protocol):
+    """Words a string-distance algo must skip (reference fuzzy/api.py)."""
+
+    def is_word_2_ignore(self, word: str) -> bool: ...
+
+
+@runtime_checkable
+class ISpan(Protocol):
+    """A contiguous group of tokens (reference tokenization/span.py)."""
+
+    @property
+    def start_i(self) -> int: ...
+
+    @property
+    def end_i(self) -> int: ...
+
+
+@runtime_checkable
+class IAnnotation(ISpan, Protocol):
+    """An annotation (reference matcher/api.py IAnnotation)."""
+
+    @property
+    def keywords(self) -> List[Tuple[str, Optional[str]]]: ...
+
+    @property
+    def label(self) -> str: ...
+
+
+@runtime_checkable
+class IBratFormatter(Protocol):
+    """Annotation → (text, offsets) Brat rendering (reference
+    brat/formatter.py IBratFormatter)."""
+
+    def get_text_and_offsets(self, annot) -> Tuple[str, str]: ...
+
+
+@runtime_checkable
+class IBaseMatcher(Protocol):
+    """Document annotator contract (reference matcher/api.py
+    IBaseMatcher)."""
+
+    def annot_text(self, text: str) -> List: ...
+
+
+@runtime_checkable
+class IMatcher(IBaseMatcher, Protocol):
+    """Full matcher contract (reference matcher/api.py IMatcher)."""
+
+    def tokenize(self, text: str) -> Sequence[IToken]: ...
+
+    def annot_tokens(self, tokens: Sequence[IToken]) -> List: ...

@@ -20,6 +20,7 @@ across the corpus — the relational generalization of CacheFuzzyAlgos.
 from __future__ import annotations
 
 from collections import defaultdict
+from enum import Enum
 from typing import Callable, Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 from iamsystem_python_spark.core.tokenize import Token
@@ -187,13 +188,25 @@ def levenshtein(a: str, b: str, max_distance: int) -> int:
 class StringDistance(FuzzyAlgo):
     """Common gates (api.py:170-218)."""
 
-    def __init__(self, name: str, min_nb_char: int = 5, words2ignore: Optional[Iterable[str]] = None):
+    def __init__(self, name: str, min_nb_char: int = 5, words2ignore=None):
         super().__init__(name)
         self.min_nb_char = min_nb_char
-        self.words2ignore: Set[str] = set(words2ignore) if words2ignore else set()
+        # accepts an iterable of words OR an IWords2ignore-style object
+        # (reference api.py IWords2ignore / util.py SimpleWords2ignore)
+        if words2ignore is None:
+            self.words2ignore: object = set()
+        elif hasattr(words2ignore, "is_word_2_ignore"):
+            self.words2ignore = words2ignore
+        else:
+            self.words2ignore = set(words2ignore)
 
     def _is_a_word_to_ignore(self, word: str) -> bool:
-        return len(word) < self.min_nb_char or word in self.words2ignore
+        if len(word) < self.min_nb_char:
+            return True
+        w2i = self.words2ignore
+        if isinstance(w2i, set):
+            return word in w2i
+        return bool(w2i.is_word_2_ignore(word))
 
     def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
         return self.get_syns_of_word(token.norm_label)
@@ -668,3 +681,107 @@ class CacheFuzzyAlgos(FuzzyAlgo):
 
     def get_syns_of_token(self, token: Token) -> Iterable[SynType]:  # pragma: no cover
         return [syn for syn, _ in self.get_syns_of_word(token.norm_label)]
+
+
+# ---------------------------------------------------------------------------
+# Reference import-surface compatibility (fuzzy side) — thin shims over the
+# native algorithms above, matching the names/signatures a user of the
+# reference imports from `iamsystem`.
+# ---------------------------------------------------------------------------
+
+
+class ESpellWiseAlgo(Enum):
+    """Enumerated spellwise algorithms (reference spellwise.py:32-42)."""
+
+    LEVENSHTEIN = "levenshtein"
+    SOUNDEX = "soundex"
+    EDITEX = "editex"
+    TYPOX = "typox"
+    CAVERPHONE_1 = "caverphone_1"
+    CAVERPHONE_2 = "caverphone_2"
+
+
+class ESimStringMeasure(Enum):
+    """Enumerated simstring measures (reference simstring.py:18-25)."""
+
+    EXACT = "exact"
+    DICE = "dice"
+    COSINE = "cosine"
+    JACCARD = "jaccard"
+    OVERLAP = "overlap"
+
+
+class SimpleWords2ignore:
+    """In-memory words2ignore store (reference fuzzy/util.py:21-40)."""
+
+    def __init__(self, words: Optional[Iterable[str]] = None):
+        self._words2ignore: Set[str] = set(words) if words is not None else set()
+
+    def is_word_2_ignore(self, word: str) -> bool:
+        return word in self._words2ignore
+
+
+def SpellWiseWrapper(
+    measure,
+    max_distance: int,
+    min_nb_char: int = 5,
+    words2ignore=None,
+    name: Optional[str] = None,
+) -> StringDistance:
+    """Reference-compatible constructor (spellwise.py:59-96) over the
+    native measure implementations: returns the matching
+    :class:`StringDistance` subclass (factory, not a wrapper class — there
+    is no external spellwise library here). TYPOX raises (no published
+    algorithm spec; see spellwise_algo)."""
+    key = measure.value if isinstance(measure, ESpellWiseAlgo) else str(measure).lower()
+    algo = spellwise_algo(
+        measure=key,
+        max_distance=max_distance,
+        min_nb_char=min_nb_char,
+        words2ignore=words2ignore,
+    )
+    if name is not None:
+        algo.name = name
+    else:
+        algo.name = key.upper()
+    return algo
+
+
+def SimStringWrapper(
+    words: Iterable[str],
+    measure=ESimStringMeasure.JACCARD,
+    name: Optional[str] = None,
+    threshold: float = 0.5,
+    min_nb_char: int = 5,
+    words2ignore=None,
+) -> "NgramSimilarity":
+    """Reference-compatible constructor (simstring.py:28-92) over the
+    native char-3-gram inverted index."""
+    key = measure.value if isinstance(measure, ESimStringMeasure) else str(measure).lower()
+    return NgramSimilarity(
+        threshold=threshold,
+        measure=key,
+        name=name if name is not None else key,
+        min_nb_char=min_nb_char,
+        words2ignore=words2ignore,
+        words=words,
+    )
+
+
+class ContextFreeAlgo(FuzzyAlgo):
+    """Extension point (reference fuzzy/api.py ContextFreeAlgo): a fuzzy
+    algorithm whose synonyms depend on the current token only. Subclass
+    and implement ``get_syns_of_token``."""
+
+    def get_syns_of_word(self, word: str) -> Iterable[SynType]:  # pragma: no cover
+        return NO_SYN
+
+
+class NormLabelAlgo(FuzzyAlgo):
+    """Extension point (reference fuzzy/api.py NormLabelAlgo): a fuzzy
+    algorithm keyed on the token's normalized label — cacheable by
+    :class:`CacheFuzzyAlgos`. Subclass and implement
+    ``get_syns_of_word``."""
+
+    def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
+        return self.get_syns_of_word(token.norm_label)

@@ -117,3 +117,25 @@ def kw_render(kw) -> str:
         return kw.render()
     label, kb_id = kw
     return label if kb_id is None else f"{label} ({kb_id})"
+
+
+class IKeyword:
+    """Base class for user keyword types (reference keywords/api.py
+    IKeyword). Subclassing is optional — any object with a ``label``
+    attribute is accepted wherever keywords are added — but provided so
+    reference code like ``class MyKeyword(IEntity)`` imports unchanged."""
+
+    label: str
+
+    def __str__(self) -> str:
+        return self.label
+
+
+class IEntity(IKeyword):
+    """Keyword linked to a knowledge base (reference keywords/api.py
+    IEntity): adds ``kb_id``."""
+
+    kb_id: str
+
+    def __str__(self) -> str:
+        return f"{self.label} ({self.kb_id})"

@@ -15,6 +15,7 @@ and broadcast.
 from __future__ import annotations
 
 from collections import defaultdict
+from enum import Enum
 from typing import (
     Callable,
     Dict,
@@ -594,7 +595,8 @@ class Matcher:
         first_stopwords = matcher.stopwords
         matcher.w = w
         matcher.remove_nested_annots = remove_nested_annots
-        matcher.strategy = strategy.lower()
+        # accepts a string or an EMatchingStrategy member (matcher/api.py)
+        matcher.strategy = str(getattr(strategy, "value", strategy)).lower()
 
         # keyword-side FuzzyRegex rewrite must happen before trie insert
         # (regex.py:39-56); build algos first when fuzzy_regex is configured.
@@ -692,3 +694,77 @@ class Matcher:
 
             matcher.stopwords.add_fun_is_a_word_to_keep(keep_fuzzy)
         return matcher
+
+
+# ---------------------------------------------------------------------------
+# Reference import-surface compatibility (matcher side).
+# ---------------------------------------------------------------------------
+
+
+class EMatchingStrategy(Enum):
+    """Enumerated detection strategies (reference matcher/strategy.py /
+    api.py EMatchingStrategy). ``Matcher.build(strategy=...)`` accepts a
+    member or its string value."""
+
+    WINDOW = "window"
+    LARGE_WINDOW = "large_window"
+    NO_OVERLAP = "no_overlap"
+
+
+class PrintAnnot:
+    """Annotation → string formatting helper (reference
+    matcher/printannot.py:12-47). The per-annotation logic lives on
+    :class:`Annotation`; this class holds the formatter choice the way the
+    reference does."""
+
+    def __init__(self, brat_formatter: str = "contseq"):
+        self.brat_formatter = getattr(brat_formatter, "value", brat_formatter)
+
+    def annot_to_str(self, annot: Annotation) -> str:
+        return annot.annot_to_str(formatter=self.brat_formatter)
+
+
+class _BratFormatterBase:
+    """IBratFormatter face (reference brat/formatter.py): delegates to
+    ``Annotation.brat_text_and_offsets``."""
+
+    _kind = "contseq"
+
+    def get_text_and_offsets(self, annot: Annotation):
+        return annot.brat_text_and_offsets(self._kind)
+
+
+class ContSeqFormatter(_BratFormatterBase):
+    """Default: continuous token sequences, stopwords ignored
+    (brat/formatter.py:12-21)."""
+
+    _kind = "contseq"
+
+
+class TokenFormatter(_BratFormatterBase):
+    """One fragment per token (brat/formatter.py:24-32)."""
+
+    _kind = "token"
+
+
+class ContSeqStopFormatter(_BratFormatterBase):
+    """Continuous sequences including stopwords, trailing stops removed
+    (brat/formatter.py:35-59)."""
+
+    _kind = "contseq_stop"
+
+
+class SpanFormatter(_BratFormatterBase):
+    """Whole-span slice (brat/formatter.py:62-71)."""
+
+    _kind = "span"
+
+
+class EBratFormatters(Enum):
+    """Enumerated Brat formatters (brat/formatter.py:74-86)."""
+
+    DEFAULT = "contseq"
+    TOKEN = "token"
+    CONTINUOUS_SEQ = "contseq"
+    CONTINUOUS_SEQ_STOP = "contseq_stop"
+    SPAN = "span"

@@ -250,3 +250,30 @@ def replace_offsets_by_new_str(
         i = end
     parts.append(text[i:])
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Reference import-surface compatibility (tokenization side).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Offsets:
+    """A (start, end) character span (reference tokenization/span.py
+    Offsets / api.py IOffsets)."""
+
+    start: int
+    end: int
+
+
+#: Reference class name for the concrete tokenizer
+#: (tokenization/tokenize.py TokenizerImp).
+TokenizerImp = Tokenizer
+
+
+def tokenize_and_order_decorator(tokenizer):
+    """Wrap any tokenizer so its output is sorted alphabetically by label
+    (reference tokenization/tokenize.py:117-131). For the core
+    :class:`Tokenizer` prefer ``order_tokens=True``; this generic wrapper
+    also covers adapters without the split/normalize seam."""
+    return OrderedTokenizerWrapper(tokenizer)

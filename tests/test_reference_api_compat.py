@@ -1,0 +1,169 @@
+"""Import-surface parity with the reference package: every name a user of
+`iamsystem` can import from its top level (reference src/iamsystem/
+__init__.py) exists here with working behavior — exercised, not just
+imported."""
+
+from __future__ import annotations
+
+import pytest
+
+
+REFERENCE_EXPORTS = """Abbreviations Annotation BratDocument BratEntity
+BratNote BratWriter CacheFuzzyAlgos ContSeqFormatter ContSeqStopFormatter
+ContextFreeAlgo EBratFormatters EMatchingStrategy ESimStringMeasure
+ESpellWiseAlgo Entity FuzzyAlgo FuzzyRegex IAnnotation IBaseMatcher
+IBratFormatter IEntity IKeyword IMatcher IOffsets ISpan IStopwords IToken
+ITokenizer IWords2ignore Keyword Matcher NegativeStopwords NoStopwords
+NormLabelAlgo Offsets PrintAnnot SimStringWrapper SimpleWords2ignore
+SpanFormatter SpellWiseWrapper Stopwords StringDistance Terminology Token
+TokenFormatter TokenT TokenizerImp WordNormalizer english_tokenizer
+french_tokenizer lower_no_accents replace_annots rm_nested_annots
+split_find_iter_closure token_is_upper_case
+tokenize_and_order_decorator""".split()
+
+
+def test_every_reference_export_present():
+    import iamsystem_python_spark as p
+
+    missing = [n for n in REFERENCE_EXPORTS if not hasattr(p, n)]
+    assert missing == []
+
+
+def test_spellwise_wrapper_enum_and_string():
+    from iamsystem_python_spark import ESpellWiseAlgo, SpellWiseWrapper
+
+    a = SpellWiseWrapper(ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)
+    assert a.name == "LEVENSHTEIN"
+    b = SpellWiseWrapper("soundex", max_distance=1, name="sx")
+    assert b.name == "sx"
+    with pytest.raises(Exception):
+        SpellWiseWrapper(ESpellWiseAlgo.TYPOX, max_distance=1)
+
+
+def test_spellwise_wrapper_in_matcher():
+    from iamsystem_python_spark import Matcher, SpellWiseWrapper, english_tokenizer
+
+    m = Matcher(tokenizer=english_tokenizer())
+    m.add_keywords(["north america"])
+    algo = SpellWiseWrapper("Levenshtein", max_distance=1)
+    # reference usage pattern: seed with the keyword unigrams
+    algo.add_words(m.get_keywords_unigrams())
+    m.add_fuzzy_algo(algo)
+    assert len(m.annot_text("northh america")) == 1
+
+
+def test_simstring_wrapper_with_words2ignore():
+    from iamsystem_python_spark import (
+        ESimStringMeasure,
+        SimStringWrapper,
+        SimpleWords2ignore,
+    )
+
+    algo = SimStringWrapper(
+        words=["prostate"],
+        measure=ESimStringMeasure.COSINE,
+        threshold=0.7,
+        words2ignore=SimpleWords2ignore(["prostrate"]),
+    )
+    assert [s for s in algo.get_syns_of_word("prostatte")] == [("prostate",)]
+    # ignored word produces nothing even though it is similar
+    assert list(algo.get_syns_of_word("prostrate")) == []
+
+
+def test_matching_strategy_enum_in_build():
+    from iamsystem_python_spark import EMatchingStrategy, Matcher
+
+    m = Matcher.build(
+        keywords=["North America", "South America"],
+        strategy=EMatchingStrategy.NO_OVERLAP,
+    )
+    annots = m.annot_text("North and South America")
+    assert [str(a) for a in annots] == ["South America\t10 23\tSouth America"]
+
+
+def test_brat_formatter_classes_and_enum():
+    from iamsystem_python_spark import (
+        ContSeqFormatter,
+        EBratFormatters,
+        Matcher,
+        PrintAnnot,
+        SpanFormatter,
+        TokenFormatter,
+    )
+
+    m = Matcher.build(keywords=["calcium level"], w=2)
+    (a,) = m.annot_text("calcium blood level")
+    assert ContSeqFormatter().get_text_and_offsets(a) == (
+        "calcium level",
+        "0 7;14 19",
+    )
+    assert TokenFormatter().get_text_and_offsets(a) == (
+        "calcium level",
+        "0 7;14 19",
+    )
+    assert SpanFormatter().get_text_and_offsets(a) == (
+        "calcium blood level",
+        "0 19",
+    )
+    assert PrintAnnot(EBratFormatters.SPAN).annot_to_str(a) == (
+        "calcium blood level\t0 19\tcalcium level"
+    )
+
+
+def test_custom_norm_label_algo_extension_point():
+    from iamsystem_python_spark import Matcher, NormLabelAlgo, english_tokenizer
+
+    class FirstCharClass(NormLabelAlgo):
+        """Toy custom fuzzy algo per the reference docs pattern."""
+
+        def __init__(self):
+            super().__init__(name="firstchar")
+
+        def get_syns_of_word(self, word):
+            if word.startswith("x"):
+                return [("america",)]
+            return []
+
+    m = Matcher(tokenizer=english_tokenizer())
+    m.add_keywords(["north america"])
+    m.add_fuzzy_algo(FirstCharClass())
+    assert len(m.annot_text("north xyz")) == 1
+
+
+def test_ientity_subclass_reference_style():
+    from iamsystem_python_spark import IEntity, Matcher
+
+    class MyKeyword(IEntity):
+        def __init__(self, label, uri):
+            self.label = label
+            self.kb_id = uri
+
+        def __str__(self):
+            return self.kb_id
+
+    m = Matcher.build(keywords=[MyKeyword("heart failure", "Q181754")])
+    (a,) = m.annot_text("heart failure admission")
+    assert str(a) == "heart failure\t0 13\tQ181754"
+
+
+def test_offsets_and_protocols():
+    from iamsystem_python_spark import IOffsets, IToken, Offsets, Token
+
+    o = Offsets(3, 9)
+    assert (o.start, o.end) == (3, 9)
+    assert isinstance(o, IOffsets)
+    t = Token(0, 4, "Word", "word", 0)
+    assert isinstance(t, IToken)
+
+
+def test_tokenize_and_order_decorator():
+    from iamsystem_python_spark import (
+        TokenizerImp,
+        Tokenizer,
+        english_tokenizer,
+        tokenize_and_order_decorator,
+    )
+
+    assert TokenizerImp is Tokenizer
+    tok = tokenize_and_order_decorator(english_tokenizer())
+    assert [t.label for t in tok.tokenize("b a c")] == ["a", "b", "c"]
