@@ -519,6 +519,11 @@ class Matcher:
 
     # --- synonyms (matcher.py:269-289) -------------------------------------
     def get_synonyms(self, tokens: Sequence[Token], token: Token) -> List[SynAlgos]:
+        algos = self.fuzzy_algos
+        if len(algos) == 1 and type(algos[0]) is ExactMatch:
+            # exact-only fast path: no defaultdict merge needed — the hot
+            # annotation loop calls this once per non-stop token
+            return [((token.norm_label,), [algos[0].name])]
         syns_collector: Dict[SynType, List[str]] = defaultdict(list)
         for algo in self.fuzzy_algos:
             if isinstance(algo, CacheFuzzyAlgos):
