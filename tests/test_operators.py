@@ -1089,3 +1089,47 @@ def test_contains_keyword_prefilter_equivalence(spark):
     a = sorted(r["doc_id"] for r in contains_keyword(df, m, "text", prefilter=True).collect())
     b = sorted(r["doc_id"] for r in contains_keyword(df, m, "text", prefilter=False).collect())
     assert a == b == [1]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join evidence (the 100-TB pattern BENCH/PLANS.md cites):
+    both sides bucketed on the join key into the warehouse ⇒ the join plan
+    has NO shuffle exchange — each task reads matching buckets directly.
+    This is the bucketing strategy the pipeline docstrings prescribe for
+    repeated large-table joins at scale."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    torders, titems = f"b_orders_{suffix}", f"b_items_{suffix}"
+    orders = spark.range(0, 2000).selectExpr(
+        "id AS o_key", "id % 7 AS o_val"
+    )
+    items = spark.range(0, 6000).selectExpr(
+        "(id % 2000) AS i_key", "id AS i_val"
+    )
+    try:
+        (orders.write.bucketBy(8, "o_key").sortBy("o_key")
+         .format("parquet").saveAsTable(torders))
+        (items.write.bucketBy(8, "i_key").sortBy("i_key")
+         .format("parquet").saveAsTable(titems))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                spark.table(torders)
+                .join(
+                    spark.table(titems),
+                    F.col("o_key") == F.col("i_key"),
+                )
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # bucketed scans feed the sort-merge join directly: no shuffle
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "ShuffleExchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+            assert joined.count() == 6000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {torders}")
+        spark.sql(f"DROP TABLE IF EXISTS {titems}")
