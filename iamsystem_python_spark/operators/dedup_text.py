@@ -429,6 +429,39 @@ def exact_dedup_decision(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunks_projection(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Row-local fixed-window chunking: adds ``__chunks array<string>`` to
+    (id_col, text_col) via split + slice inside one projection — no
+    word-level explode, usable on batch AND streaming frames (shared by
+    :func:`chunk_dedup` and streaming/stream_ops.streaming_chunk_dedup)."""
+    k = int(chunk_tokens)
+    split_re = f"\\Q{delimiter}\\E"  # literal delimiter, regex-quoted
+    return (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__words", F.split(F.col(text_col), split_re))
+        .withColumn("__nc", F.ceil(F.size("__words") / F.lit(k)).cast("int"))
+        .withColumn(
+            "__chunks",
+            F.when(F.col("__nc") <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nc") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__words"), i * k + 1, k), delimiter
+                    ),
+                )
+            ),
+        )
+        .drop("__words")
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -457,26 +490,7 @@ def chunk_dedup(
     Returns (id_col, n_chunks, n_dropped, cleaned_text): cleaned_text is
     the document with duplicate windows removed, delimiter-rejoined.
     """
-    k = int(chunk_tokens)
-    split_re = f"\\Q{delimiter}\\E"  # literal delimiter, regex-quoted
-    base = (
-        df.select(id_col, text_col)
-        .where(F.col(text_col).isNotNull())
-        .withColumn("__words", F.split(F.col(text_col), split_re))
-        .withColumn("__nc", F.ceil(F.size("__words") / F.lit(k)).cast("int"))
-        .withColumn(
-            "__chunks",
-            F.when(F.col("__nc") <= 0, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__nc") - 1),
-                    lambda i: F.array_join(
-                        F.slice(F.col("__words"), i * k + 1, k), delimiter
-                    ),
-                )
-            ),
-        )
-        .drop("__words")
-    )
+    base = chunks_projection(df, id_col, text_col, chunk_tokens, delimiter)
     narrow = base.select(
         F.col(id_col), F.posexplode("__chunks").alias("__ci", "__chunk")
     ).select(

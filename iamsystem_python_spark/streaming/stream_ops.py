@@ -279,3 +279,118 @@ def streaming_neardup_stateful(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+def make_chunk_state_fn(max_state_hashes: int):
+    """Per-bucket state function for :func:`streaming_chunk_dedup` —
+    module-level so the LRU/eviction branches are unit-testable with a
+    stub GroupState.
+
+    State = the chunk hashes seen so far in this bucket, kept in
+    least-recently-SEEN order (a hash that keeps recurring is refreshed to
+    the tail, so cap truncation evicts hashes that stopped recurring).
+    An arriving chunk whose hash is resident → keep=False (duplicate);
+    otherwise keep=True and the hash becomes resident. Rows are processed
+    in (doc_id, chunk_i) order within the batch so the keep-first rule is
+    deterministic per batch."""
+    import pandas as pd
+
+    def chunk_fn(key, pdfs, state):
+        lru = dict.fromkeys(state.get[0]) if state.exists else {}
+        out_doc, out_ci, out_keep = [], [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf.itertuples(index=False))
+        rows.sort(key=lambda r: (str(r.doc_id), int(r.chunk_i)))
+        for r in rows:
+            h = int(r.h)
+            if h in lru:
+                del lru[h]
+                lru[h] = None  # refresh to tail
+                keep = False
+            else:
+                lru[h] = None
+                keep = True
+            out_doc.append(str(r.doc_id))
+            out_ci.append(int(r.chunk_i))
+            out_keep.append(keep)
+        if len(lru) > max_state_hashes:
+            resident = list(lru)[-max_state_hashes:]
+            lru = dict.fromkeys(resident)
+        state.update((list(lru),))
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "chunk_i": out_ci, "keep": out_keep}
+        )
+
+    return chunk_fn
+
+
+def streaming_chunk_dedup(
+    stream_df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+    delimiter: str = " ",
+    n_buckets: int = 64,
+    max_state_hashes: int = 100_000,
+) -> DataFrame:
+    """Cross-micro-batch fixed-window substring dedup — the streaming twin
+    of operators/dedup_text.chunk_dedup (CCNet-style ingest dedup):
+
+    1. stateless row-local chunking (shared ``chunks_projection`` — split +
+       slice in one projection, no word explode);
+    2. 60-bit chunk hash, bucketed by ``pmod(hash, n_buckets)`` — the
+       bucket is the state KEY, so state sharding follows the shuffle and
+       scales with parallelism (10^12-chunk streams shard across
+       ``n_buckets × executors``);
+    3. per bucket, ``applyInPandasWithState`` keeps the seen-hash set
+       (LRU-bounded, least-recently-seen evicted) and emits one verdict
+       row per chunk: (doc_id, chunk_i, keep).
+
+    Emission contract: per-CHUNK verdicts, not rebuilt documents — a
+    second stateful regroup by doc inside one streaming query would need a
+    second state boundary; consumers join verdicts back to their chunks
+    (batch rebuild shape: chunk_dedup). EVICTION CONSEQUENCE: an evicted
+    hash re-arriving is treated as new (duplicate missed) — size
+    ``max_state_hashes`` to the live distinct-chunk count per bucket and
+    treat the operator as a high-recall ingest filter; the batch operator
+    is the exact instrument. No timeout is configured, so bounded
+    ``availableNow`` runs terminate cleanly and state survives restarts
+    via the checkpoint (resumability at the operator level)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from iamsystem_python_spark.operators.dedup_text import chunks_projection
+
+    base = chunks_projection(
+        stream_df, id_col=id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, delimiter=delimiter,
+    )
+    narrow = base.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode("__chunks").alias("chunk_i", "__chunk"),
+    ).select(
+        "doc_id",
+        "chunk_i",
+        F.conv(F.substring(F.sha2(F.col("__chunk"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("chunk_i", T.LongType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("hashes", T.ArrayType(T.LongType()))]
+    )
+    return narrow.groupBy("bucket").applyInPandasWithState(
+        make_chunk_state_fn(max_state_hashes),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1133,3 +1133,112 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {torders}")
         spark.sql(f"DROP TABLE IF EXISTS {titems}")
+
+
+# ---------------------------------------------------------------------------
+# streaming chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def _run_chunk_fn(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "chunk_i", "h"])
+    return pd.concat(list(fn((0,), iter([pdf]), state)), ignore_index=True)
+
+
+def test_chunk_state_fn_keep_rule_and_cross_batch():
+    from iamsystem_python_spark.streaming.stream_ops import make_chunk_state_fn
+
+    fn = make_chunk_state_fn(max_state_hashes=100)
+    st = _StubGroupState()
+    out1 = _run_chunk_fn(fn, st, [("a", 0, 11), ("a", 1, 22), ("b", 0, 11)])
+    got1 = {(r.doc_id, r.chunk_i): r.keep for r in out1.itertuples(index=False)}
+    assert got1 == {("a", 0): True, ("a", 1): True, ("b", 0): False}
+    # batch 2 from restored state: 22 is resident -> dropped
+    out2 = _run_chunk_fn(fn, st, [("c", 0, 22), ("c", 1, 33)])
+    got2 = {(r.doc_id, r.chunk_i): r.keep for r in out2.itertuples(index=False)}
+    assert got2 == {("c", 0): False, ("c", 1): True}
+
+
+def test_chunk_state_fn_lru_eviction_recall_loss():
+    from iamsystem_python_spark.streaming.stream_ops import make_chunk_state_fn
+
+    fn = make_chunk_state_fn(max_state_hashes=2)
+    st = _StubGroupState()
+    _run_chunk_fn(fn, st, [("a", 0, 1), ("a", 1, 2), ("a", 2, 3)])
+    # only the 2 most recent survive the cap
+    assert list(st.get[0]) == [2, 3]
+    # hash 1 was evicted: re-arrival is (wrongly but by contract) kept,
+    # and a recurring resident hash is refreshed, not re-kept
+    out = _run_chunk_fn(fn, st, [("b", 0, 1), ("b", 1, 3)])
+    got = {(r.doc_id, r.chunk_i): r.keep for r in out.itertuples(index=False)}
+    assert got == {("b", 0): True, ("b", 1): False}
+
+
+def test_streaming_chunk_dedup_matches_batch_and_resumes(spark, tmp_path):
+    """Bounded availableNow run over a file source: (1) single-run verdicts
+    equal the batch chunk_dedup keep decisions; (2) a second run restarted
+    from the checkpoint drops chunks that were seen in run 1 (state
+    restored across restarts)."""
+    from iamsystem_python_spark.operators.dedup_text import chunk_dedup
+    from iamsystem_python_spark.streaming.stream_ops import streaming_chunk_dedup
+
+    schema = "doc_id string, content string"
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    # zero-padded ids: the streaming keep-first rule sorts doc_id as string
+    rows1 = [
+        ("d01", "a b c d e f"),
+        ("d02", "a b c x y z"),
+        ("d03", "x y z q r s"),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        verdicts = streaming_chunk_dedup(
+            stream, text_col="content", id_col="doc_id", chunk_tokens=3,
+            n_buckets=4,
+        )
+        q = (
+            verdicts.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    out1 = run_once()
+    got = {
+        (r.doc_id, r.chunk_i): r.keep
+        for r in out1.collect()
+    }
+    batch = chunk_dedup(
+        spark.createDataFrame(rows1, schema),
+        id_col="doc_id", text_col="content", chunk_tokens=3,
+    ).collect()
+    # reconstruct batch keep decisions per (doc, chunk_i): kept chunks are
+    # the ones not in the dropped set; compare drop counts per doc
+    batch_drops = {r.doc_id: r.n_dropped for r in batch}
+    stream_drops = {}
+    for (doc, _ci), keep in got.items():
+        stream_drops[doc] = stream_drops.get(doc, 0) + (0 if keep else 1)
+    for doc in batch_drops:
+        assert stream_drops.get(doc, 0) == batch_drops[doc], doc
+
+    # run 2: new file with chunks duplicating run-1 content
+    rows2 = [("d04", "a b c NEW1 NEW2 NEW3")]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    out2 = run_once()
+    d04 = {
+        r.chunk_i: r.keep for r in out2.where("doc_id = 'd04'").collect()
+    }
+    assert d04 == {0: False, 1: True}  # 'a b c' seen in run 1 -> dropped
