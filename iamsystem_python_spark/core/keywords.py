@@ -51,17 +51,35 @@ class Entity(Keyword):
 
 
 class Terminology:
-    """A keyword collection (reference keywords/collection.py:10-40)."""
+    """A keyword collection (reference keywords/collection.py:10-63)."""
 
     def __init__(self, keywords: Optional[Iterable] = None):
         self._keywords: List = list(keywords) if keywords is not None else []
+
+    def add(self, keyword) -> None:
+        self._keywords.append(keyword)
 
     def add_keywords(self, keywords: Iterable) -> None:
         self._keywords.extend(keywords)
 
     @property
+    def size(self) -> int:
+        return len(self._keywords)
+
+    @property
     def keywords(self) -> List:
         return self._keywords
+
+    def get_unigrams(self, tokenizer, stopwords) -> set:
+        """Distinct non-stop normalized unigrams of all keyword labels
+        (reference collection.py get_unigrams / keywords/util.py:12-24)."""
+        out = set()
+        for kw in self._keywords:
+            label, _, _ = normalize_keyword_input(kw)
+            for t in tokenizer.tokenize(label):
+                if not stopwords.is_token_a_stopword(t):
+                    out.add(t.norm_label)
+        return out
 
     def __iter__(self):
         return iter(self._keywords)

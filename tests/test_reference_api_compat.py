@@ -167,3 +167,65 @@ def test_tokenize_and_order_decorator():
     assert TokenizerImp is Tokenizer
     tok = tokenize_and_order_decorator(english_tokenizer())
     assert [t.label for t in tok.tokenize("b a c")] == ["a", "b", "c"]
+
+
+# --- Terminology — reference tests/test_terminology.py -----------------------
+
+
+class _TermSubClass:
+    """reference tests/utils_detector.py TermSubClass: Entity + termino."""
+
+    def __init__(self, label, kb_id, termino):
+        self.label = label
+        self.kb_id = kb_id
+        self.termino = termino
+
+
+def test_terminology_size_and_add():
+    """test_terminology.py:22-38."""
+    from iamsystem_python_spark import Entity, Terminology
+
+    t = Terminology()
+    assert Terminology().size == 0
+    ent = Entity("Insuffisance Cardiaque Gauche", "I50.1")
+    t.add(ent)
+    assert t.size == 1
+    t.add(ent)  # duplicates allowed
+    assert t.size == 2
+    count = sum(1 for _ in t) + sum(1 for _ in t)  # re-iterable
+    assert count == 4
+
+
+def test_terminology_get_unigrams():
+    """test_terminology.py:41-56."""
+    from iamsystem_python_spark import Entity, Stopwords, Terminology, french_tokenizer
+
+    t = Terminology()
+    t.add(Entity("Insuffisance Cardiaque Gauche", "I50.1"))
+    stop = Stopwords()
+    assert t.get_unigrams(french_tokenizer(), stop) == {
+        "insuffisance",
+        "cardiaque",
+        "gauche",
+    }
+    stop.add(["insuffisance"])
+    assert t.get_unigrams(french_tokenizer(), stop) == {"cardiaque", "gauche"}
+
+
+def test_terminology_keyword_subclass():
+    """test_terminology.py:58-72: keyword subclasses with extra fields flow
+    through collections and the matcher."""
+    from iamsystem_python_spark import Matcher, Terminology
+
+    t = Terminology()
+    t.add_keywords(
+        [
+            _TermSubClass("Insuffisance Cardiaque", "I50.9", "ICD-10"),
+            _TermSubClass("Insuffisance Cardiaque Gauche", "I50.1", "ICD-10"),
+        ]
+    )
+    assert t.size == 2
+    assert list(t.keywords)[0].termino == "ICD-10"
+    m = Matcher.build(keywords=t)
+    (a,) = m.annot_text("insuffisance cardiaque gauche")
+    assert a.keywords[0] == ("Insuffisance Cardiaque Gauche", "I50.1")
