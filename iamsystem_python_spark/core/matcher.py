@@ -503,9 +503,28 @@ class Matcher:
                 obj=obj,
             )
 
+    def add_keyword(self, keyword) -> None:
+        """Add one keyword (reference matcher.py:213-224)."""
+        self.add_keywords([keyword])
+
+    @property
+    def keywords(self):
+        """The stored keyword collection (reference matcher.py:226-229):
+        (label, kb_id) tuples — StoredKeyword when the user supplied a
+        custom object."""
+        return list(self.trie.keywords)
+
     def get_keywords_unigrams(self) -> Set[str]:
         """Distinct non-stop unigrams of all keywords (keywords/util.py:12-24)."""
         return set(self.trie.get_unigrams())
+
+    def is_stopword(self, word: str) -> bool:
+        """Word-level stopword check (reference matcher.py:181-190)."""
+        return self.stopwords.is_word_a_stopword(word)
+
+    def get_initial_state(self) -> Node:
+        """The trie root (reference matcher.py:264-267)."""
+        return self.trie.root
 
     def add_stopwords(self, words: Iterable[str]) -> None:
         self.stopwords.add(words)

@@ -229,3 +229,17 @@ def test_terminology_keyword_subclass():
     m = Matcher.build(keywords=t)
     (a,) = m.annot_text("insuffisance cardiaque gauche")
     assert a.keywords[0] == ("Insuffisance Cardiaque Gauche", "I50.1")
+
+
+def test_matcher_surface_methods():
+    """Reference Matcher surface: add_keyword (singular), keywords
+    property, is_stopword, get_initial_state (matcher.py:181-267)."""
+    from iamsystem_python_spark import Entity, Matcher
+
+    m = Matcher.build(keywords=["north america"], stopwords=["the"])
+    m.add_keyword(Entity("south america", "SA"))
+    assert ("south america", "SA") in m.keywords
+    assert ("north america", None) in m.keywords
+    assert m.is_stopword("the") and not m.is_stopword("north")
+    assert m.get_initial_state() is m.trie.root
+    assert len(m.annot_text("the north america and south america")) == 2
