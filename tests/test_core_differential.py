@@ -318,3 +318,26 @@ def test_reference_no_overlap_stopword_keyword_crash(reference):
         assert ours.annot_text("b") == []  # sane: 'b' alone is not 'b b'
         # and the non-degenerate keyword still matches normally
         assert len(ours.annot_text("b b")) == 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(_case())
+def test_differential_hypothesis_no_overlap(reference, case):
+    """NoOverlap backtracking under the same randomized net as the window
+    strategies. Reference crash cases (pinned as a defect in
+    test_reference_no_overlap_stopword_keyword_crash) are skipped via
+    assume — on every input the reference CAN process, we must agree."""
+    from hypothesis import assume
+
+    kws, text, w, _ = case
+    try:
+        ref_annots = reference.Matcher.build(
+            keywords=kws, strategy="NO_OVERLAP", w=w
+        ).annot_text(text)
+    except Exception:
+        assume(False)
+        return
+    ours = Matcher.build(keywords=kws, strategy="no_overlap", w=w)
+    assert _annot_sig(ref_annots) == _annot_sig(ours.annot_text(text)), (
+        kws, text, w,
+    )
