@@ -1242,3 +1242,40 @@ def test_streaming_chunk_dedup_matches_batch_and_resumes(spark, tmp_path):
         r.chunk_i: r.keep for r in out2.where("doc_id = 'd04'").collect()
     }
     assert d04 == {0: False, 1: True}  # 'a b c' seen in run 1 -> dropped
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Skew-handling evidence (north rule: 'salted-key repartitioning for
+    skewed mega-repos' — the pipeline salts proactively, AQE is the
+    runtime backstop): a join with one hot key, executed under AQE with
+    tight skew thresholds, shows SortMergeJoin(skew=true) fed by an
+    'AQEShuffleRead skewed' in the final adaptive plan — the hot partition
+    was split at runtime, no manual salting needed."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 110_000).selectExpr(
+            "CASE WHEN id < 100000 THEN 0 ELSE id END AS k", "id AS lv"
+        )
+        right = spark.range(0, 2000).selectExpr("id AS k", "id*2 AS rv")
+        j = left.join(right, "k")
+        assert len(j.collect()) == 100_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
