@@ -856,6 +856,32 @@ def q51_chunk_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q52_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup: docs with doc_id % 3 == 0 are the NEW ingest
+    batch, the rest are the historical store (signed once via
+    build_minhash_index — its text is never re-read by the incremental
+    join). Returns every near-dup pair touching the batch: new-new and
+    new-old, never old-old (dedup_text.incremental_lsh_pairs_sql). The
+    oracle replays the full-corpus MinHash-LSH computation and keeps pairs
+    with ≥1 new side — equal because a doc's bands depend only on its own
+    text."""
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+    from iamsystem_python_spark.operators.dedup_text import (
+        build_minhash_index,
+        incremental_lsh_pairs_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    index = build_minhash_index(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0), k=3, num_perm=16
+    )
+    pairs = incremental_lsh_pairs_sql(
+        new_batch, index, k=3, num_perm=16, num_bands=8, threshold=0.5
+    )
+    return tie_cache(pairs.orderBy("doc_a", "doc_b"), pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -905,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_soundex_blocking": q47_soundex_blocking,
         "q50_media_features": q50_media_features,
         "q51_chunk_dedup": q51_chunk_dedup,
+        "q52_incremental_dedup": q52_incremental_dedup,
     }
 
 
@@ -960,6 +987,63 @@ WITH base AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(sa.h, sb.h))::DOUBLE
+             / len(list_distinct(list_concat(sa.h, sb.h))), 6) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.h, sb.h))::DOUBLE
+      / len(list_distinct(list_concat(sa.h, sb.h))) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _incremental_minhash_oracle_sql(
+    k: int, num_perm: int, num_bands: int, threshold: float, new_mod: int
+) -> str:
+    """q52 oracle: the FULL-corpus MinHash-LSH pair computation (same CTEs
+    as the q25 oracle) restricted to pairs with ≥1 side in the new batch
+    (doc_id % new_mod == 0) — the exactness invariant of the incremental
+    operator: a doc's bands depend only on its own text, so batch-vs-store
+    banding finds exactly the full computation's pairs that touch the
+    batch."""
+    from iamsystem_python_spark.functions.sqlhash import P, perm_params
+
+    r = num_perm // num_bands
+    sig_exprs = ",\n    ".join(
+        f"list_aggregate(list_transform(h, x -> ({a} * (x % {P}) + {b}) % {P}), 'min') AS sig_{i}"
+        for i, (a, b) in enumerate(perm_params(num_perm, 42))
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, concat_ws(',', '{b}', {cols}) AS band_key FROM sig".format(
+            b=band,
+            cols=", ".join(f"sig_{band * r + j}::VARCHAR" for j in range(r)),
+        )
+        for band in range(num_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh, s ->
+           (('0x' || substring(sha256(s), 1, 15))::UBIGINT)::BIGINT)) AS h
+  FROM base
+), sig AS (
+  SELECT doc_id, h,
+    {sig_exprs}
+  FROM hashed
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN a.doc_id % {new_mod} = 0 AND b.doc_id % {new_mod} = 0
+              THEN 'new-new' ELSE 'new-old' END AS pair_side
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id % {new_mod} = 0 OR b.doc_id % {new_mod} = 0)
+)
+SELECT c.doc_a, c.doc_b, c.pair_side,
        round(len(list_intersect(sa.h, sb.h))::DOUBLE
              / len(list_distinct(list_concat(sa.h, sb.h))), 6) AS jaccard
 FROM cand c
@@ -1389,6 +1473,7 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "q25_minhash_pairs": _minhash_oracle_sql(3, 16, 8, 0.5),
+        "q52_incremental_dedup": _incremental_minhash_oracle_sql(3, 16, 8, 0.5, 3),
         "q26_ngram_jaccard": f"""
 WITH base AS (
   SELECT lang AS blk, doc_id, {_shingle_sql(3)} AS sh FROM documents

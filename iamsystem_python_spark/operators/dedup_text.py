@@ -133,6 +133,24 @@ def minhash_signatures_sql(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _band_keys_expr(num_perm: int, num_bands: int):
+    """Array of band keys over sig_0..sig_{num_perm-1} columns: band i's key
+    is ``"i,sig,sig,…"`` over its r = num_perm//num_bands consecutive sig
+    values — the same encoding the DuckDB oracle builds, and the key a
+    persisted signature store re-derives without re-reading any text."""
+    r = num_perm // num_bands
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(band),
+                *[F.col(f"sig_{band * r + j}").cast("string") for j in range(r)],
+            )
+            for band in range(num_bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs_sql(
     df: DataFrame,
     text_col: str = "text",
@@ -146,7 +164,6 @@ def minhash_lsh_pairs_sql(
     Bands are multi-column groupings of r consecutive sig columns; the
     self-join key is the band's concatenated signature — a plain equi-join
     Catalyst can shuffle-hash or broadcast as sizes dictate."""
-    r = num_perm // num_bands
     sig = minhash_signatures_sql(df, text_col, k, num_perm, seed)
     # all bands in ONE pass over sig (explode of the band-key array), not an
     # N-way union that re-executes the signature subplan per band. sig is
@@ -155,16 +172,7 @@ def minhash_lsh_pairs_sql(
     # recomputing the lean aggregate is ~16x cheaper than columnar-caching
     # the array column (measured). At cluster scale the big pipeline
     # (plans/pipeline.py) shares this stage via parquet checkpoints instead.
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                F.lit(band),
-                *[F.col(f"sig_{band * r + j}").cast("string") for j in range(r)],
-            )
-            for band in range(num_bands)
-        ]
-    )
+    band_keys = _band_keys_expr(num_perm, num_bands)
     # the band self-join consumes `bands` twice — without a persist the
     # lean signature aggregate re-executes per side. Unlike sig (array
     # column), bands is two scalar columns (num_bands rows/doc), so the
@@ -197,6 +205,102 @@ def minhash_lsh_pairs_sql(
         .select("doc_a", "doc_b", "jaccard")
     )
     return tie_cache(out, bands)
+
+
+# A signature store row is exactly minhash_signatures_sql's output
+# (doc_id, hset, sig_0..sig_{n-1}); persist it as parquet between ingest
+# runs. The alias exists so call sites read as build/load symmetry.
+build_minhash_index = minhash_signatures_sql
+
+
+def incremental_lsh_pairs_sql(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs of a NEW ingest batch against a persisted signature
+    store — the production shape at 10^12 files: the historical corpus is
+    signed ONCE (``build_minhash_index`` → parquet, in practice partitioned
+    by a band-key prefix); a nightly batch re-reads only its own text plus
+    the store's fixed-width sketch columns, never historical text.
+
+    Returns (doc_a, doc_b, pair_side, jaccard) where ≥1 side is new:
+    ``new-new`` pairs within the batch and ``new-old`` pairs against the
+    store, ids ordered doc_a < doc_b. Because a doc's bands depend only on
+    its own text, this equals the full-corpus ``minhash_lsh_pairs_sql``
+    restricted to pairs touching the batch (invariant tested in
+    tests/test_operators.py). Doc ids must be disjoint between batch and
+    store (re-ingests should delete-then-insert upstream).
+
+    Plan shape: the batch side of the band join is small — Catalyst
+    broadcasts it — so the store's band table is ONE probe-side scan with
+    no old-old pair ever generated (the batch is the build side; joining
+    store×store and filtering would be quadratic in history). Verification
+    re-attaches hset from the store for old ids and from the batch
+    signatures for new ids.
+
+    To roll the store forward after the run:
+    ``index.unionByName(build_minhash_index(new_df, ...))``.
+    """
+    sig_new = minhash_signatures_sql(new_df, text_col, k, num_perm, seed)
+    band_keys = _band_keys_expr(num_perm, num_bands)
+    # bands_new is consumed twice (join build side + the new-new branch via
+    # the union) — two scalar columns per row, cheap to cache; scoped to
+    # the returned frame like the full variant's band cache.
+    bands_new = sig_new.select(
+        "doc_id", F.explode(band_keys).alias("band_key")
+    ).persist()
+    bands_old = index.select(
+        "doc_id", F.explode(band_keys).alias("band_key"), F.lit("old").alias("side")
+    )
+    targets = bands_new.withColumn("side", F.lit("new")).unionByName(bands_old)
+    n, t = bands_new.alias("n"), targets.alias("t")
+    cand = (
+        n.join(t, "band_key")
+        .where(
+            # each new-new pair once (lower id probes higher); every
+            # new-old pair regardless of id order
+            (F.col("t.side") == "old") | (F.col("n.doc_id") < F.col("t.doc_id"))
+        )
+        .where(F.col("n.doc_id") != F.col("t.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("t.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("t.doc_id")).alias("doc_b"),
+            F.when(F.col("t.side") == "old", F.lit("new-old"))
+            .otherwise(F.lit("new-new"))
+            .alias("pair_side"),
+        )
+        .distinct()
+    )
+    sh = sig_new.select("doc_id", "hset").unionByName(
+        index.select("doc_id", "hset")
+    )
+    out = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hset", "sh_a"),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hset", "sh_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "pair_side", "jaccard")
+    )
+    return tie_cache(out, bands_new)
 
 
 def ngram_jaccard_pairs(

@@ -1279,3 +1279,84 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup vs the full-corpus computation
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_lsh_equals_full_minus_old_old(spark):
+    """Exactness of incrementality: pairs(new batch vs signature store) ∪
+    old-old pairs from the store's own run == full-corpus pairs. Holds
+    because a doc's bands depend only on its own text. The corpus plants
+    near-dups in all three pair classes (old-old, new-old, new-new)."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        build_minhash_index,
+        incremental_lsh_pairs_sql,
+        minhash_lsh_pairs_sql,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        # old-old planted pair (1, 2); new-new (101, 102); new-old (3, 103)
+        (1, base + " alpha"),
+        (2, base + " alpha beta"),
+        (3, base + " gamma delta shared"),
+        (4, "completely different text about spark catalyst optimizer plans"),
+        (101, base + " omega"),
+        (102, base + " omega sigma"),
+        (103, base + " gamma delta shared too"),
+        (104, "unrelated content counting tokens and shuffles for partitions"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old_df = df.where("doc_id < 100")
+    new_df = df.where("doc_id >= 100")
+    cfg = dict(k=3, num_perm=16, num_bands=8, threshold=0.3)
+
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_sql(df, "text", **cfg).collect()
+    }
+    old_old = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_sql(old_df, "text", **cfg).collect()
+    }
+    index = build_minhash_index(old_df, "text", k=3, num_perm=16)
+    inc_rows = incremental_lsh_pairs_sql(new_df, index, "text", **cfg).collect()
+    inc = {(r.doc_a, r.doc_b, r.jaccard) for r in inc_rows}
+
+    assert inc | old_old == full
+    assert inc & old_old == set()
+    # all three pair classes are exercised and labeled correctly
+    sides = {(r.doc_a, r.doc_b): r.pair_side for r in inc_rows}
+    assert sides[(101, 102)] == "new-new"
+    assert sides[(3, 103)] == "new-old"
+    assert (1, 2) in {(a, b) for a, b, _ in old_old}
+
+
+def test_incremental_lsh_store_text_never_read(spark, tmp_path):
+    """The production property: after the store is written, the incremental
+    join runs from the store's parquet alone — historical TEXT is not an
+    input (the store frame has no text column, and the parquet round-trip
+    proves nothing outside it is needed)."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        build_minhash_index,
+        incremental_lsh_pairs_sql,
+    )
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    old_df = spark.createDataFrame(
+        [(1, base + " x"), (2, "different words entirely about nothing shared here")],
+        ["doc_id", "text"],
+    )
+    new_df = spark.createDataFrame([(10, base + " y")], ["doc_id", "text"])
+    store = str(tmp_path / "sig_store")
+    build_minhash_index(old_df, "text", k=3, num_perm=16).write.parquet(store)
+    index = spark.read.parquet(store)
+    assert "text" not in index.columns
+    pairs = incremental_lsh_pairs_sql(
+        new_df, index, "text", k=3, num_perm=16, num_bands=8, threshold=0.3
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 10)}
+    assert pairs[0].pair_side == "new-old"
