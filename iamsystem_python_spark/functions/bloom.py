@@ -1,0 +1,70 @@
+"""Vectorized Bloom filter over 60-bit gram hashes — the semi-join
+reduction used by decontaminate when the reference gram set is too large to
+broadcast as an exact set but its BLOOM is not (~9.6 bits/element at 1% fpp:
+a 10^8-gram benchmark suite is an ~800 MB exact hash set vs a ~115 MB
+bloom). The filter only PRUNES — candidates that pass still hit the exact
+join, so false positives never change results, and blooms have no false
+negatives, so nothing is lost.
+
+Double hashing (Kirsch–Mitzenmacher): probe i uses h1(x) + i·h2(x) mod m,
+with h1/h2 derived from splitmix64 — the asymptotic false-positive rate
+matches k independent hashes. All operations are numpy array ops so the
+executor-side membership test is one Arrow-batched pandas UDF, never
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+from iamsystem_python_spark.functions.hashing import splitmix64
+
+_LN2 = math.log(2.0)
+
+
+def bloom_params(n_items: int, fpp: float) -> Tuple[int, int]:
+    """(m_bits, k_hashes) for `n_items` at false-positive rate `fpp`;
+    m rounded up to a multiple of 64 so the bit array packs into uint64
+    words exactly."""
+    if n_items <= 0:
+        return 64, 1
+    m = math.ceil(-n_items * math.log(fpp) / (_LN2 * _LN2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n_items * _LN2))
+    return m, k
+
+
+def _probe_positions(hashes: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing. h2 forced odd so it is
+    invertible mod the power-of-two-free m (avoids degenerate strides)."""
+    x = hashes.astype(np.uint64)
+    h1 = splitmix64(x)
+    h2 = splitmix64(x ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def bloom_build(hashes: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """Packed uint64 bloom words from member hashes."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = _probe_positions(np.asarray(hashes, dtype=np.int64), m_bits, k_hashes)
+    w = (pos >> np.uint64(6)).ravel()
+    b = (pos & np.uint64(63)).ravel()
+    np.bitwise_or.at(words, w, np.uint64(1) << b)
+    return words
+
+
+def bloom_might_contain(
+    hashes: np.ndarray, words: np.ndarray, m_bits: int, k_hashes: int
+) -> np.ndarray:
+    """Boolean membership mask: True iff ALL k probed bits are set (i.e.
+    possibly a member; False is definite non-membership)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _probe_positions(np.asarray(hashes, dtype=np.int64), m_bits, k_hashes)
+    bits = (words[(pos >> np.uint64(6))] >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=1)

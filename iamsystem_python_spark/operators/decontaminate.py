@@ -31,31 +31,93 @@ def contamination_scores(
     ref: DataFrame,
     text_col: str = "text",
     k: int = 5,
+    prefilter: str | None = None,
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """(doc_id, n_grams, n_hit, contamination) per corpus doc:
     contamination = |doc's distinct k-gram hashes ∩ ref gram set| /
     |doc's distinct k-gram hashes|. Docs shorter than k tokens contribute
     their whole token sequence as one gram (same convention as the dedup
-    shingle builder, so thresholds behave on short docs)."""
+    shingle builder, so thresholds behave on short docs).
+
+    ``prefilter="bloom"`` inserts a broadcast Bloom filter between the
+    corpus grams and the exact ref join — for the window where the ref
+    gram set outgrows the broadcast-join threshold (~10^7+ grams) but its
+    bloom does not (~9.6 bits/gram at fpp 0.01 vs 64+ bits for the exact
+    set). The result is IDENTICAL to the default path (the bloom only
+    prunes; survivors still hit the exact join, and blooms have no false
+    negatives — equality is unit-tested): only the plan changes — the exact
+    join's probe side shrinks to the contaminated fraction plus fpp instead
+    of shuffling every gram of a 10^12-doc corpus, and the n_grams total
+    comes from a separate narrow aggregation whose groupBy(doc_id) reuses
+    the gram builder's existing doc_id partitioning (no added wide
+    shuffle). The membership test is one Arrow-batched pandas UDF over the
+    broadcast word array (functions/bloom.py), never per-row Python."""
     grams = shingle_hash_rows(corpus, text_col, k, distinct=True)
     ref_grams = (
-        shingle_hash_rows(ref, text_col, k, distinct=True)
-        .select("h60")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
+        shingle_hash_rows(ref, text_col, k, distinct=True).select("h60").distinct()
     )
-    flagged = grams.join(ref_grams, "h60", "left")
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+    if prefilter is None:
+        flagged = grams.join(ref_grams.withColumn("_hit", F.lit(1)), "h60", "left")
+        return (
+            flagged.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+            )
+            .select(
+                "doc_id",
+                "n_grams",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+            )
         )
+    if prefilter != "bloom":
+        raise ValueError(f"unknown prefilter {prefilter!r}; use None or 'bloom'")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from iamsystem_python_spark.functions import bloom
+
+    # ref is the small side by construction (a benchmark suite); its
+    # distinct hashes fit the driver (8 B/gram) even when the JOIN-side
+    # exact set exceeds the broadcast threshold's serialized-row budget
+    ref_hashes = ref_grams.toPandas()["h60"].to_numpy(dtype=np.int64)
+    m_bits, k_hashes = bloom.bloom_params(max(len(ref_hashes), 1), bloom_fpp)
+    words_bc = grams.sparkSession.sparkContext.broadcast(
+        bloom.bloom_build(ref_hashes, m_bits, k_hashes)
+    )
+
+    def _maybe_hit(h):
+        # annotation-free (module uses `from __future__ import annotations`,
+        # which turns hints into strings pandas_udf cannot resolve); no
+        # hints means pandas_udf defaults to the scalar pandas UDF type
+        return pd.Series(
+            bloom.bloom_might_contain(
+                h.to_numpy(dtype=np.int64), words_bc.value, m_bits, k_hashes
+            )
+        )
+
+    maybe_hit = pandas_udf(_maybe_hit, "boolean")
+
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.where(maybe_hit(F.col("h60")))
+        .join(ref_grams, "h60")  # exact join resolves bloom false positives
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
-            "n_hit",
-            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination"),
         )
     )
 
@@ -67,6 +129,7 @@ def decontaminate(
     k: int = 5,
     max_contamination: float = 0.0,
     id_col: str = "doc_id",
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Filter: corpus rows whose contamination is ≤ max_contamination
     (default: drop any doc sharing even one k-gram with the benchmark).
@@ -78,7 +141,7 @@ def decontaminate(
         corpus if id_col == "doc_id" else corpus.withColumnRenamed(id_col, "doc_id")
     )
     bad = (
-        contamination_scores(scored_input, ref, text_col, k)
+        contamination_scores(scored_input, ref, text_col, k, prefilter=prefilter)
         .where(F.col("contamination") > max_contamination)
         .select(F.col("doc_id").alias(id_col))
     )

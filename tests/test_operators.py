@@ -1360,3 +1360,66 @@ def test_incremental_lsh_store_text_never_read(spark, tmp_path):
     ).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 10)}
     assert pairs[0].pair_side == "new-old"
+
+
+# ---------------------------------------------------------------------------
+# bloom prefilter for decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_kernel_no_false_negatives_and_fpp():
+    """Members always pass (bloom guarantee the correctness argument rests
+    on); false-positive rate on non-members stays near the configured
+    bound."""
+    from iamsystem_python_spark.functions import bloom
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(0, 1 << 60, size=20_000, dtype=np.int64)
+    others = rng.randint(0, 1 << 60, size=50_000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    m, k = bloom.bloom_params(len(members), 0.01)
+    words = bloom.bloom_build(members, m, k)
+    assert bloom.bloom_might_contain(members, words, m, k).all()
+    fpr = bloom.bloom_might_contain(others, words, m, k).mean()
+    assert fpr < 0.03, fpr
+    assert bloom.bloom_might_contain(np.array([], dtype=np.int64), words, m, k).size == 0
+
+
+def test_contamination_bloom_prefilter_identical_output(spark):
+    """prefilter='bloom' changes the plan (broadcast bloom prune before the
+    exact join), never the answer: scores and the decontaminate survivor
+    set match the default path exactly on a corpus with planted leaks."""
+    from iamsystem_python_spark.operators.decontaminate import (
+        contamination_scores,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            ("b1", "the quick brown fox jumps over the lazy dog tonight"),
+            ("b2", "four score and seven years ago our fathers brought forth"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "intro then the quick brown fox jumps over the lazy dog tonight more"),
+            ("c2", "completely unrelated content about spark partitioning strategies"),
+            ("c3", "short doc"),
+            ("c4", "four score and seven years ago our fathers brought forth a nation"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = {
+        r.doc_id: (r.n_grams, r.n_hit, r.contamination)
+        for r in contamination_scores(corpus, bench, k=5).collect()
+    }
+    bloomed = {
+        r.doc_id: (r.n_grams, r.n_hit, r.contamination)
+        for r in contamination_scores(corpus, bench, k=5, prefilter="bloom").collect()
+    }
+    assert base == bloomed
+    kept = {r.doc_id for r in decontaminate(corpus, bench, k=5, prefilter="bloom").collect()}
+    assert kept == {r.doc_id for r in decontaminate(corpus, bench, k=5).collect()}
+    with pytest.raises(ValueError):
+        contamination_scores(corpus, bench, k=5, prefilter="nope")
