@@ -882,6 +882,25 @@ def q52_incremental_dedup(spark, sf_dir):
     return tie_cache(pairs.orderBy("doc_a", "doc_b"), pairs)
 
 
+def q53_repo_similarity(spark, sf_dir):
+    """Repo-level similarity by merged MinHash sketches (source = the repo
+    axis of the documents table): each source's signature is the
+    elementwise min over ALL its docs' shingle hashes — MinHash(union)
+    without materializing the union — then r=1 band candidates and a
+    signature-agreement estimate (dedup_text.group_minhash_pairs_sql). The
+    oracle replays the identical sketch computation pairwise (band
+    candidacy is implied: est ≥ 0.05 > 1/64 forces ≥1 shared band at r=1,
+    so band join + filter ≡ all-pairs + filter). 22 pairs at sf0.01."""
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+    from iamsystem_python_spark.operators.dedup_text import group_minhash_pairs_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = group_minhash_pairs_sql(
+        docs, "source", k=3, num_perm=64, num_bands=64, threshold=0.05
+    )
+    return tie_cache(pairs.orderBy("group_a", "group_b"), pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -932,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_media_features": q50_media_features,
         "q51_chunk_dedup": q51_chunk_dedup,
         "q52_incremental_dedup": q52_incremental_dedup,
+        "q53_repo_similarity": q53_repo_similarity,
     }
 
 
@@ -1052,6 +1072,39 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 WHERE len(list_intersect(sa.h, sb.h))::DOUBLE
       / len(list_distinct(list_concat(sa.h, sb.h))) >= {threshold}
 ORDER BY doc_a, doc_b
+"""
+
+
+def _group_minhash_oracle_sql(k: int, num_perm: int, threshold: float) -> str:
+    """q53 oracle: per-source merged MinHash signature (min over all docs'
+    shingle hashes) and pairwise agreement estimate. All-pairs here ≡ the
+    Spark side's r=1 band join because threshold > 1/num_perm implies ≥1
+    agreeing component, i.e. ≥1 shared band."""
+    from iamsystem_python_spark.functions.sqlhash import P, perm_params
+
+    sig_exprs = ",\n    ".join(
+        f"min(({a} * h + {b}) % {P}) AS sig_{i}"
+        for i, (a, b) in enumerate(perm_params(num_perm, 42))
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+WITH base AS (
+  SELECT source, {_shingle_sql(k)} AS shl FROM documents
+), un AS (
+  SELECT source,
+         (('0x' || substring(sha256(u.s), 1, 15))::UBIGINT % {P})::BIGINT AS h
+  FROM base, unnest(shl) AS u(s)
+), sig AS (
+  SELECT source, {sig_exprs} FROM un GROUP BY source
+)
+SELECT a.source AS group_a, b.source AS group_b,
+       round(({eq}) / {num_perm}.0, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+WHERE ({eq}) / {num_perm}.0 >= {threshold}
+ORDER BY group_a, group_b
 """
 
 
@@ -1474,6 +1527,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "q25_minhash_pairs": _minhash_oracle_sql(3, 16, 8, 0.5),
         "q52_incremental_dedup": _incremental_minhash_oracle_sql(3, 16, 8, 0.5, 3),
+        "q53_repo_similarity": _group_minhash_oracle_sql(3, 64, 0.05),
         "q26_ngram_jaccard": f"""
 WITH base AS (
   SELECT lang AS blk, doc_id, {_shingle_sql(3)} AS sh FROM documents

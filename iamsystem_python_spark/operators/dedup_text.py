@@ -50,9 +50,16 @@ def exact_dup_groups_text(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_hash_rows(
-    df: DataFrame, text_col: str = "text", k: int = 3, distinct: bool = True
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    distinct: bool = True,
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """(doc_id, h60) — one row per distinct k-shingle, 60-bit portable hash.
+    """(doc_id, *carry_cols, h60) — one row per distinct k-shingle, 60-bit
+    portable hash. ``carry_cols`` names doc-level columns (e.g. the repo /
+    source of the doc) carried through the explode — a pass-through
+    projection, NOT a corpus-sized join back onto the grams.
 
     Two deliberate plan choices, both measured on this box:
     - Exploding BEFORE hashing: sha256 evaluated once per (doc, shingle);
@@ -70,9 +77,11 @@ def shingle_hash_rows(
     distinct=False skips the dedup shuffle — correct for consumers whose
     aggregates are dedup-insensitive (collect_set, min); SimHash's per-bit
     popcounts need distinct=True."""
+    carry = list(carry_cols)
     tok = (
         df.select(
             "doc_id",
+            *carry,
             F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
         ).where(F.col("tok") != "")
     )
@@ -81,6 +90,7 @@ def shingle_hash_rows(
     full = (
         tok.select(
             "doc_id",
+            *carry,
             F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
             F.lead("tok", k - 1).over(w).isNotNull().alias("_full"),
         )
@@ -91,6 +101,7 @@ def shingle_hash_rows(
     whole = (
         df.select(
             "doc_id",
+            *carry,
             F.array_join(toks_arr, " ").alias("s"),
             F.size(toks_arr).alias("_n"),
         )
@@ -102,7 +113,7 @@ def shingle_hash_rows(
         .cast("long")
         .alias("h60")
     )
-    out = full.union(whole).select("doc_id", h60)
+    out = full.union(whole).select("doc_id", *carry, h60)
     return out.distinct() if distinct else out
 
 
@@ -301,6 +312,76 @@ def incremental_lsh_pairs_sql(
         .select("doc_a", "doc_b", "pair_side", "jaccard")
     )
     return tie_cache(out, bands_new)
+
+
+def group_minhash_pairs_sql(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 64,
+    threshold: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Group-level (repo-level) similarity via MERGED MinHash sketches —
+    mega-repo / fork detection over source-code corpora: MinHash(union of
+    the group's shingle sets) is just the elementwise min over ALL the
+    group's shingle hashes, so the group signature is one direct
+    ``groupBy(group).agg(min...)`` over the gram rows (map-side partial
+    aggregation; the per-repo shingle union is never materialized, per-doc
+    hsets never shuffled). Returns (group_a, group_b, est_jaccard) for band
+    candidates with estimated Jaccard (fraction of agreeing signature
+    components) ≥ threshold.
+
+    Scale shape: 10^12 files collapse to one signature row per GROUP
+    (~10^8 repos) before any join; the band self-join operates on that
+    small table only. Repo-level similarity is much lower than doc-level
+    (shared files / union of all files), so defaults differ from the doc
+    path: more permutations (finer estimates) and r=1 banding
+    (P[candidate] = 1-(1-j)^bands — recall at j≈0.05 needs single-sig
+    bands; r≥2 misses low-j pairs). The estimate is itself the verdict —
+    exact group Jaccard would need the unions this operator exists to
+    avoid; at 64 perms the estimator's σ at j=0.05 is ~0.027.
+
+    The group column rides the gram explode as a projection
+    (shingle_hash_rows carry_cols), never a corpus-sized join."""
+    grams = shingle_hash_rows(
+        df, text_col, k, distinct=False, carry_cols=(group_col,)
+    )
+    hp = F.col("h60") % F.lit(sqlhash.P)
+    sig = grams.groupBy(group_col).agg(
+        *[
+            F.min((F.lit(a) * hp + F.lit(b)) % F.lit(sqlhash.P)).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(sqlhash.perm_params(num_perm, seed))
+        ]
+    )
+    band_keys = _band_keys_expr(num_perm, num_bands)
+    # one signature row per group: tiny frame, two consumers (band join
+    # sides + estimate re-attach) — cache scoped to the result
+    sig = sig.persist()
+    bands = sig.select(group_col, F.explode(band_keys).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, "band_key")
+        .where(F.col(f"a.{group_col}") < F.col(f"b.{group_col}"))
+        .select(
+            F.col(f"a.{group_col}").alias("group_a"),
+            F.col(f"b.{group_col}").alias("group_b"),
+        )
+        .distinct()
+    )
+    est = sum(
+        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    ) / F.lit(float(num_perm))
+    out = (
+        cand.join(sig.alias("sa"), F.col("group_a") == F.col(f"sa.{group_col}"))
+        .join(sig.alias("sb"), F.col("group_b") == F.col(f"sb.{group_col}"))
+        .select("group_a", "group_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return tie_cache(out, sig)
 
 
 def ngram_jaccard_pairs(

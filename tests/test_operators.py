@@ -1423,3 +1423,58 @@ def test_contamination_bloom_prefilter_identical_output(spark):
     assert kept == {r.doc_id for r in decontaminate(corpus, bench, k=5).collect()}
     with pytest.raises(ValueError):
         contamination_scores(corpus, bench, k=5, prefilter="nope")
+
+
+def test_group_minhash_detects_forked_repo(spark):
+    """Two 'repos' sharing most files (a fork) score high; unrelated repos
+    are absent. Also checks the sketch-merge identity: the group signature
+    equals the elementwise min of per-doc signatures (MinHash of a union =
+    min of the members' MinHashes)."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        group_minhash_pairs_sql,
+        minhash_signatures_sql,
+    )
+
+    files = [
+        "def parse tokens from the input stream and yield them",
+        "class buffer manages the byte window over the mmap region",
+        "fn hash combine mixes the two words with rotation and xor",
+    ]
+    rows = (
+        [(i, "repoA", t) for i, t in enumerate(files)]
+        + [(10 + i, "repoB", t) for i, t in enumerate(files[:2])]  # fork
+        + [(20, "repoB", "one extra file unique to the fork only here")]
+        + [(30, "repoC", "completely unrelated contents nothing shared at all"),
+           (31, "repoC", "another disjoint file with different words again")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    pairs = {
+        (r.group_a, r.group_b): r.est_jaccard
+        for r in group_minhash_pairs_sql(
+            df, "grp", k=3, num_perm=64, num_bands=64, threshold=0.05
+        ).collect()
+    }
+    assert ("repoA", "repoB") in pairs and pairs[("repoA", "repoB")] > 0.3
+    assert not any("repoC" in p for p in pairs)
+
+    # sketch-merge identity on repoA
+    doc_sigs = (
+        minhash_signatures_sql(df.where("grp = 'repoA'"), "text", k=3, num_perm=8)
+        .drop("hset")
+        .collect()
+    )
+    merged = [min(r[f"sig_{i}"] for r in doc_sigs) for i in range(8)]
+    hp = F.col("h60") % 2147483647
+    from iamsystem_python_spark.functions.sqlhash import perm_params
+    from iamsystem_python_spark.operators.dedup_text import shingle_hash_rows
+
+    grams = shingle_hash_rows(
+        df.where("grp = 'repoA'"), "text", 3, distinct=False, carry_cols=("grp",)
+    )
+    grp_sig = grams.groupBy("grp").agg(
+        *[
+            F.min((F.lit(a) * hp + F.lit(b)) % 2147483647).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(perm_params(8, 42))
+        ]
+    ).collect()[0]
+    assert [grp_sig[f"sig_{i}"] for i in range(8)] == merged
