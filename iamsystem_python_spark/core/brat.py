@@ -32,62 +32,118 @@ class BratEntity:
 
 
 class BratNote:
-    """#-row: ``#{id}\\tAnnotatorNotes {ref}\\t{note}`` (adapter.py:57-99)."""
+    """#-row: ``#{id}\\t{TYPE} {ref}\\t{note}`` (adapter.py:57-99). TYPE
+    defaults to the reference's ``IAMSYSTEM`` (adapter.py:63-65 — replace by
+    'AnnotatorNotes' to be human-writable in the Brat interface)."""
+
+    TYPE = "IAMSYSTEM"
 
     def __init__(self, note_id: str, ref_id: str, note: str):
         if not note_id.startswith("#"):
             raise ValueError("note_id must start with '#'")
+        if not ref_id.startswith("T"):
+            raise ValueError("ref_id must start with 'T'")
         self.note_id = note_id
         self.ref_id = ref_id
         self.note = note
 
     def __str__(self) -> str:
-        return f"{self.note_id}\tAnnotatorNotes {self.ref_id}\t{self.note}"
+        return f"{self.note_id}\t{BratNote.TYPE} {self.ref_id}\t{self.note}"
+
+
+def get_note_keyword_label(annot: Annotation) -> str:
+    """Default note text: str() of the annotation's first keyword
+    (adapter.py:105-108)."""
+    return annot.kw_strings[0]
+
+
+def _formatter_kind(brat_formatter) -> str:
+    """Normalize a formatter argument — a kind string ('contseq', 'token',
+    'contseq_stop', 'span'), an EBratFormatters member, or a formatter
+    object with ``_kind`` — to the kind string."""
+    if brat_formatter is None:
+        return "contseq"
+    kind = getattr(brat_formatter, "value", None)  # EBratFormatters member
+    if kind is None:
+        kind = getattr(brat_formatter, "_kind", brat_formatter)
+    return kind
 
 
 class BratDocument:
-    """Accumulates T/# rows with sequential ids (adapter.py:111-227)."""
+    """Accumulates T/# rows with sequential ids (adapter.py:111-227).
+    ``brat_formatter`` picks the span strategy (default ContSeq, like the
+    reference); ``get_note`` is the overridable note function
+    (adapter.py:128)."""
 
-    def __init__(self):
+    def __init__(self, brat_formatter=None):
         self.brat_entities: List[BratEntity] = []
         self.brat_notes: List[BratNote] = []
+        self.get_note = get_note_keyword_label
+        self.brat_formatter = _formatter_kind(brat_formatter)
 
     def add_annots(
         self,
         annots: Sequence[Annotation],
-        brat_type: Optional[str] = None,
         keyword_attr: Optional[str] = None,
+        brat_type: Optional[str] = None,
     ) -> None:
-        """One T-row per annotation; brat_type = explicit string, or the
-        keyword's kb_id/label (adapter.py:143-186)."""
+        """One T-row + one #-row per annotation (adapter.py:131-171).
+        brat_type = the attribute ``keyword_attr`` of the annotation's
+        first keyword (priority, like the reference), else the explicit
+        ``brat_type`` string; one of the two must be given."""
+        if keyword_attr is None and brat_type is None:
+            raise ValueError("keyword_attr or brat_type argument must be set.")
         for annot in annots:
-            text_span, offsets = annot.brat_text_and_offsets("contseq")
-            if brat_type is not None:
-                btype = brat_type
-            elif keyword_attr == "kb_id":
-                kbs = [kb for _, kb in annot.keywords if kb is not None]
-                btype = kbs[0] if kbs else annot.keywords[0][0]
+            if keyword_attr is not None:
+                kw = annot.keywords[0]
+                obj = getattr(kw, "obj", None)
+                if obj is not None:
+                    btype = getattr(obj, keyword_attr)
+                elif keyword_attr == "label":
+                    btype = kw[0]
+                elif keyword_attr == "kb_id":
+                    btype = kw[1]
+                else:
+                    raise AttributeError(
+                        f"keyword {kw!r} has no attribute {keyword_attr!r}"
+                    )
             else:
-                btype = annot.keywords[0][0]
-            self.add_entity(btype, offsets, text_span, note=str(annot))
+                btype = brat_type
+            text_span, offsets = annot.brat_text_and_offsets(self.brat_formatter)
+            eid = self._next_entity_id()
+            self.brat_entities.append(
+                BratEntity(eid, btype, offsets, text_span.replace("\n", "\\n"))
+            )
+            self.brat_notes.append(
+                BratNote(self._next_note_id(), eid, self.get_note(annot))
+            )
 
-    def add_entity(self, brat_type: str, offsets: str, text: str, note: Optional[str] = None) -> None:
-        eid = f"T{len(self.brat_entities) + 1}"
-        self.brat_entities.append(BratEntity(eid, brat_type, offsets, text))
-        if note is not None:
-            nid = f"#{len(self.brat_notes) + 1}"
-            self.brat_notes.append(BratNote(nid, eid, note))
+    def add_entity(self, brat_type: str, offsets: str, text: str) -> None:
+        """Add a bare T-row (no note), adapter.py:173-186."""
+        self.brat_entities.append(
+            BratEntity(self._next_entity_id(), brat_type, offsets, text)
+        )
+
+    def _next_entity_id(self) -> str:
+        return f"T{len(self.brat_entities) + 1}"
+
+    def _next_note_id(self) -> str:
+        return f"#{len(self.brat_notes) + 1}"
 
     def get_entities(self) -> List[BratEntity]:
         return self.brat_entities
 
+    def get_notes(self) -> List[BratNote]:
+        return self.brat_notes
+
     def entities_to_string(self) -> str:
         return "\n".join(str(e) for e in self.brat_entities)
 
+    def notes_to_string(self) -> str:
+        return "\n".join(str(n) for n in self.brat_notes)
+
     def __str__(self) -> str:
-        rows: List[str] = [str(e) for e in self.brat_entities]
-        rows.extend(str(n) for n in self.brat_notes)
-        return "\n".join(rows)
+        return f"{self.entities_to_string()}\n{self.notes_to_string()}".strip()
 
 
 class BratWriter:

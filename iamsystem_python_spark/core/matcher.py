@@ -211,9 +211,14 @@ class Annotation:
             )
         return "\t".join(columns).replace("\n", "\\n")
 
-    def annot_to_str(self, formatter: str = "contseq") -> str:
+    def annot_to_str(self, formatter: Optional[str] = None) -> str:
         """'text-span \\t offsets \\t keywords' (printannot.py:20-37).
-        Falls back to the token formatter when text is missing."""
+        ``formatter=None`` uses the class-level default set by
+        :meth:`set_brat_formatter` (reference annotation.py's global Brat
+        formatter switch). Falls back to the token formatter when text is
+        missing."""
+        if formatter is None:
+            formatter = Annotation._default_brat_formatter
         fmt = "token" if self.text is None else formatter
         text_span, offsets = self.brat_text_and_offsets(fmt)
         return "\t".join([text_span, offsets, ";".join(self.kw_strings)])
@@ -239,6 +244,17 @@ class Annotation:
 
     def __str__(self) -> str:
         return self.to_string()
+
+    _default_brat_formatter = "contseq"
+
+    @classmethod
+    def set_brat_formatter(cls, brat_formatter=None) -> None:
+        """Change the Brat formatter used by ``str(annotation)`` globally
+        (reference annotation.py set_brat_formatter / doc
+        test_brat_*_formatter examples). Accepts an EBratFormatters member,
+        a kind string, or None to reset to the default (ContSeq)."""
+        kind = getattr(brat_formatter, "value", brat_formatter)
+        cls._default_brat_formatter = kind or "contseq"
 
 
 def sort_annot(annots: List[Annotation]) -> None:

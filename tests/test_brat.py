@@ -26,7 +26,7 @@ def test_brat_entity_str():
 
 def test_brat_note_str():
     n = BratNote("#1", "T1", "some note")
-    assert str(n) == "#1\tAnnotatorNotes T1\tsome note"
+    assert str(n) == "#1\tIAMSYSTEM T1\tsome note"  # adapter.py:63 TYPE
 
 
 def test_brat_document_from_annots():
@@ -40,7 +40,8 @@ def test_brat_document_from_annots():
     doc.add_annots(annots, keyword_attr="kb_id")
     out = str(doc).split("\n")
     assert out[0] == "T1\tI50.9 0 22\tinsuffisance cardiaque"
-    assert out[1].startswith("#1\tAnnotatorNotes T1\t")
+    # note text = str(first keyword), reference adapter.py:105-108
+    assert out[1] == "#1\tIAMSYSTEM T1\tInsuffisance Cardiaque (I50.9)"
 
 
 def test_brat_writer():

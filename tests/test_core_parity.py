@@ -1025,3 +1025,136 @@ def test_keyword_classes_terminology_and_broadcast_roundtrip():
         "insuffisance cardiaque\t0 22\tinsuffisance cardiaque (I50.9)",
         "diarrrhea\t26 35\tdiarrrhea",
     ]
+
+
+# --- Brat documentation examples — reference tests/test_doc.py:442-605 ------
+
+
+def test_doc_brat_document():
+    """test_doc.py:442-464: BratDocument golden incl. the IAMSYSTEM note."""
+    from iamsystem_python_spark.core.brat import BratDocument
+    from iamsystem_python_spark.core.keywords import Entity
+
+    ent1 = Entity(label="North America", kb_id="NA")
+    matcher = Matcher.build(keywords=[ent1], w=3)
+    annots = matcher.annot_text(text="North and South America")
+    doc = BratDocument()
+    doc.add_annots(annots, brat_type="CONTINENT", keyword_attr=None)
+    assert str(doc) == (
+        "T1\tCONTINENT 0 5;16 23\tNorth America\n"
+        "#1\tIAMSYSTEM T1\tNorth America (NA)"
+    )
+
+
+def test_doc_brat_doc_keyword_attr():
+    """test_doc.py:466-493: custom Keyword subclass carrying brat_type,
+    read via keyword_attr (getattr on the stored user object)."""
+    from iamsystem_python_spark.core.brat import BratDocument
+    from iamsystem_python_spark.core.keywords import Entity
+
+    class TypedEntity(Entity):
+        def __init__(self, label, code, brat_type):
+            super().__init__(label, code)
+            self.brat_type = brat_type
+
+    ent1 = TypedEntity(label="North America", code="NA", brat_type="CONTINENT")
+    matcher = Matcher.build(keywords=[ent1], w=3)
+    annots = matcher.annot_text(text="North and South America")
+    doc = BratDocument()
+    doc.add_annots(annots=annots, keyword_attr="brat_type")
+    assert str(doc) == (
+        "T1\tCONTINENT 0 5;16 23\tNorth America\n"
+        "#1\tIAMSYSTEM T1\tNorth America (NA)"
+    )
+
+
+def test_doc_brat_add_annots_requires_type_or_attr():
+    """adapter.py:150-151: one of keyword_attr / brat_type must be set."""
+    from iamsystem_python_spark.core.brat import BratDocument
+
+    matcher = Matcher.build(keywords=["North America"], w=3)
+    annots = matcher.annot_text(text="North America")
+    with pytest.raises(ValueError):
+        BratDocument().add_annots(annots)
+
+
+def test_doc_brat_writer():
+    """test_doc.py:495-525: BratWriter file golden."""
+    import io
+
+    from iamsystem_python_spark.core.brat import BratDocument, BratWriter
+    from iamsystem_python_spark.core.keywords import Entity
+
+    ent1 = Entity(label="North America", kb_id="NA")
+    matcher = Matcher.build(keywords=[ent1], w=3)
+    annots = matcher.annot_text(text="North and South America")
+    doc = BratDocument()
+    doc.add_annots(annots=annots, brat_type="CONTINENT")
+    buf = io.StringIO()
+    BratWriter.saveEntities(brat_entities=doc.get_entities(), write=buf.write)
+    BratWriter.saveNotes(brat_notes=doc.get_notes(), write=buf.write)
+    lines = buf.getvalue().splitlines(keepends=True)
+    assert lines[0] == "T1\tCONTINENT 0 5;16 23\tNorth America\n"
+    assert lines[1] == "#1\tIAMSYSTEM T1\tNorth America (NA)\n"
+
+
+def test_doc_brat_default_formatter():
+    """test_doc.py:527-538: default (ContSeq) str(annotation)."""
+    matcher = Matcher.build(keywords=["North America"])
+    annots = matcher.annot_text(text="North America")
+    assert str(annots[0]) == "North America\t0 13\tNorth America"
+
+
+def test_doc_brat_individual_token_formatter():
+    """test_doc.py:540-556: global TOKEN formatter — one fragment per
+    token."""
+    from iamsystem_python_spark.core.matcher import Annotation, EBratFormatters
+
+    matcher = Matcher.build(keywords=["North America"])
+    annots = matcher.annot_text(text="North America")
+    try:
+        Annotation.set_brat_formatter(brat_formatter=EBratFormatters.TOKEN)
+        assert str(annots[0]) == "North America\t0 5;6 13\tNorth America"
+    finally:
+        Annotation.set_brat_formatter(None)
+
+
+def test_doc_brat_tokenstop_formatter():
+    """test_doc.py:558-582: CONTINUOUS_SEQ_STOP keeps inner stopwords."""
+    from iamsystem_python_spark.core.keywords import Entity
+    from iamsystem_python_spark.core.matcher import Annotation, EBratFormatters
+
+    matcher = Matcher.build(
+        keywords=[Entity(label="cancer de prostate", kb_id="C61")],
+        stopwords=["de", "la"],
+    )
+    annots = matcher.annot_text(text="cancer de la prostate")
+    try:
+        assert (
+            str(annots[0])
+            == "cancer prostate\t0 6;13 21\tcancer de prostate (C61)"
+        )
+        Annotation.set_brat_formatter(
+            brat_formatter=EBratFormatters.CONTINUOUS_SEQ_STOP
+        )
+        assert (
+            str(annots[0])
+            == "cancer de la prostate\t0 21\tcancer de prostate (C61)"
+        )
+    finally:
+        Annotation.set_brat_formatter(None)
+
+
+def test_doc_brat_span_formatter():
+    """test_doc.py:584-605: SPAN formatter spans start..end across
+    unmatched middle tokens."""
+    from iamsystem_python_spark.core.matcher import Annotation, EBratFormatters
+
+    matcher = Matcher.build(keywords=["North America"], stopwords=["and"], w=2)
+    annots = matcher.annot_text(text="North and South America")
+    try:
+        assert str(annots[0]) == "North America\t0 5;16 23\tNorth America"
+        Annotation.set_brat_formatter(brat_formatter=EBratFormatters.SPAN)
+        assert str(annots[0]) == "North and South America\t0 23\tNorth America"
+    finally:
+        Annotation.set_brat_formatter(None)
