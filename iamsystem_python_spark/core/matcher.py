@@ -543,6 +543,19 @@ class Matcher:
         return self.trie.root
 
     def add_stopwords(self, words: Iterable[str]) -> None:
+        """Add stored stopwords; warns (no effect) when the configured
+        stopwords class has no storage — NoStopwords / NegativeStopwords
+        (reference matcher.py:240-253)."""
+        import warnings
+
+        if isinstance(self.stopwords, NoStopwords) or not hasattr(
+            self.stopwords, "add"
+        ):
+            warnings.warn(
+                f"Adding stopwords have no effect on class "
+                f"{self.stopwords.__class__.__name__}"
+            )
+            return
         self.stopwords.add(words)
 
     def add_fuzzy_algo(self, algo: FuzzyAlgo) -> None:
@@ -635,8 +648,16 @@ class Matcher:
         first_stopwords = matcher.stopwords
         matcher.w = w
         matcher.remove_nested_annots = remove_nested_annots
-        # accepts a string or an EMatchingStrategy member (matcher/api.py)
+        # accepts a string or an EMatchingStrategy member (matcher/api.py);
+        # unknown names raise KeyError like the reference's enum lookup
+        # (api.py EMatchingStrategy, tests/test_matcher.py
+        # test_none_existing_strategy)
         matcher.strategy = str(getattr(strategy, "value", strategy)).lower()
+        if matcher.strategy not in ("window", "large_window", "no_overlap"):
+            raise KeyError(
+                f"matching strategy {strategy!r} doesn't exist; choose one "
+                f"of {[e.name for e in EMatchingStrategy]}"
+            )
 
         # keyword-side FuzzyRegex rewrite must happen before trie insert
         # (regex.py:39-56); build algos first when fuzzy_regex is configured.

@@ -13,21 +13,27 @@ from iamsystem_python_spark.core.tokenize import Token
 
 
 class Stopwords:
-    """Lowercase membership; a whitespace/empty word is always a stopword
-    (simple.py:30)."""
+    """Reference semantics exactly (simple.py:10-38 + api.py:43-53): words
+    are stored AS-IS (``add`` does not normalize), the probe word is
+    lowercased before membership, and the token probe uses the token's raw
+    LABEL, not its norm_label — so stopword 'à' matches the document token
+    'à' even though its norm_label is 'a', and a stopword stored as 'LES'
+    matches nothing (the reference's own behavior). A whitespace/empty word
+    is always a stopword (simple.py:29; the empty case guards empty
+    keyword labels, which the tokenizer never emits as tokens)."""
 
     def __init__(self, stopwords: Optional[Iterable[str]] = None):
-        self.words: Set[str] = set(w.lower() for w in stopwords) if stopwords else set()
+        self.words: Set[str] = set(stopwords) if stopwords else set()
 
     def add(self, words: Iterable[str]) -> None:
-        self.words.update(w.lower() for w in words)
+        self.words.update(words)
 
     def is_word_a_stopword(self, word: str) -> bool:
         word = word.lower()
         return word in self.words or word.isspace() or len(word) == 0
 
     def is_token_a_stopword(self, token: Token) -> bool:
-        return self.is_word_a_stopword(token.norm_label)
+        return self.is_word_a_stopword(token.label)
 
 
 class NoStopwords(Stopwords):

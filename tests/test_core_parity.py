@@ -1158,3 +1158,128 @@ def test_doc_brat_span_formatter():
         assert str(annots[0]) == "North and South America\t0 23\tNorth America"
     finally:
         Annotation.set_brat_formatter(None)
+
+
+# --- matcher behaviors — reference tests/test_matcher.py --------------------
+
+
+def _termino_ivg():
+    """reference tests/utils.py:11-18 — two nested entities."""
+    from iamsystem_python_spark.core.keywords import Entity, Terminology
+
+    t = Terminology()
+    t.add(Entity("Insuffisance Cardiaque", "I50.9"))
+    t.add(Entity("Insuffisance Cardiaque Gauche", "I50.1"))
+    return t
+
+
+def test_matcher_duplicate_states_overlaps():
+    """test_matcher.py test_duplicate_states_generate_lot_of_overlaps
+    (issues #11/#18): state-set storage caps the blowup at 2 annotations
+    with the exact discontinuous offsets."""
+    m = Matcher.build(keywords=["cancer de la prostate"], w=3)
+    annots = m.annot_text("cancer cancer de de la la prostate prostate")
+    assert len(annots) == 2
+    assert (
+        str(annots[0])
+        == "cancer de la prostate\t7 13;17 19;23 34\tcancer de la prostate"
+    )
+
+
+def test_matcher_states_override():
+    """test_matcher.py test_states_override (issue #11): a repeated prefix
+    re-arms the state instead of multiplying overlaps."""
+    m = Matcher.build(keywords=["cancer", "cancer de la prostate"], w=10)
+    annots = m.annot_text("cancer cancer cancer de la prostate")
+    assert [str(a) for a in annots] == [
+        "cancer\t0 6\tcancer",
+        "cancer\t7 13\tcancer",
+        "cancer de la prostate\t14 35\tcancer de la prostate",
+    ]
+
+
+def test_matcher_last_span_is_stopword():
+    """test_matcher.py test_detect_with_last_span_is_stopword: a trailing
+    stopword after a keyword is not part of the annotation."""
+    from iamsystem_python_spark.core.keywords import Entity, Terminology
+
+    t = Terminology()
+    t.add(Entity("serpents", "C0037382"))
+    m = Matcher(tokenizer=french_tokenizer())
+    m.stopwords = Stopwords(["les"])
+    m.add_keywords(t.keywords)
+    annots = m.annot_text("serpents. Les vipères...")
+    assert len(annots) == 1
+    assert annots[0].label == "serpents"
+
+
+def test_matcher_no_keyword():
+    """test_matcher.py test_no_keyword: empty dictionary annotates to []"""
+    m = Matcher.build(keywords=[])
+    assert m.annot_text("nothing detected") == []
+
+
+def test_matcher_none_existing_strategy_raises():
+    """test_matcher.py test_none_existing_strategy: KeyError."""
+    with pytest.raises(KeyError):
+        Matcher.build(
+            keywords=["cancer"], strategy="NoneExistingStrategy"
+        )
+
+
+def test_matcher_add_stopwords_warns_on_nostopwords():
+    """test_matcher.py test_change_default_stopwords: NoStopwords has no
+    storage; adding warns and does nothing."""
+    from iamsystem_python_spark.core.stopwords import NoStopwords
+
+    m = Matcher(tokenizer=french_tokenizer())
+    m.stopwords = NoStopwords()
+    with pytest.warns(Warning):
+        m.add_stopwords(words=["le"])
+    assert not m.stopwords.is_word_a_stopword("le")
+
+
+def test_matcher_document_stopwords():
+    """test_matcher.py test_document_stopwords: document-side stopwords
+    bridge non-keyword tokens."""
+    text = "insuffisance à cardiaque à gauche"
+    m = Matcher.build(keywords=_termino_ivg().keywords)
+    assert len(m.annot_text(text)) == 0
+    m = Matcher.build(keywords=_termino_ivg().keywords, stopwords=["à"])
+    assert len(m.annot_text(text)) == 1
+
+
+def test_matcher_spellwise_params_overrides():
+    """test_matcher.py test_spellwise_params_overrides: an explicit
+    words2ignore beats build's string_distance_ignored_w for that algo."""
+    from iamsystem_python_spark import SimpleWords2ignore
+
+    text = "insuffisance cardiaqu gauche"
+    m = Matcher.build(
+        keywords=_termino_ivg().keywords,
+        spellwise=[
+            dict(
+                max_distance=1,
+                measure="levenshtein",
+                words2ignore=SimpleWords2ignore(),
+            )
+        ],
+        string_distance_ignored_w=["cardiaqu"],
+    )
+    assert len(m.annot_text(text)) == 1
+    m = Matcher.build(
+        keywords=_termino_ivg().keywords,
+        spellwise=[dict(max_distance=1, measure="levenshtein")],
+        string_distance_ignored_w=["cardiaqu"],
+    )
+    assert len(m.annot_text(text)) == 0
+
+
+def test_matcher_spellwise_wrong_param():
+    """test_matcher.py test_spellwise_wrong_param: unknown kwarg raises
+    TypeError."""
+    with pytest.raises(TypeError):
+        Matcher.build(
+            keywords=_termino_ivg().keywords,
+            spellwise=[dict(max_distance=1, algo="levenshtein")],
+        )
