@@ -148,6 +148,15 @@ class FuzzyRegex(FuzzyAlgo):
         ]
         return replace_offsets_by_new_str(label, repl)
 
+    def replace_pattern_in_keyword(self, keyword, tokenizer):
+        """Clone a keyword object with its label rewritten
+        (regex.py:39-56: deepcopy + label replacement)."""
+        from copy import deepcopy
+
+        clone = deepcopy(keyword)
+        clone.label = self.replace_pattern_in_label(clone.label, tokenizer)
+        return clone
+
     def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
         if self.token_matches_pattern(token):
             return [word_to_syn(self.pattern_name)]
@@ -652,35 +661,58 @@ class NgramSimilarity(StringDistance):
 
 class CacheFuzzyAlgos(FuzzyAlgo):
     """Memoize context-free algos keyed by norm_label, 100k-word cap
-    (cache.py:18-77)."""
+    (cache.py:18-77). The cache dict is public (``.cache``) like the
+    reference's."""
 
     MAX_WORDS = 100_000
 
     def __init__(self, name: str = "cache"):
         super().__init__(name)
         self.algos: List[FuzzyAlgo] = []
-        self._cache: Dict[str, List[Tuple[SynType, str]]] = {}
+        self.cache: Dict[str, List[Tuple[SynType, str]]] = {}
+
+    @property
+    def max_nb_of_words(self) -> int:
+        """Cache size cap (cache.py:31-35)."""
+        return self.MAX_WORDS
 
     def add_algo(self, algo: FuzzyAlgo) -> None:
         self.algos.append(algo)
-        self._cache.clear()
+        self.empty_cache()
+
+    def empty_cache(self) -> None:
+        """Reset; done automatically when an algorithm is added
+        (cache.py:42-44)."""
+        self.cache = {}
 
     def get_syns_of_word(self, word: str) -> List[Tuple[SynType, str]]:
         """Fan one word through all algos, tagged (syn, algo_name)
         (cache.py:59-77)."""
-        hit = self._cache.get(word)
+        hit = self.cache.get(word)
         if hit is not None:
             return hit
         out: List[Tuple[SynType, str]] = []
         for algo in self.algos:
             for syn in algo.get_syns_of_word(word):
                 out.append((syn, algo.name))
-        if len(self._cache) < self.MAX_WORDS:
-            self._cache[word] = out
+        if len(self.cache) < self.MAX_WORDS:
+            self.cache[word] = out
         return out
 
     def get_syns_of_token(self, token: Token) -> Iterable[SynType]:  # pragma: no cover
         return [syn for syn, _ in self.get_syns_of_word(token.norm_label)]
+
+
+def get_norm_label_algos_syns(
+    fuzzy_algos: Iterable[FuzzyAlgo], norm_label: str
+) -> List[Tuple[SynType, str]]:
+    """All (syn, algo name) pairs of context-free algos for one word
+    (reference cache.py:70-78)."""
+    return [
+        (syn, algo.name)
+        for algo in fuzzy_algos
+        for syn in algo.get_syns_of_word(norm_label)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -756,8 +788,13 @@ def SimStringWrapper(
     words2ignore=None,
 ) -> "NgramSimilarity":
     """Reference-compatible constructor (simstring.py:28-92) over the
-    native char-3-gram inverted index."""
-    key = measure.value if isinstance(measure, ESimStringMeasure) else str(measure).lower()
+    native char-3-gram inverted index. An unknown measure string raises
+    KeyError like the reference's enum lookup
+    (tests/test_simstring.py test_init_algo_str_mispelled)."""
+    if isinstance(measure, ESimStringMeasure):
+        key = measure.value
+    else:
+        key = ESimStringMeasure[str(measure).upper()].value  # KeyError if unknown
     return NgramSimilarity(
         threshold=threshold,
         measure=key,

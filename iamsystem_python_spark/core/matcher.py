@@ -170,6 +170,12 @@ class Annotation:
 
         return [kw_render(kw) for kw in self._keywords]
 
+    def get_tokens_algos(self) -> Iterable[Tuple[Token, List[str]]]:
+        """(token, algo names) pairs — which fuzzy algorithm(s) matched each
+        token (reference annotation.py:74-79, exercised by
+        test_detect.py test_multiple_fuzzy_algos)."""
+        return zip(self.tokens, self.algos)
+
     @property
     def stop_tokens(self) -> List[Token]:
         """Stopwords strictly inside the span (annotation.py:82-94)."""
@@ -515,7 +521,7 @@ class Matcher:
         for kw in keywords:
             label, kb_id, obj = normalize_keyword_input(kw)
             self.trie.add_keyword(
-                label, kb_id, self.tokenizer, self.stopwords.is_word_a_stopword,
+                label, kb_id, self.tokenizer, self.stopwords.is_token_a_stopword,
                 obj=obj,
             )
 

@@ -25,25 +25,36 @@ class Stopwords:
     def __init__(self, stopwords: Optional[Iterable[str]] = None):
         self.words: Set[str] = set(stopwords) if stopwords else set()
 
+    @property
+    def stopwords(self) -> Set[str]:
+        """The stored set (reference simple.py:22-25)."""
+        return self.words
+
     def add(self, words: Iterable[str]) -> None:
         self.words.update(words)
 
-    def is_word_a_stopword(self, word: str) -> bool:
+    def is_stopword(self, word: str) -> bool:
+        """Reference public name (simple.py:27-30)."""
         word = word.lower()
         return word in self.words or word.isspace() or len(word) == 0
 
+    # internal alias kept for the kernel call sites
+    is_word_a_stopword = is_stopword
+
     def is_token_a_stopword(self, token: Token) -> bool:
-        return self.is_word_a_stopword(token.label)
+        return self.is_stopword(token.label)
 
 
-class NoStopwords(Stopwords):
-    """Constant False (simple.py:41-50)."""
+class NoStopwords:
+    """Constant False; deliberately NOT a Stopwords subclass so it has no
+    ``add`` method — reference NoStopwords (simple.py:41-50) raises
+    AttributeError on ``add`` (tests/test_stopwords.py
+    test_no_stopword_add)."""
 
-    def __init__(self):
-        super().__init__()
-
-    def is_word_a_stopword(self, word: str) -> bool:
+    def is_stopword(self, word: str) -> bool:
         return False
+
+    is_word_a_stopword = is_stopword
 
     def is_token_a_stopword(self, token: Token) -> bool:
         return False

@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 import unicodedata
 from dataclasses import dataclass
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Iterable, List, NamedTuple, Optional, Sequence, Tuple
 
 # ---------------------------------------------------------------------------
 # Token model — reference: tokenization/token.py:7-52
@@ -59,15 +59,25 @@ def lower_only(s: str) -> str:
 # Split functions — reference: tokenize.py:23-44
 # ---------------------------------------------------------------------------
 
-splitFun = Callable[[str], Iterable[Tuple[int, int]]]
+class Offsets(NamedTuple):
+    """A (start, end) character span (reference tokenization/token.py
+    Offsets / api.py IOffsets). NamedTuple: supports both attribute access
+    (reference API — ``off.start``/``off.end``) and tuple unpacking (the
+    batch kernels)."""
+
+    start: int
+    end: int
+
+
+splitFun = Callable[[str], Iterable[Offsets]]
 
 
 def split_find_iter_closure(pattern: str) -> splitFun:
-    """Regex split of text into (start, end) offsets (tokenize.py:23-41)."""
+    """Regex split of text into Offsets (tokenize.py:23-41)."""
     r = re.compile(pattern)
 
-    def split(text: str) -> Iterable[Tuple[int, int]]:
-        return ((m.start(), m.end()) for m in r.finditer(text))
+    def split(text: str) -> Iterable[Offsets]:
+        return (Offsets(m.start(), m.end()) for m in r.finditer(text))
 
     split.pattern_re = r  # exposed for group-free findall fast paths
     return split
@@ -209,6 +219,17 @@ def concat_labels(tokens: Sequence[Token]) -> str:
     return " ".join(t.label for t in tokens)
 
 
+# reference names (tokenization/util.py:21-31)
+concat_tokens_norm_label = concat_norm_labels
+concat_tokens_label = concat_labels
+
+
+def multiple_seq_to_offsets(sequences: List[List[Token]]) -> List["Offsets"]:
+    """One Offsets per continuous sequence: first token start, last token
+    end (reference util.py:43-52)."""
+    return [Offsets(seq[0].start, seq[-1].end) for seq in sequences if seq]
+
+
 def group_continuous_seq(tokens: List[Token]) -> List[List[Token]]:
     """Gaps-and-islands over token index i (util.py:97-114)."""
     if not tokens:
@@ -238,12 +259,16 @@ def remove_trailing_stopwords(
 
 
 def replace_offsets_by_new_str(
-    text: str, offsets_new_str: Iterable[Tuple[Tuple[int, int], str]]
+    text: str, offsets_new_str: Iterable[Tuple[object, str]]
 ) -> str:
-    """Splice replacement strings into text; skip overlapped (util.py:55-75)."""
+    """Splice replacement strings into text; skip overlapped (util.py:55-75).
+    Accepts (offsets, str) pairs where offsets is a (start, end) tuple OR
+    any object with .start/.end (Token, Offsets, Annotation) — the
+    reference API passes tokens directly (test_toknorm.py:80-98)."""
     parts: List[str] = []
     i = 0
-    for (start, end), new_str in offsets_new_str:
+    for off, new_str in offsets_new_str:
+        start, end = (off.start, off.end) if hasattr(off, "start") else off
         if start < i:
             continue
         parts.append(text[i:start] + new_str)
@@ -255,15 +280,6 @@ def replace_offsets_by_new_str(
 # ---------------------------------------------------------------------------
 # Reference import-surface compatibility (tokenization side).
 # ---------------------------------------------------------------------------
-
-
-@dataclass(frozen=True)
-class Offsets:
-    """A (start, end) character span (reference tokenization/span.py
-    Offsets / api.py IOffsets)."""
-
-    start: int
-    end: int
 
 
 #: Reference class name for the concrete tokenizer

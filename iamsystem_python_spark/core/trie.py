@@ -13,23 +13,62 @@ nested-annotation removal join (annotation.py:190-197).
 from __future__ import annotations
 
 import warnings
-from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
+from typing import Dict, FrozenSet, Iterable, List, Optional, Sequence, Tuple
 
 
 class Node:
-    """FSA state (nodes.py:16-25). Final iff it stores keyword ids
-    (nodes.py:191-193)."""
+    """FSA state (nodes.py:16-25). Final iff it stores keyword entries
+    (nodes.py:191-193). Equality/hash by ``node_num`` (nodes.py:221-231) —
+    the state-set override semantics of issue #11 depend on it."""
 
-    __slots__ = ("token", "node_num", "parent", "children", "kw_indices")
+    __slots__ = ("token", "node_num", "parent", "children", "kw_indices", "_keywords")
 
-    def __init__(self, token: str, node_num: int, parent: Optional["Node"]):
+    def __init__(self, token: str, node_num: int, parent_node: Optional["Node"] = None):
         self.token = token
         self.node_num = node_num
-        self.parent = parent
+        self.parent = parent_node
         self.children: Dict[str, "Node"] = {}
         self.kw_indices: List[int] = []
-        if parent is not None:
-            parent.children[token] = self
+        self._keywords: List = []  # stored entries, original user objects kept
+        if parent_node is not None:
+            parent_node.children[token] = self
+
+    # --- reference accessor surface (nodes.py) -----------------------------
+    @property
+    def parent_node(self) -> Optional["Node"]:
+        """Reference attribute name (nodes.py:33)."""
+        return self.parent
+
+    node_root_number = 0
+
+    @staticmethod
+    def is_root_node(node: "Node") -> bool:
+        """True for a trie root — node_num == 0 (nodes.py:142-147)."""
+        return node.node_num == Node.node_root_number
+
+    def has_transition_to(self, token: str) -> bool:
+        """nodes.py:160-168."""
+        return token in self.children
+
+    def get_children_nodes(self) -> Iterable["Node"]:
+        """nodes.py:211-214."""
+        return self.children.values()
+
+    def add_keyword(self, keyword) -> None:
+        """Attach a keyword object to this node, making it a final state
+        (nodes.py:185-189). Duplicates are kept, not overridden
+        (tests/test_tree.py test_keyword_not_overriden)."""
+        self._keywords.append(keyword)
+
+    def get_keywords(self) -> List:
+        """The keyword objects attached to this node (nodes.py:195-199),
+        original user objects preserved."""
+        from iamsystem_python_spark.core.keywords import StoredKeyword
+
+        return [
+            kw.obj if isinstance(kw, StoredKeyword) and kw.obj is not None else kw
+            for kw in self._keywords
+        ]
 
     # δ(state, token) — nodes.py:170-173
     def goto_node(self, token: str) -> "Node":
@@ -45,7 +84,7 @@ class Node:
         return node
 
     def is_a_final_state(self) -> bool:
-        return len(self.kw_indices) > 0
+        return len(self._keywords) > 0
 
     def get_ancestors(self) -> List["Node"]:
         """Path to root, excluding self and root (nodes.py:201-209)."""
@@ -59,6 +98,12 @@ class Node:
     def ancestor_ids(self) -> FrozenSet[int]:
         return frozenset(n.node_num for n in self.get_ancestors())
 
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Node) and self.node_num == other.node_num
+
+    def __hash__(self) -> int:
+        return self.node_num
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"Node({self.token!r}, #{self.node_num}, final={self.is_a_final_state()})"
 
@@ -67,7 +112,13 @@ class _EmptyNode(Node):
     """Sink state sentinel (nodes.py:135)."""
 
     def __init__(self):
-        super().__init__(token="EMPTY_NODE", node_num=-1, parent=None)
+        super().__init__(token="EMPTY_NODE", node_num=-1, parent_node=None)
+
+    @property
+    def parent_node(self) -> Node:
+        """The sink is its own parent (reference tests/test_tree.py
+        EmptyNodeTest.test_get_parent_node)."""
+        return self
 
     def goto_node(self, token: str) -> Node:
         return self
@@ -78,13 +129,17 @@ class _EmptyNode(Node):
     def is_a_final_state(self) -> bool:
         return False
 
+    def has_transition_to(self, token: str) -> bool:
+        return False
+
 
 EMPTY_NODE = _EmptyNode()
 
 
 class Trie:
     """trie.py:21-99. ``keywords[i]`` is the i-th added keyword
-    (label, kb_id); nodes reference keywords by index to stay pickle-light."""
+    (label, kb_id); nodes reference keywords by index to stay pickle-light
+    (and store the same entry locally for the reference node API)."""
 
     def __init__(self):
         self._node_count = 0
@@ -99,6 +154,14 @@ class Trie:
     @property
     def node_count(self) -> int:
         return self._node_count
+
+    def get_number_of_nodes(self) -> int:
+        """Reference name (trie.py:36-38); counts the root."""
+        return self._node_count
+
+    def get_initial_state(self) -> Node:
+        """The root node (trie.py:40-42)."""
+        return self.root
 
     def add_keyword_with_tokens(
         self,
@@ -124,20 +187,37 @@ class Trie:
         if obj is not None:
             from iamsystem_python_spark.core.keywords import StoredKeyword
 
-            self.keywords.append(StoredKeyword(label, kb_id, obj))
+            entry = StoredKeyword(label, kb_id, obj)
         else:
-            self.keywords.append((label, kb_id))
+            entry = (label, kb_id)
+        self.keywords.append(entry)
         node.kw_indices.append(kw_idx)
+        node._keywords.append(entry)
         return kw_idx
 
     def add_keyword(
         self, label: str, kb_id: Optional[str], tokenizer, is_stop, obj=None
     ) -> Optional[int]:
-        """Tokenize label, drop stopwords, insert (trie.py:29-51)."""
+        """Tokenize label, drop stop tokens, insert (trie.py:29-51).
+        ``is_stop`` receives the Token (reference semantics — the raw-label
+        probe matters for accented stopwords); a plain word predicate also
+        works because Token stringifies to nothing useful, so callers must
+        pass token-level predicates."""
         toks = [
-            t.norm_label for t in tokenizer.tokenize(label) if not is_stop(t.norm_label)
+            t.norm_label for t in tokenizer.tokenize(label) if not is_stop(t)
         ]
         return self.add_keyword_with_tokens(label, kb_id, toks, obj=obj)
+
+    def add_keywords(self, keywords: Iterable, tokenizer, stopwords) -> None:
+        """Reference-style bulk insert (trie.py:29-34): token-level
+        stopword filtering via ``stopwords.is_token_a_stopword``."""
+        from iamsystem_python_spark.core.keywords import normalize_keyword_input
+
+        for kw in keywords:
+            label, kb_id, obj = normalize_keyword_input(kw)
+            self.add_keyword(
+                label, kb_id, tokenizer, stopwords.is_token_a_stopword, obj=obj
+            )
 
     def get_unigrams(self) -> FrozenSet[str]:
         """Distinct first-level-and-below tokens of all keywords

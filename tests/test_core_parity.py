@@ -8,19 +8,28 @@ import pytest
 
 from iamsystem_python_spark.core.fuzzy import (
     Abbreviations,
+    ExactMatch,
+    FuzzyAlgo,
     FuzzyRegex,
     LevenshteinAlgo,
     NgramSimilarity,
     WordNormalizer,
     levenshtein,
 )
-from iamsystem_python_spark.core.matcher import Matcher, replace_annots
+from iamsystem_python_spark.core.matcher import (
+    Matcher,
+    replace_annots,
+    rm_nested_annots,
+)
 from iamsystem_python_spark.core.stopwords import NegativeStopwords, Stopwords
 from iamsystem_python_spark.core.tokenize import (
     Token,
     english_tokenizer,
     french_tokenizer,
+    get_span_seq_id,
     group_continuous_seq,
+    remove_trailing_stopwords,
+    replace_offsets_by_new_str,
     split_alpha_num,
 )
 from iamsystem_python_spark.core.trie import EMPTY_NODE, Trie
@@ -87,7 +96,7 @@ def test_trie_stopword_removed_from_path():
     tok = french_tokenizer()
     trie = Trie()
     stop = Stopwords(["le", "la", "de"])
-    trie.add_keyword("Insuffisance de la Cardiaque", None, tok, stop.is_word_a_stopword)
+    trie.add_keyword("Insuffisance de la Cardiaque", None, tok, stop.is_token_a_stopword)
     assert trie.root.goto_node("insuffisance").goto_node("cardiaque").is_a_final_state()
 
 
@@ -95,7 +104,7 @@ def test_trie_empty_keyword_warns():
     tok = french_tokenizer()
     trie = Trie()
     with pytest.warns(UserWarning):
-        trie.add_keyword("le", None, tok, Stopwords(["le"]).is_word_a_stopword)
+        trie.add_keyword("le", None, tok, Stopwords(["le"]).is_token_a_stopword)
 
 
 # --- window detection — tests/test_detect.py ---------------------------------
@@ -1283,3 +1292,878 @@ def test_matcher_spellwise_wrong_param():
             keywords=_termino_ivg().keywords,
             spellwise=[dict(max_distance=1, algo="levenshtein")],
         )
+
+
+# --- detect behaviors — reference tests/test_detect.py ----------------------
+
+
+def test_detect_detection_kb_ids():
+    """test_detect.py:71-82 (test_detection): raw detect (no nested
+    removal) yields both entities in (start, end) order with their
+    kb_ids."""
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    m.w = 1
+    m.remove_nested_annots = False
+    annots = m.annot_text("Signes d'insuffisance cardiaque gauche")
+    assert len(annots) == 2
+    assert len(annots[0].keywords) == 1
+    assert annots[0].keywords[0][1] == "I50.9"
+    assert annots[1].keywords[0][1] == "I50.1"
+
+
+def test_detect_overlap_but_not_ancestors():
+    """test_detect.py:98-120: 'ulcere gastrique' overlaps
+    'ulcere ... duodenale' but is not its ancestor — both survive
+    rm_nested_annots, and the duodenal annotation spans the whole text."""
+    from iamsystem_python_spark.core.keywords import Keyword
+
+    text = "ulcere gastrique et duodenale"
+    m = Matcher(tokenizer=french_tokenizer())
+    m.stopwords = Stopwords(["et"])
+    m.add_keywords([Keyword("Ulcère gastrique"), Keyword("Ulcère duodénale")])
+    m.w = 2
+    m.remove_nested_annots = False
+    annots = m.annot_text(text)
+    annots = rm_nested_annots(annots, keep_ancestors=False)
+    assert len(annots) == 2
+    assert annots[1].start == 0
+    assert annots[1].end == len(text)
+
+
+def test_detect_abbreviations_ic():
+    """test_detect.py:122-128: 'IC' expands to 'insuffisance cardiaque'
+    so both nested entities match on \"... d'IC gauche\"."""
+    from iamsystem_python_spark.core.fuzzy import Abbreviations
+
+    abbs = Abbreviations(name="abbs")
+    abbs.add_tokenized_long_form("ic", ("insuffisance", "cardiaque"))
+    abbs.add_tokenized_long_form("ins", ("insuffisance",))
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    m.add_fuzzy_algo(abbs)
+    m.w = 1
+    m.remove_nested_annots = False
+    annots = m.annot_text("Le patient présente des signes d'IC gauche")
+    assert len(annots) == 2
+
+
+def test_detect_empty_string():
+    """test_detect.py:159-163: empty text → no error, no annotation."""
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    assert m.annot_text("") == []
+
+
+def test_detect_multiple_fuzzy_algos_token_attribution():
+    """test_detect.py:165-194 (test_multiple_fuzzy_algos): each annotated
+    token records which algorithm(s) matched it — 'Ins' by the
+    abbreviation, 'Cardiaqu' by Levenshtein."""
+    from iamsystem_python_spark.core.fuzzy import Abbreviations, LevenshteinAlgo
+
+    abbs = Abbreviations(name="abbs")
+    abbs.add_tokenized_long_form("ic", ("insuffisance", "cardiaque"))
+    abbs.add_tokenized_long_form("ins", ("insuffisance",))
+    leven = LevenshteinAlgo(max_distance=1, name="levenshtein")
+    leven.add_words(["insuffisance", "cardiaque"])
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    m.add_fuzzy_algo(abbs)
+    m.add_fuzzy_algo(leven)
+    m.w = 1
+    m.remove_nested_annots = False
+    annots = m.annot_text("Ins Cardiaqu")
+    assert len(annots) == 1
+    pairs = list(annots[0].get_tokens_algos())
+    assert len(pairs) == 2
+    _, ins_algos = pairs[0]
+    assert ins_algos == ["abbs"]
+    _, card_algos = pairs[1]
+    assert card_algos == ["levenshtein"]
+
+
+def test_detect_custom_token_type_pos():
+    """test_detect.py:196-237 (test_token_type): a custom token subclass
+    carrying POS drives a custom FuzzyAlgo; the annotation preserves the
+    custom token object."""
+    from iamsystem_python_spark.core.fuzzy import FuzzyAlgo
+
+    class TokenPOS(Token):
+        def __init__(self, start, end, label, norm_label, i, pos):
+            super().__init__(start, end, label, norm_label, i)
+            self.pos = pos
+
+    class FuzzyAlgoPos(FuzzyAlgo):
+        def get_syns_of_token(self, token):
+            if getattr(token, "pos", None) == "NOUN":
+                return [("insuffisance",)]
+            return []
+
+    token_ins = TokenPOS(0, 4, "ins", "ins", 0, "NOUN")
+    token_card = TokenPOS(0, 4, "cardiaque", "cardiaque", 1, "ADJ")
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    m.add_fuzzy_algo(FuzzyAlgoPos(name="fuzzyPos"))
+    m.w = 1
+    m.remove_nested_annots = False
+    annots = m.annot_tokens([token_ins, token_card])
+    assert len(annots) == 1
+    assert annots[0].tokens[0].pos == "NOUN"
+    token_ins.pos = "PUNCT"
+    annots = m.annot_tokens([token_ins, token_card])
+    assert len(annots) == 0
+
+
+def _matcher_irc():
+    """reference tests/utils.py get_termino_irc + utils_detector
+    get_abbs_irc: the ambiguous short form IRC."""
+    from iamsystem_python_spark.core.fuzzy import Abbreviations
+    from iamsystem_python_spark.core.keywords import Entity
+
+    tok = french_tokenizer()
+    abbs = Abbreviations(name="abbs")
+    abbs.add("irc", "insuffisance renale chronique", tok)
+    abbs.add("irc", "insuffisance respiratoire chronique", tok)
+    m = Matcher(tokenizer=tok)
+    m.add_keywords(
+        [
+            Entity("Insuffisance Respiratoire Chronique", "J96.1"),
+            Entity("Insuffisance Rénale Chronique", "N18"),
+            Entity("Insuffisance Rénale Chronique Dialysée", "N18.X"),
+        ]
+    )
+    m.add_fuzzy_algo(abbs)
+    m.w = 1
+    m.remove_nested_annots = False
+    return m
+
+
+def test_detect_ambiguity_kept():
+    """test_detect.py:239-262: ambiguous 'IRC' yields 2 annotations and
+    rm_nested_annots removes neither (same offsets)."""
+    m = _matcher_irc()
+    annots = m.annot_text("antécédent d'IRC")
+    assert len(annots) == 2
+    annots = rm_nested_annots(annots, keep_ancestors=False)
+    assert len(annots) == 2
+
+
+def test_detect_ambiguity_resolved_by_context():
+    """test_detect.py:264-283: 'dialysée' after 'IRC' extends only the
+    renal path, so rm_nested removes the two short annotations
+    (keep_ancestors=True keeps the renal ancestor)."""
+    m = _matcher_irc()
+    annots = m.annot_text("antécédent d'IRC dialysée")
+    assert len(annots) == 3
+    assert len(rm_nested_annots(annots, keep_ancestors=False)) == 1
+    assert len(rm_nested_annots(annots, keep_ancestors=True)) == 2
+
+
+# --- stopword classes — reference tests/test_stopwords.py -------------------
+
+
+def test_stopwords_init_and_add():
+    """test_stopwords.py:14-36: init from list or set; add one or many."""
+    from iamsystem_python_spark.core.stopwords import Stopwords as SW
+
+    assert SW(["le", "la"]).is_stopword("le")
+    assert SW({"le", "la"}).is_stopword("le")
+    sw = SW()
+    assert not sw.is_stopword("du")
+    sw.add(words=["du"])
+    assert sw.is_stopword("du")
+    sw.add(words=["le", "la"])
+    assert sw.is_stopword("le") and sw.is_stopword("la")
+
+
+def test_stopwords_whitespace_always_stopword():
+    """test_stopwords.py:38-42: whitespace strings are stopwords."""
+    from iamsystem_python_spark.core.stopwords import Stopwords as SW
+
+    sw = SW()
+    assert sw.is_stopword(" ")
+    assert sw.is_stopword("\n")
+    assert sw.is_stopword(" \t ")
+
+
+def test_stopwords_accent_not_removed():
+    """test_stopwords.py:44-52: the token probe uses the raw label — 'à'
+    stored matches token label 'à' (norm_label 'a'), but a plain 'a' token
+    does not match."""
+    from iamsystem_python_spark.core.stopwords import Stopwords as SW
+
+    sw = SW()
+    sw.add(words=["à"])
+    assert sw.is_token_a_stopword(Token(0, 1, "à", "a", 0))
+    assert not sw.is_token_a_stopword(Token(0, 1, "a", "a", 0))
+
+
+def test_negative_stopwords_keep_word_and_fun():
+    """test_stopwords.py:55-84: everything is a stopword unless kept by
+    word or by a keep-function."""
+    token = Token(0, 1, "patient", "patient", 0)
+    ns = NegativeStopwords()
+    assert ns.is_token_a_stopword(token)
+    ns.add_words(words_to_keep=["patient"])
+    assert not ns.is_token_a_stopword(token)
+    ns2 = NegativeStopwords()
+    assert ns2.is_token_a_stopword(token)
+    ns2.add_fun_is_a_word_to_keep(lambda t: t.norm_label.islower())
+    assert not ns2.is_token_a_stopword(token)
+
+
+def test_no_stopwords_has_no_add():
+    """test_stopwords.py:87-98: NoStopwords never matches and has no
+    'add' method (AttributeError like the reference)."""
+    from iamsystem_python_spark.core.stopwords import NoStopwords
+
+    ns = NoStopwords()
+    assert not ns.is_token_a_stopword(Token(0, 2, "du", "du", 0))
+    assert not ns.is_stopword("du")
+    with pytest.raises(AttributeError):
+        ns.add("du")
+
+
+# --- annotation surface — reference tests/test_annotation.py ----------------
+
+
+def _annots_prostate():
+    """test_annotation.py setUp: two overlapping entities, raw annots."""
+    from iamsystem_python_spark.core.keywords import Entity
+
+    m = Matcher(tokenizer=english_tokenizer())
+    m.add_keywords(
+        [Entity("prostate", "P"), Entity("prostate cancer", "PK")]
+    )
+    m.w = 1
+    m.remove_nested_annots = False
+    text = "diagnosis of Prostate Cancer"
+    annots = m.annot_text(text)
+    assert len(annots) == 2
+    return text, annots
+
+
+def test_annotation_golden_strings():
+    """test_annotation.py:116-146: exact to_string / text / debug
+    renderings, including Entity 'label (kb_id)' keyword rendering."""
+    text, annots = _annots_prostate()
+    prostate_cancer = annots[1]
+    assert annots[0].label == "Prostate"
+    assert prostate_cancer.label == "Prostate Cancer"
+    assert (
+        prostate_cancer.to_string()
+        == "Prostate Cancer\t13 28\tprostate cancer (PK)"
+    )
+    assert prostate_cancer.to_string(text=True) == (
+        "Prostate Cancer\t13 28\tprostate cancer (PK)\tProstate Cancer"
+    )
+    assert prostate_cancer.to_string(debug=True) == (
+        "Prostate Cancer\t13 28\tprostate cancer (PK)\t"
+        "prostate(exact);cancer(exact)"
+    )
+    assert text[prostate_cancer.start : prostate_cancer.end] == "Prostate Cancer"
+
+
+def test_annotation_rm_nested_and_ancestor():
+    """test_annotation.py:69-103: left-overlap removal, ancestor
+    detection, keep_ancestors switch."""
+    from iamsystem_python_spark.core.matcher import (
+        is_ancestor_annot_of,
+        is_shorter_span_of,
+    )
+
+    _, annots = _annots_prostate()
+    prostate, prostate_cancer = annots
+    assert is_ancestor_annot_of(prostate, prostate_cancer)
+    assert is_shorter_span_of(prostate, prostate_cancer)
+    filt = rm_nested_annots(annots, keep_ancestors=False)
+    assert prostate not in filt and len(filt) == 1
+    assert len(rm_nested_annots(annots, keep_ancestors=True)) == 2
+
+
+def test_annotation_sort():
+    """test_annotation.py:108-114: sort_annot orders by start."""
+    from iamsystem_python_spark.core.matcher import sort_annot
+
+    _, annots = _annots_prostate()
+    pair = [annots[1], annots[0]]
+    sort_annot(pair)
+    assert pair[0] is annots[0] and pair[1] is annots[1]
+
+
+def test_annotation_stop_tokens():
+    """test_annotation.py:237-243."""
+    m = Matcher.build(keywords=["cancer prostate"], stopwords=["de", "la"])
+    annots = m.annot_text("cancer de la prostate")
+    assert len(annots[0].stop_tokens) == 2
+
+
+def test_annotation_stop_tokens_reverse_ordered():
+    """test_annotation.py:245-258: with order_tokens=True, inside-span
+    stopwords keep document order z, x, y."""
+    m = Matcher.build(
+        keywords=["cancer prostate"],
+        stopwords=["z", "y", "x", "a", "de"],
+        order_tokens=True,
+        w=3,
+    )
+    annots = m.annot_text("a prostate z x y cancer de")
+    assert len(annots[0].stop_tokens) == 3
+    assert [t.label for t in annots[0].stop_tokens] == ["z", "x", "y"]
+
+
+def test_transition_state_equality_and_override():
+    """test_annotation.py:180-205: equality/hash by node number; a new
+    transition to the same node replaces the stored one."""
+    from iamsystem_python_spark.core.matcher import StateTransition
+    from iamsystem_python_spark.core.trie import Node
+
+    trie = Trie()
+    node = Node("insuffisance", 1, trie.root)
+    t0 = StateTransition(
+        previous_trans=None, node=node,
+        token=Token(0, 3, "ins", "ins", 0), algos=["one"],
+        count_not_stopword=0,
+    )
+    start = StateTransition.create_first_trans(Trie().root)
+    t1 = StateTransition(
+        previous_trans=start, node=node, token=None, algos=["one"],
+        count_not_stopword=0,
+    )
+    assert t0 == t1
+    s = set()
+    s.add(t0)
+    s.discard(t1)
+    s.add(t1)
+    assert len(s) == 1
+    assert next(iter(s)).token is None
+
+
+# --- tree surface — reference tests/test_tree.py -----------------------------
+
+
+def test_tree_number_of_nodes_and_initial_state():
+    """test_tree.py:22-40: node counting (root included) and
+    is_root_node."""
+    from iamsystem_python_spark.core.trie import Node
+
+    trie = Trie()
+    assert trie.get_number_of_nodes() == 1
+    trie.add_keyword_with_tokens(
+        "Insuffisance Cardiaque", "I50.9", ["insuffisance", "cardiaque"]
+    )
+    assert trie.get_number_of_nodes() == 3
+    trie.add_keyword_with_tokens(
+        "Insuffisance Cardiaque Gauche",
+        "I50.1",
+        ["insuffisance", "cardiaque", "gauche"],
+    )
+    assert trie.get_number_of_nodes() == 4
+    assert Node.is_root_node(trie.get_initial_state())
+    assert not Node.is_root_node(EMPTY_NODE)
+
+
+def test_tree_build_trie_reference_style():
+    """test_tree.py:42-79: trie.add_keywords with tokenizer+stopwords;
+    stopword tokens don't create nodes."""
+    from iamsystem_python_spark.core.keywords import Entity
+
+    termino = [
+        Entity("Insuffisance Cardiaque", "I50.9"),
+        Entity("Insuffisance Cardiaque Gauche", "I50.1"),
+    ]
+    tok = french_tokenizer()
+    trie = Trie()
+    trie.add_keywords(termino, tokenizer=tok, stopwords=Stopwords())
+    assert trie.get_initial_state().has_transition_to("insuffisance")
+    assert trie.get_number_of_nodes() == 4
+    trie2 = Trie()
+    trie2.add_keywords(
+        termino, tokenizer=tok, stopwords=Stopwords(["insuffisance"])
+    )
+    assert trie2.get_number_of_nodes() == 3
+    assert not trie2.get_initial_state().has_transition_to("insuffisance")
+    assert trie2.get_initial_state().has_transition_to("cardiaque")
+
+
+def test_tree_build_trie_no_normalizer():
+    """test_tree.py:81-102: with an identity normalizer the trie stores
+    raw casing."""
+    from iamsystem_python_spark.core.keywords import Entity
+    from iamsystem_python_spark.core.tokenize import Tokenizer, split_alpha_num
+
+    tok = Tokenizer(split=split_alpha_num, normalize=lambda s: s)
+    trie = Trie()
+    trie.add_keywords(
+        [
+            Entity("Insuffisance Cardiaque", "I50.9"),
+            Entity("Insuffisance Cardiaque Gauche", "I50.1"),
+        ],
+        tokenizer=tok,
+        stopwords=Stopwords(),
+    )
+    assert trie.get_number_of_nodes() == 4
+    assert not trie.get_initial_state().has_transition_to("insuffisance")
+    assert trie.get_initial_state().has_transition_to("Insuffisance")
+
+
+def test_tree_warning_ent_not_added():
+    """test_tree.py:104-120: all tokens stopworded → warning."""
+    from iamsystem_python_spark.core.keywords import Entity
+
+    trie = Trie()
+    with pytest.warns(Warning):
+        trie.add_keywords(
+            [Entity("Insuffisance Cardiaque", "I50.9")],
+            tokenizer=french_tokenizer(),
+            stopwords=Stopwords(["insuffisance", "cardiaque"]),
+        )
+
+
+def test_tree_node_surface():
+    """test_tree.py:135-216: node equality by node_num, transitions,
+    ancestors, children, goto/jump, final states, keyword storage."""
+    from iamsystem_python_spark.core.keywords import Entity
+    from iamsystem_python_spark.core.trie import Node
+
+    # keyword duplicates kept
+    node = Node(token="gauche", node_num=3)
+    ent = Entity("Insuffisance Cardiaque Gauche", "XXX")
+    node.add_keyword(ent)
+    node.add_keyword(ent)
+    assert len(list(node.get_keywords())) == 2
+
+    # equality by node_num
+    assert Node(token="insuffisance", node_num=1) == Node(token="cardiaque", node_num=1)
+    assert Node(token="insuffisance", node_num=1) != Node(token="insuffisance", node_num=99)
+
+    # chain root -> insuffisance -> cardiaque -> gauche (reference
+    # NodeTest.setUp anchors the chain at a trie root — the ancestor walk
+    # terminates at node_num 0)
+    root = Trie().get_initial_state()
+    ins = Node(token="insuffisance", node_num=1, parent_node=root)
+    card = Node(token="cardiaque", node_num=2, parent_node=ins)
+    gauche = Node(token="gauche", node_num=3, parent_node=card)
+    assert ins.has_transition_to("cardiaque")
+    assert not ins.has_transition_to("gauche")
+    assert card in gauche.get_ancestors() and ins in gauche.get_ancestors()
+    assert len(list(ins.get_children_nodes())) == 1
+    assert len(list(card.get_children_nodes())) == 1
+    assert len(list(gauche.get_children_nodes())) == 0
+    assert ins.goto_node("cardiaque") == card
+    assert Node(token="x", node_num=9).goto_node("cardiaque") == EMPTY_NODE
+    assert ins.token == "insuffisance"
+    assert ins.jump_to_node(["cardiaque"]) == card
+    assert ins.jump_to_node(["cardiaque", "gauche"]) == gauche
+    assert ins.jump_to_node(["gauche"]) == EMPTY_NODE
+
+    # final state iff keyword attached
+    lone = Node(token="insuffisance", node_num=1)
+    assert not lone.is_a_final_state()
+    ent2 = Entity("Insuffisance", "XXX")
+    lone.add_keyword(ent2)
+    assert lone.is_a_final_state()
+    assert ent2 in lone.get_keywords()
+
+
+def test_tree_empty_node_behaviors():
+    """test_tree.py:219-245: the EMPTY sink."""
+    assert EMPTY_NODE.goto_node("insuffisance") is EMPTY_NODE
+    assert EMPTY_NODE.jump_to_node(["insuffisance", "cardiaque"]) is EMPTY_NODE
+    assert not EMPTY_NODE.is_a_final_state()
+    assert not EMPTY_NODE.has_transition_to("any token")
+    assert EMPTY_NODE.node_num == -1
+    assert EMPTY_NODE.parent_node is EMPTY_NODE
+
+
+# --- fuzzy algorithms — reference tests/test_fuzzy.py ------------------------
+
+
+class _CountingFuzzy(FuzzyAlgo):
+    """reference TestFuzzyAlgo: exact match + call counter."""
+
+    def __init__(self, name="test_fuzzy"):
+        super().__init__(name)
+        self.calls = 0
+
+    def get_syns_of_word(self, word):
+        self.calls += 1
+        return [(word,)]
+
+
+def test_fuzzy_abbreviations_uppercase_gate_swap():
+    """test_fuzzy.py:60-105: uppercase gate on/off and a custom
+    token_is_an_abbreviation function swapped in after construction."""
+    from iamsystem_python_spark.core.fuzzy import (
+        Abbreviations,
+        token_is_upper_case,
+    )
+
+    tok = french_tokenizer()
+    abbs = Abbreviations(
+        name="my abbreviations", token_is_an_abbreviation=token_is_upper_case
+    )
+    abbs.add("avc", "accident vasculaire cerebral", tok)
+
+    def first_forms(text):
+        return list(abbs.get_syns_of_token(tok.tokenize(text)[0]))
+
+    assert len(first_forms("AVC sylvien")) == 1
+    assert len(first_forms("avc sylvien")) == 0
+    abbs.is_token_an_abbreviation = lambda t: t.label[0].isupper()
+    assert len(first_forms("aVC sylvien")) == 0
+    assert len(first_forms("Avc sylvien")) == 1
+
+
+def test_fuzzy_abbreviations_add_and_lookup():
+    """test_fuzzy.py:108-160: no syn for unknown word; multiple long
+    forms accumulate; uppercase short form stored lowercased."""
+    from iamsystem_python_spark.core.fuzzy import Abbreviations
+
+    tok = french_tokenizer()
+    abbs = Abbreviations(name="abbs")
+    assert len(list(abbs.get_syns_of_word("avc"))) == 0
+    abbs.add("avc", "accident vasculaire cerebral", tok)
+    forms = list(abbs.get_syns_of_word("avc"))
+    assert forms == [("accident", "vasculaire", "cerebral")]
+    abbs.add("avc", "another abbreviation", tok)
+    assert len(list(abbs.get_syns_of_word("avc"))) == 2
+    abbs2 = Abbreviations(name="abbs")
+    abbs2.add_tokenized_long_form("avc", ["accident", "vasculaire", "cerebral"])
+    assert ("accident", "vasculaire", "cerebral") in list(
+        abbs2.get_syns_of_word("avc")
+    )
+    abbs3 = Abbreviations(name="abbs")
+    abbs3.add("AVC", "accident vasculaire cerebral", tok)
+    assert len(list(abbs3.get_syns_of_word("avc"))) == 1
+
+
+def test_fuzzy_exact_match_format():
+    """test_fuzzy.py:186-191."""
+    assert ("insuffisance",) in ExactMatch().get_syns_of_word("insuffisance")
+
+
+def test_fuzzy_get_norm_label_algos_syns_order():
+    """test_fuzzy.py:194-218: all (syn, algo) pairs in algo order."""
+    from iamsystem_python_spark.core.fuzzy import (
+        Abbreviations,
+        get_norm_label_algos_syns,
+    )
+    from iamsystem_python_spark.core.tokenize import english_tokenizer
+
+    tok = english_tokenizer()
+    abbs = Abbreviations(name="abbs")
+    abbs.add("fr", "frequence respiratoire", tok)
+    syns = get_norm_label_algos_syns(
+        fuzzy_algos=[ExactMatch(), abbs], norm_label="fr"
+    )
+    assert len(syns) == 2
+    assert syns[0][0] == ("fr",)
+    assert syns[1][0] == ("frequence", "respiratoire")
+
+
+def test_fuzzy_cache_public_surface():
+    """test_fuzzy.py:221-273: call counting, memoization, the public
+    .cache dict, empty-on-add, and spellwise-in-cache."""
+    from iamsystem_python_spark.core.fuzzy import (
+        CacheFuzzyAlgos,
+        LevenshteinAlgo,
+    )
+
+    counting = _CountingFuzzy()
+    counting.get_syns_of_word("insuffisance")
+    counting.get_syns_of_word("insuffisance")
+    assert counting.calls == 2
+
+    cache = CacheFuzzyAlgos()
+    cache.add_algo(counting)
+    assert counting.calls == 2
+    cache.get_syns_of_word("insuffisance")
+    assert counting.calls == 3
+    cache.get_syns_of_word("insuffisance")
+    assert counting.calls == 3
+    assert "insuffisance" in cache.cache
+
+    cache2 = CacheFuzzyAlgos()
+    assert cache2.get_syns_of_word("insuffisance") == []
+    cache2.add_algo(ExactMatch())
+    syns = cache2.get_syns_of_word("insuffisance")
+    assert syns[0] == (("insuffisance",), "exact")
+
+    leven = LevenshteinAlgo(max_distance=1, name="levenshtein")
+    leven.add_words(["insuffisance"])
+    cache3 = CacheFuzzyAlgos()
+    cache3.add_algo(leven)
+    syns = cache3.get_syns_of_word("insufisance")
+    assert ("insuffisance",) in syns[0]
+    assert cache3.max_nb_of_words == 100_000
+
+
+def test_fuzzy_regex_replace_pattern_in_keyword():
+    """test_fuzzy.py:277-315: custom split keeps '2.1' whole; the keyword
+    clone gets its numeric span replaced by the pattern name."""
+    from iamsystem_python_spark.core.keywords import Keyword
+    from iamsystem_python_spark.core.tokenize import (
+        Tokenizer,
+        lower_no_accents,
+        split_find_iter_closure,
+    )
+
+    fuzzy = FuzzyRegex(
+        name="regex_num", pattern=r"^\d*[.,]?\d*$", pattern_name="numval"
+    )
+    tok = Tokenizer(
+        split=split_find_iter_closure(r"(\w|\.|,)+"),
+        normalize=lower_no_accents,
+    )
+    assert len(tok.tokenize("calcium 2.1 mmol/L")) == 4
+    kw = Keyword("calcium 2.1 mmol/L")
+    new_kw = fuzzy.replace_pattern_in_keyword(keyword=kw, tokenizer=tok)
+    assert new_kw.label == "calcium numval mmol/L"
+    assert kw.label == "calcium 2.1 mmol/L"  # clone, not mutation
+    assert ("numval",) in fuzzy.get_syns_of_word("2.1")
+
+
+def test_fuzzy_regex_detection_with_matcher():
+    """test_fuzzy.py:308-315 (test_detection): the matcher misses without
+    the fuzzy regex and hits with it."""
+    from iamsystem_python_spark.core.keywords import Keyword
+    from iamsystem_python_spark.core.tokenize import (
+        Tokenizer,
+        lower_no_accents,
+        split_find_iter_closure,
+    )
+
+    tok = Tokenizer(
+        split=split_find_iter_closure(r"(\w|\.|,)+"),
+        normalize=lower_no_accents,
+    )
+    fuzzy = FuzzyRegex(
+        name="regex_num", pattern=r"^\d*[.,]?\d*$", pattern_name="numval"
+    )
+    m = Matcher(tokenizer=tok)
+    m.add_keywords([Keyword("CALCIUM NUMVAL mmol/L")])
+    assert len(m.annot_text("calcium 2.1 mmol/L")) == 0
+    m.add_fuzzy_algo(fuzzy)
+    assert len(m.annot_text("calcium 2.1 mmol/L")) == 1
+
+
+def test_fuzzy_word_normalizer_stemmer():
+    """test_fuzzy.py:318-350: a simple stemmer maps gastrologique to
+    gastrique; detection through the matcher works."""
+    from iamsystem_python_spark.core.keywords import Keyword
+
+    def simple_stemmer(s):
+        return "gastr" if s.startswith("gastr") else s
+
+    stemmer = WordNormalizer(name="stemmer", norm_fun=simple_stemmer)
+    stemmer.add_words(["gastrique", "gastriques"])
+    assert ("gastrique",) in stemmer.get_syns_of_word("gastrologique")
+
+    stemmer2 = WordNormalizer(name="stemmer", norm_fun=simple_stemmer)
+    stemmer2.add_words(["gastrique"])
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_fuzzy_algo(stemmer2)
+    m.add_keywords([Keyword("Ulcère gastrique"), Keyword("Ulcère duodénale")])
+    assert len(m.annot_text("Ulcère gastrologique")) == 1
+
+
+# --- tokenization utils — reference tests/test_toknorm.py --------------------
+
+
+def test_toknorm_split_alpha_num_offsets():
+    """test_toknorm.py:21-43: split offsets carry .start/.end; empty and
+    whitespace inputs yield nothing; punctuation splits."""
+    from iamsystem_python_spark.core.tokenize import split_alpha_num
+
+    offsets = list(split_alpha_num("one two"))
+    assert len(offsets) == 2
+    assert offsets[1].start == 4 and offsets[1].end == 7
+    assert list(split_alpha_num("")) == []
+    assert list(split_alpha_num(" ")) == []
+    text = "one,two"
+    toks = list(split_alpha_num(text))
+    assert len(toks) == 2
+    assert toks[1].end == 7
+    assert text[toks[0].start : toks[0].end] == "one"
+    assert len(list(split_alpha_num("L'ulcères"))) == 2
+    assert len(list(split_alpha_num("meningo-encéphalite"))) == 2
+
+
+def test_toknorm_concat_and_span_seq_id():
+    """test_toknorm.py:56-79."""
+    from iamsystem_python_spark.core.tokenize import (
+        concat_tokens_label,
+        concat_tokens_norm_label,
+    )
+
+    tokens = french_tokenizer().tokenize("Meningo-encéphalite")
+    assert get_span_seq_id(tokens) == "(0,7);(8,19)"
+    assert concat_tokens_norm_label(tokens) == "meningo encephalite"
+    assert concat_tokens_label(tokens) == "Meningo encéphalite"
+
+
+def test_toknorm_replace_offsets_accepts_tokens():
+    """test_toknorm.py:80-98: (token, new_str) pairs work directly."""
+    text = "insuffisance -> ventriculaire -> gauche"
+    tokens = french_tokenizer().tokenize(text)
+    assert len(tokens) == 3
+    out = replace_offsets_by_new_str(
+        text=text, offsets_new_str=zip(tokens, ["ins", "vent", "g."])
+    )
+    assert out == "ins -> vent -> g."
+
+
+def test_toknorm_discontinuous_sequences():
+    """test_toknorm.py:100-129: islands, trailing-stopword trim, and
+    seq→offsets."""
+    from iamsystem_python_spark.core.tokenize import multiple_seq_to_offsets
+
+    tokens_all = french_tokenizer().tokenize(
+        "a sentence with multiple tokens to gen num tokens, number 10"
+    )
+    tokens = [tokens_all[i] for i in [0, 1, 2, 5, 6, 8, 10]]
+    seqs = group_continuous_seq(tokens)
+    assert [len(s) for s in seqs] == [3, 2, 1, 1]
+    out = remove_trailing_stopwords(sequences=seqs, stop_i=[2])
+    assert len(out[0]) == 2
+    out = remove_trailing_stopwords(sequences=seqs, stop_i=[1])
+    assert len(out[0]) == 3
+    assert len(out) == 4
+    out = remove_trailing_stopwords(sequences=seqs, stop_i=[5, 6, 10])
+    assert len(out) == 2
+    offs = multiple_seq_to_offsets(seqs)
+    assert len(offs) == 4
+
+
+def test_toknorm_lower_no_accents():
+    """test_toknorm.py:131-144."""
+    from iamsystem_python_spark.core.tokenize import lower_no_accents
+
+    assert lower_no_accents("One Two") == "one two"
+    assert lower_no_accents(" ulcères ") == " ulceres "
+    assert lower_no_accents("μg") == "ug"
+
+
+# --- simstring wrapper — reference tests/test_simstring.py -------------------
+
+
+def _ss():
+    from iamsystem_python_spark.core.fuzzy import SimStringWrapper
+
+    return SimStringWrapper
+
+
+def test_simstring_measure_strings_and_reject():
+    """test_simstring.py:14-34: 'DICE'/'dice' accepted, 'cosin' raises
+    KeyError."""
+    SimStringWrapper = _ss()
+    for measure in ("DICE", "dice"):
+        algo = SimStringWrapper(
+            measure=measure, words=["paracetamol"], threshold=0.2
+        )
+        assert len(list(algo.get_syns_of_word("paracetamol"))) == 1
+    with pytest.raises(KeyError):
+        SimStringWrapper(measure="cosin", words=["paracetamol"], threshold=0.2)
+
+
+def test_simstring_thresholds():
+    """test_simstring.py:36-61: threshold=1 is exact; 0.5 default; 0.2
+    catches 'para' when min_nb_char=0."""
+    SimStringWrapper = _ss()
+    exact = SimStringWrapper(words=["paracetamol"], threshold=1)
+    assert len(list(exact.get_syns_of_word("paracetomol"))) == 0
+    assert len(list(exact.get_syns_of_word("paracetamol"))) == 1
+    half = SimStringWrapper(words=["paracetamol"])
+    assert len(list(half.get_syns_of_word("paracetomol"))) == 1
+    assert len(list(half.get_syns_of_word("para"))) == 0
+    low = SimStringWrapper(words=["paracetamol"], threshold=0.2, min_nb_char=0)
+    assert len(list(low.get_syns_of_word("paracetomol"))) == 1
+    assert len(list(low.get_syns_of_word("para"))) == 1
+
+
+def test_simstring_exact_and_other_measures():
+    """test_simstring.py:63-80: EXACT retrieves only the identical
+    string; every non-exact measure catches the typo at default
+    threshold."""
+    from iamsystem_python_spark.core.fuzzy import ESimStringMeasure
+
+    SimStringWrapper = _ss()
+    exact = SimStringWrapper(
+        words=["paracetamol"], measure=ESimStringMeasure.EXACT
+    )
+    assert len(list(exact.get_syns_of_word("paracetomol"))) == 0
+    assert len(list(exact.get_syns_of_word("paracetamol"))) == 1
+    for measure in ESimStringMeasure:
+        if measure.value == "exact":
+            continue
+        algo = SimStringWrapper(words=["paracetamol"], measure=measure)
+        assert len(list(algo.get_syns_of_word("paracetomol"))) == 1, measure
+
+
+def test_simstring_with_matcher_and_cache():
+    """test_simstring.py:82-98: detection through the matcher, directly
+    and via CacheFuzzyAlgos."""
+    from iamsystem_python_spark.core.fuzzy import CacheFuzzyAlgos
+
+    SimStringWrapper = _ss()
+    for use_cache in (False, True):
+        m = Matcher(tokenizer=french_tokenizer())
+        m.add_keywords(["paracetamol", "les"])
+        algo = SimStringWrapper(words=m.get_keywords_unigrams())
+        if use_cache:
+            cache = CacheFuzzyAlgos()
+            cache.add_algo(algo)
+            m.add_fuzzy_algo(cache)
+        else:
+            m.add_fuzzy_algo(algo)
+        annots = m.annot_text("le paractamol")
+        assert len(annots) == 1
+
+
+def test_simstring_multiple_independent_databases():
+    """test_simstring.py:100-137: two simstring algos merge their names on
+    a matched token; with independent word lists only the matching one
+    appears."""
+    from iamsystem_python_spark.core.fuzzy import ESimStringMeasure
+
+    SimStringWrapper = _ss()
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(["paracetamol", "les"])
+    m.add_fuzzy_algo(
+        SimStringWrapper(
+            words=m.get_keywords_unigrams(),
+            name="ss_dice",
+            measure=ESimStringMeasure.DICE,
+        )
+    )
+    m.add_fuzzy_algo(
+        SimStringWrapper(
+            words=m.get_keywords_unigrams(),
+            name="ss_jaccard",
+            measure=ESimStringMeasure.JACCARD,
+        )
+    )
+    annots = m.annot_text("le paractamol")
+    assert len(annots) == 1
+    assert annots[0].algos[0] == ["ss_dice", "ss_jaccard"]
+
+    m2 = Matcher(tokenizer=french_tokenizer())
+    m2.add_keywords(["paracetamol", "les"])
+    m2.add_fuzzy_algo(
+        SimStringWrapper(
+            words=m2.get_keywords_unigrams(),
+            name="ss_dice",
+            measure=ESimStringMeasure.DICE,
+        )
+    )
+    m2.add_fuzzy_algo(
+        SimStringWrapper(
+            words=["NothingInterestingHere"],
+            name="ss_jaccard",
+            measure=ESimStringMeasure.JACCARD,
+        )
+    )
+    annots = m2.annot_text("le paractamol")
+    assert len(annots) == 1
+    assert annots[0].algos[0] == ["ss_dice"]
