@@ -51,6 +51,17 @@ class BratNote:
         return f"{self.note_id}\t{BratNote.TYPE} {self.ref_id}\t{self.note}"
 
 
+def get_brat_format(offsets) -> str:
+    """``start end`` of one offsets object (reference brat/util.py:7-10)."""
+    return f"{offsets.start} {offsets.end}"
+
+
+def get_brat_format_seq(offsets_seq) -> str:
+    """``;``-joined Brat format of a discontinuous offsets sequence
+    (reference brat/util.py:13-16)."""
+    return ";".join(get_brat_format(o) for o in offsets_seq)
+
+
 def get_note_keyword_label(annot: Annotation) -> str:
     """Default note text: str() of the annotation's first keyword
     (adapter.py:105-108)."""
@@ -95,7 +106,7 @@ class BratDocument:
             raise ValueError("keyword_attr or brat_type argument must be set.")
         for annot in annots:
             if keyword_attr is not None:
-                kw = annot.keywords[0]
+                kw = annot._keywords[0]
                 obj = getattr(kw, "obj", None)
                 if obj is not None:
                     btype = getattr(obj, keyword_attr)

@@ -34,7 +34,11 @@ def word_to_syn(word: str) -> SynType:
 
 
 class FuzzyAlgo:
-    """Base: maps one document token to keyword-token synonyms."""
+    """Base: maps one document token to keyword-token synonyms.
+    ``NO_SYN`` is the shared empty-result singleton (reference
+    fuzzy/api.py FuzzyAlgo.NO_SYN; tests assert identity on it)."""
+
+    NO_SYN = NO_SYN
 
     def __init__(self, name: str):
         self.name = name
@@ -217,6 +221,43 @@ class StringDistance(FuzzyAlgo):
             return word in w2i
         return bool(w2i.is_word_2_ignore(word))
 
+    def _filter_added_words(self, words: Iterable[str], warn: bool) -> List[str]:
+        """min_nb_char add-time gate shared by every measure
+        (reference spellwise.py:104-121); ``warn=True`` raises a warning
+        when words are dropped."""
+        words = list(words)
+        kept = [w for w in words if len(w) >= self.min_nb_char]
+        if warn and len(kept) != len(words):
+            import warnings
+
+            warnings.warn(
+                f"some words were ignored: shorter than min_nb_char="
+                f"{self.min_nb_char} characters"
+            )
+        return kept
+
+    def add_words_to_ignore(self, words: Iterable[str]) -> None:
+        """Deprecated reference method (spellwise.py:123-135): pass
+        words2ignore to the constructor instead. Warns, then adds."""
+        import warnings
+
+        warnings.warn(
+            "add_words_to_ignore is deprecated; pass words2ignore to the "
+            "constructor",
+            DeprecationWarning,
+        )
+        if isinstance(self.words2ignore, set):
+            self.words2ignore.update(words)
+        else:
+            extra = set(words)
+            inner = self.words2ignore
+
+            class _Both:
+                def is_word_2_ignore(self, word: str) -> bool:
+                    return word in extra or bool(inner.is_word_2_ignore(word))
+
+            self.words2ignore = _Both()
+
     def get_syns_of_token(self, token: Token) -> Iterable[SynType]:
         return self.get_syns_of_word(token.norm_label)
 
@@ -238,12 +279,11 @@ class LevenshteinAlgo(StringDistance):
         self.max_distance = max_distance
         self._by_len: Dict[int, List[str]] = defaultdict(list)
 
-    def add_words(self, words: Iterable[str]) -> None:
+    def add_words(self, words: Iterable[str], warn: bool = False) -> None:
         # words shorter than min_nb_char are not indexed either
         # (spellwise.py:115-118 filters added words the same way)
-        for w in words:
-            if len(w) >= self.min_nb_char:
-                self._by_len[len(w)].append(w)
+        for w in self._filter_added_words(words, warn):
+            self._by_len[len(w)].append(w)
 
     def get_syns_of_word(self, word: str) -> Iterable[SynType]:
         if self._is_a_word_to_ignore(word):
@@ -253,7 +293,7 @@ class LevenshteinAlgo(StringDistance):
             for cand in self._by_len.get(length, ()):
                 if levenshtein(word, cand, self.max_distance) <= self.max_distance:
                     out.append((cand,))
-        return out
+        return out or NO_SYN
 
 
 _SOUNDEX_MAP = {
@@ -312,10 +352,9 @@ class SoundexAlgo(StringDistance):
         self.max_distance = max_distance
         self._by_code: Dict[str, List[str]] = defaultdict(list)
 
-    def add_words(self, words: Iterable[str]) -> None:
-        for w in words:
-            if len(w) >= self.min_nb_char:
-                self._by_code[soundex(w)].append(w)
+    def add_words(self, words: Iterable[str], warn: bool = False) -> None:
+        for w in self._filter_added_words(words, warn):
+            self._by_code[soundex(w)].append(w)
 
     def get_syns_of_word(self, word: str) -> Iterable[SynType]:
         if self._is_a_word_to_ignore(word):
@@ -324,12 +363,12 @@ class SoundexAlgo(StringDistance):
         if not code:
             return NO_SYN
         if self.max_distance == 0:
-            return [(c,) for c in self._by_code.get(code, ())]
+            return [(c,) for c in self._by_code.get(code, ())] or NO_SYN
         out: List[SynType] = []
         for cand_code, cand_words in self._by_code.items():
             if levenshtein(code, cand_code, self.max_distance) <= self.max_distance:
                 out.extend((c,) for c in cand_words)
-        return out
+        return out or NO_SYN
 
 
 # Zobel & Dart (1996) Editex letter groups; r-cost 0 = same letter,
@@ -426,10 +465,9 @@ class EditexAlgo(StringDistance):
         self.max_distance = max_distance
         self._by_clen: Dict[int, List[str]] = defaultdict(list)
 
-    def add_words(self, words: Iterable[str]) -> None:
-        for w in words:
-            if len(w) >= self.min_nb_char:
-                self._by_clen[_run_compressed_len(w)].append(w)
+    def add_words(self, words: Iterable[str], warn: bool = False) -> None:
+        for w in self._filter_added_words(words, warn):
+            self._by_clen[_run_compressed_len(w)].append(w)
 
     def get_syns_of_word(self, word: str) -> Iterable[SynType]:
         if self._is_a_word_to_ignore(word):
@@ -442,7 +480,7 @@ class EditexAlgo(StringDistance):
             for cand in self._by_clen.get(length, ()):
                 if editex(word, cand) <= self.max_distance:
                     out.append((cand,))
-        return out
+        return out or NO_SYN
 
 
 import re as _re
@@ -548,22 +586,21 @@ class CaverphoneAlgo(StringDistance):
         self.max_distance = max_distance
         self._by_code: Dict[str, List[str]] = defaultdict(list)
 
-    def add_words(self, words: Iterable[str]) -> None:
-        for w in words:
-            if len(w) >= self.min_nb_char:
-                self._by_code[self._code(w)].append(w)
+    def add_words(self, words: Iterable[str], warn: bool = False) -> None:
+        for w in self._filter_added_words(words, warn):
+            self._by_code[self._code(w)].append(w)
 
     def get_syns_of_word(self, word: str) -> Iterable[SynType]:
         if self._is_a_word_to_ignore(word):
             return NO_SYN
         code = self._code(word)
         if self.max_distance == 0:
-            return [(c,) for c in self._by_code.get(code, ())]
+            return [(c,) for c in self._by_code.get(code, ())] or NO_SYN
         out: List[SynType] = []
         for cand_code, cand_words in self._by_code.items():
             if levenshtein(code, cand_code, self.max_distance) <= self.max_distance:
                 out.extend((c,) for c in cand_words)
-        return out
+        return out or NO_SYN
 
 
 SPELLWISE_MEASURES = {
@@ -624,7 +661,7 @@ class NgramSimilarity(StringDistance):
         if words is not None:
             self.add_words(words)
 
-    def add_words(self, words: Iterable[str]) -> None:
+    def add_words(self, words: Iterable[str], warn: bool = False) -> None:
         for w in words:
             grams = _char_ngrams(w, self.n)
             self._grams[w] = grams
@@ -656,7 +693,11 @@ class NgramSimilarity(StringDistance):
         cands: Set[str] = set()
         for g in grams:
             cands |= self._index.get(g, set())
-        return [(c,) for c in sorted(cands) if self._sim(grams, self._grams[c]) >= self.threshold]
+        return [
+            (c,)
+            for c in sorted(cands)
+            if self._sim(grams, self._grams[c]) >= self.threshold
+        ] or NO_SYN
 
 
 class CacheFuzzyAlgos(FuzzyAlgo):
@@ -764,8 +805,13 @@ def SpellWiseWrapper(
     native measure implementations: returns the matching
     :class:`StringDistance` subclass (factory, not a wrapper class — there
     is no external spellwise library here). TYPOX raises (no published
-    algorithm spec; see spellwise_algo)."""
-    key = measure.value if isinstance(measure, ESpellWiseAlgo) else str(measure).lower()
+    algorithm spec; see spellwise_algo). An unknown measure string raises
+    KeyError like the reference's ``ESpellWiseAlgo[name]`` lookup
+    (tests/test_spellwise.py test_init_measure_misspelled)."""
+    if isinstance(measure, ESpellWiseAlgo):
+        key = measure.value
+    else:
+        key = ESpellWiseAlgo[str(measure).upper()].value  # KeyError if unknown
     algo = spellwise_algo(
         measure=key,
         max_distance=max_distance,

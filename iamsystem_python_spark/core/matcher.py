@@ -158,8 +158,19 @@ class Annotation:
         return " ".join(t.norm_label for t in self.tokens)
 
     @property
-    def keywords(self) -> List[Tuple[str, Optional[str]]]:
-        return self._keywords
+    def keywords(self) -> List:
+        """The annotation's keywords, original user objects preserved
+        (reference annotation.py:66-72 returns the IKeyword objects —
+        tests/test_matcher.py test_detect_with_a_ent_sub_class asserts
+        isinstance on a custom subclass). String/tuple inputs come back as
+        (label, kb_id) tuples; internal consumers that need the uniform
+        tuple model read ``_keywords``."""
+        from iamsystem_python_spark.core.keywords import StoredKeyword
+
+        return [
+            kw.obj if isinstance(kw, StoredKeyword) and kw.obj is not None else kw
+            for kw in self._keywords
+        ]
 
     @property
     def kw_strings(self) -> List[str]:
@@ -224,7 +235,18 @@ class Annotation:
         formatter switch). Falls back to the token formatter when text is
         missing."""
         if formatter is None:
-            formatter = Annotation._default_brat_formatter
+            inst = getattr(self, "brat_formatter", None)
+            if inst is not None:
+                # per-annotation formatter (reference IAnnotation.brat_formatter,
+                # tests/test_brat.py test_stop_true): an EBratFormatters
+                # member, a formatter object, or a kind string
+                formatter = (
+                    getattr(inst, "value", None)
+                    or getattr(inst, "_kind", None)
+                    or inst
+                )
+            else:
+                formatter = Annotation._default_brat_formatter
         fmt = "token" if self.text is None else formatter
         text_span, offsets = self.brat_text_and_offsets(fmt)
         return "\t".join([text_span, offsets, ";".join(self.kw_strings)])
@@ -237,10 +259,13 @@ class Annotation:
             return " ".join(t.label for t in self.tokens), offsets
         if formatter == "span":
             return self.text[self.start : self.end], f"{self.start} {self.end}"
-        if formatter == "contseq_stop":
+        if formatter in ("contseq_stop", "contseq_stop_keep"):
             toks = sorted([*self.tokens, *self.stop_tokens], key=lambda t: t.i)
             seqs = group_continuous_seq(toks)
-            seqs = remove_trailing_stopwords(seqs, [t.i for t in self.stop_tokens])
+            if formatter == "contseq_stop":  # remove_trailing_stop=True
+                seqs = remove_trailing_stopwords(
+                    seqs, [t.i for t in self.stop_tokens]
+                )
         else:  # contseq (default)
             seqs = group_continuous_seq(list(self.tokens))
         spans = [(seq[0].start, seq[-1].end) for seq in seqs]
@@ -531,10 +556,15 @@ class Matcher:
 
     @property
     def keywords(self):
-        """The stored keyword collection (reference matcher.py:226-229):
-        (label, kb_id) tuples — StoredKeyword when the user supplied a
-        custom object."""
-        return list(self.trie.keywords)
+        """The stored keyword collection (reference matcher.py:226-229),
+        original user objects preserved; string/tuple inputs come back as
+        (label, kb_id) tuples."""
+        from iamsystem_python_spark.core.keywords import StoredKeyword
+
+        return [
+            kw.obj if isinstance(kw, StoredKeyword) and kw.obj is not None else kw
+            for kw in self.trie.keywords
+        ]
 
     def get_keywords_unigrams(self) -> Set[str]:
         """Distinct non-stop unigrams of all keywords (keywords/util.py:12-24)."""
@@ -815,10 +845,15 @@ class TokenFormatter(_BratFormatterBase):
 
 
 class ContSeqStopFormatter(_BratFormatterBase):
-    """Continuous sequences including stopwords, trailing stops removed
-    (brat/formatter.py:35-59)."""
+    """Continuous sequences including stopwords; trailing stops removed
+    when ``remove_trailing_stop`` (default True, brat/formatter.py:35-59)."""
 
     _kind = "contseq_stop"
+
+    def __init__(self, remove_trailing_stop: bool = True):
+        self.remove_trailing_stop = remove_trailing_stop
+        if not remove_trailing_stop:
+            self._kind = "contseq_stop_keep"
 
 
 class SpanFormatter(_BratFormatterBase):

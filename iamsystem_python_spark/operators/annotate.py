@@ -180,8 +180,8 @@ def annotate(
                     c_end_i.append(a.end_i)
                     c_label.append(a.tokens_label)
                     c_norm.append(a.tokens_norm_label)
-                    c_kw.append([lab for lab, _ in a.keywords])
-                    c_kb.append([kb for _, kb in a.keywords if kb is not None])
+                    c_kw.append([lab for lab, _ in a._keywords])
+                    c_kb.append([kb for _, kb in a._keywords if kb is not None])
                     c_algos.append(a.algos)
                     c_brat.append(a.brat_text_and_offsets("contseq")[1])
             out = pdf.iloc[src_idx][id_cols].reset_index(drop=True)

@@ -78,7 +78,7 @@ class BaseCustomComp(ABC):
         spacy_spans: List[Span] = []
         for ann in anns:
             label = ";".join(ann.kw_strings)
-            kbids = [kb for _, kb in ann.keywords if kb is not None]
+            kbids = [kb for _, kb in ann._keywords if kb is not None]
             if kbids:
                 span = Span(
                     doc,

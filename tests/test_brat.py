@@ -14,7 +14,10 @@ from iamsystem_python_spark.core.brat import (
     BratWriter,
 )
 from iamsystem_python_spark.core.matcher import Matcher
-from iamsystem_python_spark.core.tokenize import french_tokenizer
+from iamsystem_python_spark.core.tokenize import (
+    english_tokenizer,
+    french_tokenizer,
+)
 
 
 def test_brat_entity_str():
@@ -51,3 +54,240 @@ def test_brat_writer():
     buf = io.StringIO()
     BratWriter.saveEntities(doc.get_entities(), buf.write)
     assert buf.getvalue() == "T1\tX 0 3\tabc\nT2\tY 4 7\tdef\n"
+
+
+# --- ported reference tests/test_brat.py cases -------------------------------
+
+
+def test_brat_util_format():
+    """test_brat.py:33-41: token offsets to Brat format."""
+    from iamsystem_python_spark.core.brat import (
+        get_brat_format,
+        get_brat_format_seq,
+    )
+    from iamsystem_python_spark.core.tokenize import french_tokenizer
+
+    tokens = french_tokenizer().tokenize("meningo-encéphalite")
+    assert get_brat_format(tokens[0]) == "0 7"
+    assert get_brat_format_seq(tokens) == "0 7;8 19"
+
+
+def test_brat_entity_discontinuous_and_bad_id():
+    """test_brat.py:56-84."""
+    from iamsystem_python_spark.core.brat import BratEntity
+    from iamsystem_python_spark.core.brat import get_brat_format_seq
+    from iamsystem_python_spark.core.tokenize import Offsets
+
+    offs = get_brat_format_seq([Offsets(0, 4)])
+    e = BratEntity("T1", "Person", offs, "hello")
+    assert str(e) == "T1\tPerson 0 4\thello"
+    offs2 = get_brat_format_seq([Offsets(0, 4), Offsets(8, 12)])
+    e2 = BratEntity("T1", "Person", offs2, "hello")
+    assert str(e2) == "T1\tPerson 0 4;8 12\thello"
+    with pytest.raises(ValueError):
+        BratEntity("1", "Person", offs, "hello")
+
+
+def test_brat_leading_stop_removed():
+    """test_brat.py:86-104: leading stopwords are not in the discontinuous
+    sequence."""
+    from iamsystem_python_spark.core.matcher import Matcher
+
+    m = Matcher.build(keywords=["cancer prostate"], stopwords=["de", "la"], w=2)
+    annots = m.annot_text("cancer de la glande prostate")
+    assert str(annots[0]) == "cancer prostate\t0 6;20 28\tcancer prostate"
+
+
+def test_brat_note_bad_id():
+    """test_brat.py:106-123."""
+    from iamsystem_python_spark.core.brat import BratNote
+
+    n = BratNote("#1", "T1", "leucodermie (C3714505)")
+    assert str(n) == "#1\tIAMSYSTEM T1\tleucodermie (C3714505)"
+    with pytest.raises(ValueError):
+        BratNote("1", "T1", "note")
+
+
+class _BratTypeKeyword:
+    """reference MyEntity: a keyword carrying a brat_type."""
+
+    def __init__(self, label, brat_type):
+        self.label = label
+        self.brat_type = brat_type
+
+    def __str__(self):
+        return f"{self.label} ({self.brat_type})"
+
+
+def _annots_america():
+    from iamsystem_python_spark.core.matcher import Matcher
+
+    m = Matcher(tokenizer=english_tokenizer())
+    m.add_keywords(
+        [
+            _BratTypeKeyword("North America", "NA"),
+            _BratTypeKeyword("South America", "SA"),
+        ]
+    )
+    m.w = 3
+    m.remove_nested_annots = False
+    return m.annot_text("North and South America")
+
+
+def test_brat_document_entities_and_notes():
+    """test_brat.py:147-220: add_entity, empty string, sequential ids,
+    full document golden, brat_type vs keyword_attr."""
+    from iamsystem_python_spark.core.brat import BratDocument
+    from iamsystem_python_spark.core.brat import get_brat_format_seq
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import Offsets
+
+    offs = get_brat_format_seq([Offsets(0, 4)])
+    doc = BratDocument()
+    doc.add_entity(brat_type="Person", offsets=offs, text="hello")
+    assert len(doc.brat_entities) == 1
+    assert str(BratDocument()) == ""
+
+    doc2 = BratDocument()
+    doc2.add_entity(brat_type="Person", offsets=offs, text="hello")
+    doc2.add_entity(brat_type="Person", offsets=offs, text="hello")
+    assert doc2.entities_to_string() == (
+        "T1\tPerson 0 4\thello\nT2\tPerson 0 4\thello"
+    )
+
+    m = Matcher(tokenizer=english_tokenizer())
+    m.add_keywords([_BratTypeKeyword("North America", "NA")])
+    m.w = 3
+    annots = m.annot_text("North and South America")
+    doc3 = BratDocument()
+    doc3.add_annots(annots, brat_type="COUNTRY")
+    assert str(doc3) == (
+        "T1\tCOUNTRY 0 5;16 23\tNorth America\n"
+        "#1\tIAMSYSTEM T1\tNorth America (NA)"
+    )
+
+    annots_both = _annots_america()
+    doc4 = BratDocument()
+    with pytest.raises(ValueError):
+        doc4.add_annots(annots_both)
+    doc4.add_annots(annots_both, brat_type="COUNTRY")
+    assert doc4.entities_to_string() == (
+        "T1\tCOUNTRY 0 5;16 23\tNorth America\n"
+        "T2\tCOUNTRY 10 23\tSouth America"
+    )
+
+    m2 = Matcher(tokenizer=english_tokenizer())
+    m2.add_keywords(
+        [
+            _BratTypeKeyword("France", "COUNTRY"),
+            _BratTypeKeyword("South America", "CONTINENT"),
+        ]
+    )
+    m2.w = 1
+    annots2 = m2.annot_text("France and South America")
+    doc5 = BratDocument()
+    doc5.add_annots(annots2, keyword_attr="brat_type")
+    assert doc5.entities_to_string() == (
+        "T1\tCOUNTRY 0 6\tFrance\nT2\tCONTINENT 11 24\tSouth America"
+    )
+
+
+def test_brat_writer_no_error():
+    """test_brat.py:222-235."""
+    from iamsystem_python_spark.core.brat import BratDocument, BratWriter
+
+    doc = BratDocument()
+    doc.add_annots(_annots_america(), brat_type="COUNTRY")
+    BratWriter.saveEntities(
+        brat_entities=doc.get_entities(), write=lambda x: None
+    )
+    BratWriter.saveNotes(brat_notes=doc.get_notes(), write=lambda x: None)
+
+
+def test_brat_stopwords_vs_window_same_output():
+    """test_brat.py:236-244."""
+    from iamsystem_python_spark.core.matcher import Matcher
+
+    m1 = Matcher.build(keywords=["cancer prostate"], stopwords=["de", "la"], w=1)
+    m2 = Matcher.build(keywords=["cancer prostate"], w=3)
+    a1 = m1.annot_text("cancer de la prostate")
+    a2 = m2.annot_text("cancer de la prostate")
+    assert a1[0].to_string() == a2[0].to_string()
+
+
+def test_brat_formatters_full_matrix():
+    """test_brat.py:246-311: default/stop-true/stop-false/span/token
+    formatter goldens, including the per-annotation formatter override."""
+    from iamsystem_python_spark.core.matcher import (
+        Annotation,
+        ContSeqStopFormatter,
+        EBratFormatters,
+        Matcher,
+    )
+
+    m = Matcher.build(keywords=["cancer prostate"], stopwords=["de", "la"], w=2)
+    text = "cancer de la glande prostate"
+    annot = m.annot_text(text)[0]
+    try:
+        assert annot.to_string() == "cancer prostate\t0 6;20 28\tcancer prostate"
+
+        # per-annotation override (trailing stops removed — same output)
+        annot.brat_formatter = ContSeqStopFormatter()
+        assert annot.to_string() == "cancer prostate\t0 6;20 28\tcancer prostate"
+        del annot.brat_formatter
+
+        # stops are not trailing → kept inside the span
+        annot_b = m.annot_text("cancer de la prostate")[0]
+        Annotation.set_brat_formatter(EBratFormatters.CONTINUOUS_SEQ_STOP)
+        assert annot_b.to_string() == (
+            "cancer de la prostate\t0 21\tcancer prostate"
+        )
+
+        # keep trailing stopwords
+        Annotation.set_brat_formatter(ContSeqStopFormatter(False)._kind)
+        assert annot.to_string() == (
+            "cancer de la prostate\t0 12;20 28\tcancer prostate"
+        )
+
+        Annotation.set_brat_formatter(EBratFormatters.SPAN)
+        assert annot.to_string() == (
+            "cancer de la glande prostate\t0 28\tcancer prostate"
+        )
+
+        Annotation.set_brat_formatter(EBratFormatters.TOKEN)
+        annot_c = m.annot_text("cancer prostate")[0]
+        assert annot_c.to_string() == (
+            "cancer prostate\t0 6;7 15\tcancer prostate"
+        )
+    finally:
+        Annotation.set_brat_formatter(EBratFormatters.DEFAULT)
+
+
+def test_brat_token_formatter_punctuation_issue_13():
+    """test_brat.py:312-324 (issue #13): punctuation preserved."""
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.core.tokenize import (
+        Tokenizer,
+        lower_no_accents,
+        split_find_iter_closure,
+    )
+
+    tok = Tokenizer(
+        split=split_find_iter_closure(r"(\w|\.|,)+"),
+        normalize=lower_no_accents,
+    )
+    m = Matcher.build(keywords=["calcium 2.6 mmol/L"], tokenizer=tok)
+    annots = m.annot_text("calcium 2.6 mmol/L")
+    assert str(annots[0]) == "calcium 2.6 mmol/L\t0 18\tcalcium 2.6 mmol/L"
+
+
+def test_brat_sentence_break():
+    """test_brat.py:326-338: newline inside a span prints as \\n."""
+    from iamsystem_python_spark.core.matcher import Matcher
+
+    m = Matcher.build(keywords=["cancer du poumon"])
+    annots = m.annot_text("cancer du\npoumon")
+    assert str(annots[0]) == "cancer du\\npoumon\t0 16\tcancer du poumon"
+    assert annots[0].to_string(text=True) == (
+        "cancer du\\npoumon\t0 16\tcancer du poumon\tcancer du\\npoumon"
+    )

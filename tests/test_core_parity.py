@@ -952,8 +952,13 @@ def test_doc_exact_match_custom_keyword():
         "https://www.wikidata.org/wiki/Q344873"
     )
     assert str(annots[1]) == "diarrrhea\t47 56\tdiarrrhea (R19.7)"
-    # tuple-compatible internal model: existing consumers still unpack
-    assert annots[0].keywords[0] == (
+    # reference API: the original keyword object comes back verbatim
+    kw0 = annots[0].keywords[0]
+    assert isinstance(kw0, MyKeyword)
+    assert kw0.label == "acute respiratory distress syndrome"
+    assert kw0.kb_id == "https://www.wikidata.org/wiki/Q344873"
+    # internal tuple model is preserved for the batch kernels
+    assert annots[0]._keywords[0] == (
         "acute respiratory distress syndrome",
         "https://www.wikidata.org/wiki/Q344873",
     )
@@ -1308,8 +1313,8 @@ def test_detect_detection_kb_ids():
     annots = m.annot_text("Signes d'insuffisance cardiaque gauche")
     assert len(annots) == 2
     assert len(annots[0].keywords) == 1
-    assert annots[0].keywords[0][1] == "I50.9"
-    assert annots[1].keywords[0][1] == "I50.1"
+    assert annots[0].keywords[0].kb_id == "I50.9"
+    assert annots[1].keywords[0].kb_id == "I50.1"
 
 
 def test_detect_overlap_but_not_ancestors():
@@ -2167,3 +2172,366 @@ def test_simstring_multiple_independent_databases():
     annots = m2.annot_text("le paractamol")
     assert len(annots) == 1
     assert annots[0].algos[0] == ["ss_dice"]
+
+
+# --- spellwise wrapper — reference tests/test_spellwise.py -------------------
+
+
+def _ivg_unigrams():
+    from iamsystem_python_spark.core.keywords import Terminology
+
+    t = _termino_ivg()
+    return sorted(
+        t.get_unigrams(tokenizer=french_tokenizer(), stopwords=Stopwords())
+    )
+
+
+def test_spellwise_name_and_measure_strings():
+    """test_spellwise.py:33-58: default name is the enum NAME; string
+    measures in any case work; a misspelled measure raises KeyError."""
+    from iamsystem_python_spark.core.fuzzy import (
+        ESpellWiseAlgo,
+        SpellWiseWrapper,
+    )
+
+    leven = SpellWiseWrapper(ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)
+    assert leven.name == "LEVENSHTEIN"
+    for measure in ("LEVENSHTEIN", "Levenshtein"):
+        algo = SpellWiseWrapper(measure=measure, max_distance=1)
+        algo.add_words(words=_ivg_unigrams())
+        assert ("insuffisance",) in algo.get_syns_of_word("insufisance")
+    with pytest.raises(KeyError):
+        SpellWiseWrapper(measure="Levenstein", max_distance=1)
+
+
+def test_spellwise_levenshtein_distances_and_no_syn_identity():
+    """test_spellwise.py:60-82: distance-1 hit, distance-2 with
+    max_distance=2, and the NO_SYN singleton on miss."""
+    from iamsystem_python_spark.core.fuzzy import (
+        ESpellWiseAlgo,
+        SpellWiseWrapper,
+    )
+
+    leven = SpellWiseWrapper(ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)
+    leven.add_words(words=_ivg_unigrams())
+    assert ("insuffisance",) in leven.get_syns_of_word("insufisance")
+    leven2 = SpellWiseWrapper(ESpellWiseAlgo.LEVENSHTEIN, max_distance=2)
+    leven2.add_words(words=_ivg_unigrams())
+    assert ("insuffisance",) in leven2.get_syns_of_word("insuisance")
+    syns = leven.get_syns_of_word("nothing_close_to_this")
+    assert syns is FuzzyAlgo.NO_SYN
+
+
+def test_spellwise_min_nb_char_gate_and_warn():
+    """test_spellwise.py:84-101: short words are dropped at add time
+    (warn=True warns); lowering min_nb_char first makes them findable."""
+    from iamsystem_python_spark.core.fuzzy import (
+        ESpellWiseAlgo,
+        SpellWiseWrapper,
+    )
+
+    leven = SpellWiseWrapper(ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)
+    leven.add_words(words=_ivg_unigrams())
+    with pytest.warns(Warning):
+        leven.add_words(words=["word"], warn=True)
+    assert leven.get_syns_of_word("word") is FuzzyAlgo.NO_SYN
+    leven.min_nb_char = -1
+    leven.add_words(words=["word"])
+    assert ("word",) in leven.get_syns_of_word("word")
+
+
+def test_spellwise_words2ignore_and_deprecated_add():
+    """test_spellwise.py:103-131 + SimpleWord2ignoreTest: ignored words
+    return NO_SYN; matcher-level false positive suppressed; deprecated
+    add_words_to_ignore still works with a warning."""
+    from iamsystem_python_spark import SimpleWords2ignore
+    from iamsystem_python_spark.core.fuzzy import (
+        ESpellWiseAlgo,
+        SpellWiseWrapper,
+    )
+
+    w2i = SimpleWords2ignore(words=["north"])
+    assert w2i.is_word_2_ignore("north")
+    assert not w2i.is_word_2_ignore("autre")
+
+    leven = SpellWiseWrapper(
+        ESpellWiseAlgo.LEVENSHTEIN, max_distance=1, words2ignore=w2i
+    )
+    leven.add_words(words=["north"])
+    assert leven._is_a_word_to_ignore("north")
+    assert leven.get_syns_of_word("north") is FuzzyAlgo.NO_SYN
+    assert len(list(leven.get_syns_of_word("nouth"))) == 1
+
+    leven2 = SpellWiseWrapper(ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)
+    leven2.add_words(words=_ivg_unigrams())
+    with pytest.warns(Warning):
+        leven2.add_words_to_ignore(words=["word"])
+        leven2.add_words(words=["word"])
+        assert leven2.get_syns_of_word("word") is FuzzyAlgo.NO_SYN
+
+    # matcher-level: 'couche' ~1~ 'mouche' false positive, then ignored
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(["mouche"])
+    lev = SpellWiseWrapper(measure=ESpellWiseAlgo.LEVENSHTEIN, max_distance=1)
+    lev.add_words(words=m.get_keywords_unigrams())
+    m.add_fuzzy_algo(lev)
+    assert len(m.annot_text("une couche")) == 1
+
+    m2 = Matcher(tokenizer=french_tokenizer())
+    m2.add_keywords(["mouche"])
+    lev2 = SpellWiseWrapper(
+        measure=ESpellWiseAlgo.LEVENSHTEIN,
+        max_distance=1,
+        words2ignore=SimpleWords2ignore(words=["couche"]),
+    )
+    lev2.add_words(words=m2.get_keywords_unigrams())
+    m2.add_fuzzy_algo(lev2)
+    assert len(m2.annot_text("une couche")) == 0
+
+
+def test_spellwise_soundex_and_editex_reference_cases():
+    """test_spellwise.py:133-149: soundex catches the heavy typo, editex
+    (max_distance=1) rejects it but accepts the mild one."""
+    from iamsystem_python_spark.core.fuzzy import (
+        ESpellWiseAlgo,
+        SpellWiseWrapper,
+    )
+
+    soundex = SpellWiseWrapper(ESpellWiseAlgo.SOUNDEX, max_distance=1)
+    soundex.add_words(words=_ivg_unigrams())
+    assert ("insuffisance",) in soundex.get_syns_of_word(
+        "inssssuffffizzzensssse"
+    )
+    editex = SpellWiseWrapper(ESpellWiseAlgo.EDITEX, max_distance=1)
+    editex.add_words(words=_ivg_unigrams())
+    assert ("insuffisance",) not in list(
+        editex.get_syns_of_word("inssssuffffizzzensssse")
+    )
+    assert ("insuffisance",) in editex.get_syns_of_word("insufizzance")
+
+
+# --- matcher surface — remaining reference tests/test_matcher.py cases -------
+
+
+def test_matcher_tokenize_and_is_stopword_accent():
+    """test_matcher.py:44-54: tokenize splits; is_stopword stores 'à'
+    as-is (probe word lowercased, accent kept)."""
+    m = Matcher(tokenizer=french_tokenizer())
+    assert len(m.tokenize("insuffisance cardiaque")) == 2
+    m.add_stopwords(words=["le", "à"])
+    assert m.is_stopword("le")
+    assert not m.is_stopword("a")
+    assert m.is_stopword("à")
+
+
+def test_matcher_add_keywords_strings():
+    """test_matcher.py:64-78: plain-string keywords annotate."""
+    m = Matcher(tokenizer=english_tokenizer())
+    m.add_keywords(["acute respiratory distress syndrome", "diarrrhea"])
+    m.w = 1
+    annots = m.annot_text(
+        "Pt c/o acute respiratory distress syndrome and diarrrhea"
+    )
+    assert len(annots) == 2
+
+
+def test_matcher_keywords_attribute_and_unigrams():
+    """test_matcher.py:80-95: keywords property length; unigrams form a
+    set even when keywords are added twice."""
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    assert len(m.keywords) == 2
+    m.add_keywords(_termino_ivg().keywords)
+    assert m.get_keywords_unigrams() == {"insuffisance", "cardiaque", "gauche"}
+
+
+def test_matcher_detect_overlap_toggle():
+    """test_matcher.py:97-107: nested removal on by default, off by
+    attribute."""
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    m.w = 1
+    assert len(m.annot_text("insuffisance cardiaque gauche")) == 1
+    m.remove_nested_annots = False
+    assert len(m.annot_text("insuffisance cardiaque gauche")) == 2
+
+
+def test_matcher_ent_sub_class_preserved():
+    """test_matcher.py:125-136: a custom Entity subclass comes back
+    verbatim from annotation.keywords with its extra attribute."""
+    from iamsystem_python_spark.core.keywords import Entity
+
+    class TermSubClass(Entity):
+        def __init__(self, label, kb_id, termino):
+            super().__init__(label, kb_id)
+            self.termino = termino
+
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(
+        [
+            TermSubClass("Insuffisance Cardiaque", "I50.9", "ICD-10"),
+            TermSubClass("Insuffisance Cardiaque Gauche", "I50.1", "ICD-10"),
+        ]
+    )
+    m.w = 1
+    annots = m.annot_text("insuffisance cardiaque")
+    assert len(annots) == 1
+    kw = annots[0].keywords[0]
+    assert isinstance(kw, TermSubClass)
+    assert kw.termino == "ICD-10"
+
+
+def test_matcher_add_algo_matches_anything():
+    """test_matcher.py:137-144: a custom fuzzy algo that always returns
+    'insuffisance cardiaque' annotates any token."""
+
+    class AnotherFuzzyAlgo(FuzzyAlgo):
+        def get_syns_of_token(self, token):
+            return [("insuffisance", "cardiaque")]
+
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(_termino_ivg().keywords)
+    m.add_fuzzy_algo(AnotherFuzzyAlgo(name="fuzzy"))
+    m.w = 1
+    assert len(m.annot_text("AnythingWouldWorks")) == 1
+
+
+def test_matcher_keywords_iterator():
+    """test_matcher.py:198-207: an iterator of keywords is accepted."""
+    from iamsystem_python_spark.core.keywords import Entity, Terminology
+
+    t = Terminology()
+    t.add(Entity("ulcères gastriques", "K25"))
+    m = Matcher(tokenizer=french_tokenizer())
+    m.add_keywords(keywords=iter(t))
+    assert len(m.annot_text("ulcères gastriques")) == 1
+
+
+def test_matcher_build_abbreviations_and_w():
+    """test_matcher.py:266-292: build(abbreviations=...) detects the
+    expansion; w=1 misses across 'à' but w=2 bridges it."""
+    m = Matcher.build(
+        keywords=_termino_ivg().keywords,
+        abbreviations=[("ic", "insuffisance cardiaque")],
+    )
+    assert len(m.annot_text("ic gauche")) == 1
+    text = "insuffisance à cardiaque à gauche"
+    assert len(Matcher.build(keywords=_termino_ivg().keywords, w=1).annot_text(text)) == 0
+    assert len(Matcher.build(keywords=_termino_ivg().keywords, w=2).annot_text(text)) == 1
+
+
+def test_matcher_keyword_side_stopwords():
+    """test_matcher.py:305-316: stopwords shrink the keyword path —
+    'insuffisance de carburant' matches when cardiaque/gauche are
+    stopwords (the keyword reduces to 'insuffisance')."""
+    text = "insuffisance de carburant"
+    assert len(Matcher.build(keywords=_termino_ivg().keywords).annot_text(text)) == 0
+    m = Matcher.build(
+        keywords=_termino_ivg().keywords, stopwords=["cardiaque", "gauche"]
+    )
+    assert len(m.annot_text(text)) == 1
+
+
+def test_matcher_order_tokens_build():
+    """test_matcher.py:318-345: order_tokens normalizes word order, also
+    through abbreviations."""
+    text = "cardiaque insuffisance à gauche"
+    assert len(Matcher.build(keywords=_termino_ivg().keywords).annot_text(text)) == 0
+    m = Matcher.build(keywords=_termino_ivg().keywords, order_tokens=True)
+    assert len(m.annot_text(text)) == 1
+
+    text2 = "gauche : ic"
+    m2 = Matcher.build(
+        keywords=["insuffisance cardiaque gauche"],
+        abbreviations=[("ic", "insuffisance cardiaque")],
+    )
+    assert len(m2.annot_text(text2)) == 0
+    m3 = Matcher.build(
+        keywords=_termino_ivg().keywords,
+        abbreviations=[("ic", "insuffisance cardiaque")],
+        order_tokens=True,
+    )
+    assert len(m3.annot_text(text2)) == 1
+
+
+def test_matcher_negative_build():
+    """test_matcher.py:347-356: negative=True keeps only keyword
+    unigrams, bridging arbitrary non-keyword words."""
+    text = "insuffisance à cardiaque à gauche"
+    assert len(Matcher.build(keywords=_termino_ivg().keywords).annot_text(text)) == 0
+    m = Matcher.build(keywords=_termino_ivg().keywords, negative=True)
+    assert len(m.annot_text(text)) == 1
+
+
+def test_matcher_spellwise_build_and_param_order():
+    """test_matcher.py:358-385: spellwise config catches the typo; the
+    measure enum value also works as a string."""
+    text = "insuffisance cardiaqu gauche"
+    m = Matcher.build(
+        keywords=_termino_ivg().keywords,
+        spellwise=[dict(max_distance=1, measure="levenshtein")],
+    )
+    assert len(m.annot_text(text)) == 1
+
+
+def test_matcher_no_overlap_golden_strings():
+    """test_matcher.py:503-540: exact golden annotation strings for the
+    NoOverlap strategy — backtrack and stopword variants."""
+    m = Matcher.build(
+        keywords=["cancer", "cancer de la prostate", "prostate", "de la"],
+        strategy="no_overlap",
+    )
+    annots = m.annot_text("cancer de la prostate")
+    assert [str(a) for a in annots] == [
+        "cancer de la prostate\t0 21\tcancer de la prostate"
+    ]
+    annots = m.annot_text("cancer de la something else prostate")
+    assert [str(a) for a in annots] == [
+        "cancer\t0 6\tcancer",
+        "de la\t7 12\tde la",
+        "prostate\t28 36\tprostate",
+    ]
+
+    m2 = Matcher.build(
+        keywords=["cancer", "cancer de la prostate"],
+        stopwords=["de", "la"],
+        strategy="no_overlap",
+    )
+    annots = m2.annot_text("cancer de la prostate")
+    assert [str(a) for a in annots] == [
+        "cancer prostate\t0 6;13 21\tcancer de la prostate"
+    ]
+    annots = m2.annot_text("cancer du colon")
+    assert [str(a) for a in annots] == ["cancer\t0 6\tcancer"]
+
+
+def test_matcher_no_overlap_end_token():
+    """test_matcher.py:541-551: END_TOKEN backtrack at text end."""
+    m = Matcher.build(
+        keywords=["portail de la médecine instutionnelle", "médecine"],
+        strategy="no_overlap",
+    )
+    assert len(m.annot_text("Portail de la médecine")) == 1
+
+
+def test_matcher_fuzzy_with_negative_stopwords_issue_15():
+    """test_matcher.py:553-571 (issue #15): abbreviations + levenshtein
+    still fire under NegativeStopwords."""
+    m = Matcher.build(
+        keywords=["cancer du poumon"],
+        stopwords=["du"],
+        negative=True,
+        w=1,
+        abbreviations=[("k", "cancer")],
+        spellwise=[dict(measure="levenshtein", max_distance=1)],
+    )
+    assert len(m.annot_text("k poumons")) == 1
+
+
+def test_matcher_repeated_words_both_strategies():
+    """test_matcher.py:573-592 (issue #18): repeated words annotate once
+    each, in window and large-window strategies."""
+    m = Matcher.build(keywords=["cancer"])
+    assert len(m.annot_text("cancer cancer")) == 2
+    m2 = Matcher.build(keywords=["cancer"], strategy="large_window")
+    assert len(m2.annot_text("cancer cancer")) == 2

@@ -228,7 +228,11 @@ def test_terminology_keyword_subclass():
     assert list(t.keywords)[0].termino == "ICD-10"
     m = Matcher.build(keywords=t)
     (a,) = m.annot_text("insuffisance cardiaque gauche")
-    assert a.keywords[0] == ("Insuffisance Cardiaque Gauche", "I50.1")
+    kw = a.keywords[0]
+    assert isinstance(kw, _TermSubClass)
+    assert (kw.label, kw.kb_id, kw.termino) == (
+        "Insuffisance Cardiaque Gauche", "I50.1", "ICD-10"
+    )
 
 
 def test_matcher_surface_methods():
@@ -238,7 +242,11 @@ def test_matcher_surface_methods():
 
     m = Matcher.build(keywords=["north america"], stopwords=["the"])
     m.add_keyword(Entity("south america", "SA"))
-    assert ("south america", "SA") in m.keywords
+    assert any(
+        getattr(kw, "label", None) == "south america"
+        and getattr(kw, "kb_id", None) == "SA"
+        for kw in m.keywords
+    )
     assert ("north america", None) in m.keywords
     assert m.is_stopword("the") and not m.is_stopword("north")
     assert m.get_initial_state() is m.trie.root
