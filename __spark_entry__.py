@@ -901,6 +901,18 @@ def q53_repo_similarity(spark, sf_dir):
     return tie_cache(pairs.orderBy("group_a", "group_b"), pairs)
 
 
+def q54_unigram_logprob(spark, sf_dir):
+    """CCNet-style corpus-self unigram bits-per-token quality score
+    (operators/textstats.unigram_logprob): two codegen passes — vocab
+    counts (map-side combine), broadcast-vocab score join (no shuffle on
+    the fact side beyond the per-doc aggregate). Oracle replays p=c/N
+    exactly in DuckDB."""
+    from iamsystem_python_spark.operators.textstats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -952,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_chunk_dedup": q51_chunk_dedup,
         "q52_incremental_dedup": q52_incremental_dedup,
         "q53_repo_similarity": q53_repo_similarity,
+        "q54_unigram_logprob": q54_unigram_logprob,
     }
 
 
@@ -1528,6 +1541,21 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         "q25_minhash_pairs": _minhash_oracle_sql(3, 16, 8, 0.5),
         "q52_incremental_dedup": _incremental_minhash_oracle_sql(3, 16, 8, 0.5, 3),
         "q53_repo_similarity": _group_minhash_oracle_sql(3, 64, 0.05),
+        "q54_unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT sum(c) AS n_corpus FROM vocab)
+SELECT toks.doc_id AS doc_id,
+       count(*) AS n_tokens,
+       round(log2(total.n_corpus) - avg(log2(vocab.c)), 5) AS bits_per_token
+FROM toks JOIN vocab USING (tok), total
+GROUP BY toks.doc_id, total.n_corpus
+ORDER BY doc_id
+""",
         "q26_ngram_jaccard": f"""
 WITH base AS (
   SELECT lang AS blk, doc_id, {_shingle_sql(3)} AS sh FROM documents

@@ -190,3 +190,50 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sha2(t.cast("string"), 256).alias("sha_raw"),
         F.sha2(norm, 256).alias("sha_norm"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style quality proxy: per-doc mean bits per token,
+    ``mean(-log2 p(tok))`` under the corpus's own unigram distribution
+    (p = c/N, no smoothing needed — every probed token is in the corpus).
+    Well-edited prose scores low; gibberish and rare-token soup score high.
+
+    Two passes, both pure codegen:
+      1. corpus vocab: explode tokens → map-side-combined groupBy(tok);
+      2. score: join tokens back onto the vocab, per-doc aggregate
+         ``log2(N) - mean(log2 c)`` (algebraically mean(-log2 c/N), but
+         summing log2(c) keeps the join payload one small column).
+
+    Scale: the vocab of even a 100-TB corpus is millions of rows (Heaps'
+    law), so it is broadcast by default (``broadcast_vocab``) — the score
+    pass then has NO shuffle beyond the per-doc aggregate. With
+    ``broadcast_vocab=False`` the join shuffles on ``tok``; head tokens
+    ('the', 'def') are heavily skewed there, so leave AQE skew-join on.
+    The single-row corpus total is crossJoin(broadcast) — no collect.
+    """
+    t = F.col(text_col)
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.lower(t), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_corpus"))
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    per_doc = (
+        toks.join(v, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log2("c")).alias("_mean_log2_c"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.log2("n_corpus") - F.col("_mean_log2_c"), 5).alias(
+            "bits_per_token"
+        ),
+    )

@@ -1478,3 +1478,19 @@ def test_group_minhash_detects_forked_repo(spark):
         ]
     ).collect()[0]
     assert [grp_sig[f"sig_{i}"] for i in range(8)] == merged
+
+
+def test_unigram_logprob_hand_oracle(spark):
+    """p = c/N over the corpus itself: a=2 b=2 c=1, N=5 →
+    doc1 (a a b) mean -log2(2/5) = 1.32193; doc2 (b c) mean of
+    1.32193 and -log2(1/5)=2.32193 → 1.82193. The score join must be a
+    broadcast (no SortMergeJoin on the token column)."""
+    from iamsystem_python_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    out = unigram_logprob(df)
+    rows = {r.doc_id: (r.n_tokens, r.bits_per_token) for r in out.collect()}
+    assert rows == {1: (3, 1.32193), 2: (2, 1.82193)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
