@@ -679,6 +679,11 @@ class Matcher:
             matcher.stopwords = NoStopwords()
         elif isinstance(stopwords, (Stopwords, NegativeStopwords)):
             matcher.stopwords = stopwords
+        elif hasattr(stopwords, "is_token_a_stopword"):
+            # any duck-typed IStopwords instance (NoStopwords, IsStopSpacy,
+            # user implementations) — the reference accepts any IStopwords
+            # (matcher.py:389); only plain word iterables fall through
+            matcher.stopwords = stopwords
         else:
             matcher.stopwords = Stopwords(stopwords)
         first_stopwords = matcher.stopwords

@@ -18,9 +18,9 @@ class Stopwords:
     lowercased before membership, and the token probe uses the token's raw
     LABEL, not its norm_label — so stopword 'à' matches the document token
     'à' even though its norm_label is 'a', and a stopword stored as 'LES'
-    matches nothing (the reference's own behavior). A whitespace/empty word
-    is always a stopword (simple.py:29; the empty case guards empty
-    keyword labels, which the tokenizer never emits as tokens)."""
+    matches nothing (the reference's own behavior). A whitespace word is
+    always a stopword (simple.py:29); the empty string is NOT
+    (''.isspace() is False in the reference too)."""
 
     def __init__(self, stopwords: Optional[Iterable[str]] = None):
         self.words: Set[str] = set(stopwords) if stopwords else set()
@@ -36,7 +36,7 @@ class Stopwords:
     def is_stopword(self, word: str) -> bool:
         """Reference public name (simple.py:27-30)."""
         word = word.lower()
-        return word in self.words or word.isspace() or len(word) == 0
+        return word in self.words or word.isspace()
 
     # internal alias kept for the kernel call sites
     is_word_a_stopword = is_stopword

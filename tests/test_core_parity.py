@@ -1529,6 +1529,37 @@ def test_no_stopwords_has_no_add():
         ns.add("du")
 
 
+def test_empty_string_is_not_a_stopword():
+    """Reference simple.py:27-30: is_stopword('') is False (''.isspace()
+    is False); whitespace stays True (ADVICE r03)."""
+    from iamsystem_python_spark.core.stopwords import Stopwords
+
+    sw = Stopwords(["le"])
+    assert not sw.is_stopword("")
+    assert sw.is_stopword(" ")
+    assert sw.is_stopword("le")
+
+
+def test_build_accepts_any_istopwords_instance():
+    """Matcher.build accepts any duck-typed IStopwords — NoStopwords and
+    user implementations — like the reference (matcher.py:389), not just
+    Stopwords/NegativeStopwords (ADVICE r03 regression)."""
+    from iamsystem_python_spark.core.stopwords import NoStopwords
+
+    m = Matcher.build(keywords=["north america"], stopwords=NoStopwords())
+    assert isinstance(m.stopwords, NoStopwords)
+    assert [a.label for a in m.annot_text("north america")] == ["north america"]
+
+    class OnlyThe:  # minimal user IStopwords
+        def is_token_a_stopword(self, token):
+            return token.norm_label == "the"
+
+    m2 = Matcher.build(keywords=["north america"], stopwords=OnlyThe())
+    assert [a.label for a in m2.annot_text("north the america")] == [
+        "north america"
+    ]
+
+
 # --- annotation surface — reference tests/test_annotation.py ----------------
 
 
