@@ -298,6 +298,30 @@ def test_editex_published_distances():
     assert editex("john", "jon") == 1
 
 
+def test_typox_keyboard_distances():
+    """Typox = Editex recurrence with QWERTY-adjacency groups (provenance
+    note in core/fuzzy.py). Hand-computed against this spec."""
+    from iamsystem_python_spark.core.fuzzy import TypoxAlgo, typox
+
+    assert typox("prostate", "prostate") == 0
+    assert typox("prostate", "peostate") == 1  # e adjacent to r
+    assert typox("prostate", "pzostate") == 2  # z not adjacent to r
+    assert typox("cat", "cqt") == 1            # q adjacent to a
+    assert typox("cat", "cut") == 2            # u not adjacent to a
+    # doubled letter deletes free (d(x, x) == 0), like editex
+    assert typox("prosstate", "prostate") == 0
+    # non-repeat deletion costs r(prev, deleted): t/e not adjacent -> 2
+    assert typox("prostate", "prostat") == 2
+    # stagger diagonals: 'a' sits under q/w, 'z' under a/s
+    assert typox("za", "zq") == 1
+    assert typox("az", "as") == 1
+    # algo surface: bucketing + min_nb_char gate as for editex
+    algo = TypoxAlgo(max_distance=1, min_nb_char=5)
+    algo.add_words(["prostate"])
+    assert list(algo.get_syns_of_word("peostate")) == [("prostate",)]
+    assert list(algo.get_syns_of_word("pzostate")) == []
+
+
 def test_editex_algo_suggestions():
     from iamsystem_python_spark.core.fuzzy import EditexAlgo
 
@@ -427,11 +451,16 @@ def test_spellwise_measure_dispatch_and_reject():
     )
     assert len(m3.annot_text("rubert")) == 1
 
-    with pytest.raises(ValueError, match="unsupported spellwise measure"):
-        Matcher.build(
-            keywords=["prostate"],
-            spellwise=[dict(measure="typox", max_distance=2)],
-        )
+    # typox (keyboard-aware editex; provenance note in core/fuzzy.py):
+    # r→e is a QWERTY-adjacent slip (cost 1, within max_distance=1);
+    # r→z is not adjacent (cost 2, rejected at max_distance=1)
+    m_tx = Matcher.build(
+        keywords=["prostate"],
+        spellwise=[dict(measure="typox", max_distance=1, min_nb_char=5)],
+        w=1,
+    )
+    assert len(m_tx.annot_text("peostate")) == 1
+    assert len(m_tx.annot_text("pzostate")) == 0
     # caverphone (both revisions) now dispatch to the native algo
     m4 = Matcher.build(
         keywords=["stevenson"],

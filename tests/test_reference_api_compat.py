@@ -36,8 +36,8 @@ def test_spellwise_wrapper_enum_and_string():
     assert a.name == "LEVENSHTEIN"
     b = SpellWiseWrapper("soundex", max_distance=1, name="sx")
     assert b.name == "sx"
-    with pytest.raises(Exception):
-        SpellWiseWrapper(ESpellWiseAlgo.TYPOX, max_distance=1)
+    c = SpellWiseWrapper(ESpellWiseAlgo.TYPOX, max_distance=1)
+    assert c.name == "TYPOX"
 
 
 def test_spellwise_wrapper_in_matcher():
