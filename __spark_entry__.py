@@ -432,8 +432,10 @@ def q31_embedding_neardup(spark, sf_dir):
 def q32_lsh_ann(spark, sf_dir):
     """Approximate nearest neighbors — the scale path: random-hyperplane
     sign buckets (pure SQL expressions), bucket equi-join, exact cosine
-    rerank (operators/similarity.lsh_bucketed_topk). Approximate by design
-    — rows-only check; recall vs brute force is pinned in tests."""
+    rerank (operators/similarity.lsh_bucketed_topk). The hyperplanes are
+    seeded-deterministic, so the full bucket+rerank is value-checked by
+    an exact DuckDB replay (_lsh_ann_oracle_sql); recall vs brute force
+    is additionally pinned in tests."""
     from iamsystem_python_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -446,9 +448,11 @@ def q32_lsh_ann(spark, sf_dir):
 def q46_brat_export(spark, sf_dir):
     """Sink formatting: exploded annotations → Brat .ann T-lines with
     per-doc sequential ids (core/brat.annotations_to_brat_df; reference
-    brat/adapter.py:111-263). Char offsets come from the real tokenizer —
-    not SQL-recoverable, so rows-only check; the line grammar is pinned by
-    tests/test_brat.py golden strings."""
+    brat/adapter.py:111-263). Value-checked: the w=1 exact-match pipeline
+    over 2-token keywords is fully relational, so _brat_oracle_sql replays
+    tokenizer char offsets (cumulative \\w+|\\W+ segment lengths), the
+    matches, and the exact T-line strings in DuckDB; the line grammar is
+    additionally pinned by tests/test_brat.py golden strings."""
     from iamsystem_python_spark.core.brat import annotations_to_brat_df
     from iamsystem_python_spark.operators.annotate import annotate
 
@@ -1261,6 +1265,126 @@ def _hits_sql(words) -> str:
     return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
+def _brat_oracle_sql() -> str:
+    """Exact SQL replay of q46's Brat T-lines. The matcher side is w=1
+    exact matching of the 2-token `_KEYWORDS` with english_tokenizer
+    (\\w+ split + lowercase), so the whole pipeline is relational:
+    segment the text into \\w+|\\W+ runs (cumulative lengths give the
+    char offsets the tokenizer computes), keep word runs as tokens,
+    match adjacent token pairs against the keyword list, and format
+    'T{n}\\t{norm_label} {start} {end}\\t{surface}' with per-doc
+    row_number over (start, end) — the same ordering
+    core/brat.annotations_to_brat_df uses. No nesting is possible here
+    (all keywords are 2 distinct tokens), so rm_nested_annots is a
+    no-op on both sides."""
+    kw_rows = " UNION ALL ".join(
+        f"SELECT '{kw}' AS kw, '{kw.split()[0]}' AS w1, '{kw.split()[1]}' AS w2"
+        for kw in _KEYWORDS
+    )
+    return f"""
+WITH seg AS (
+  SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS i
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\w+|\\W+') AS segs FROM documents)
+),
+pos AS (
+  SELECT doc_id, seg, i,
+         coalesce(sum(length(seg)) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM seg
+),
+tok AS (
+  SELECT doc_id, lower(seg) AS norm, seg AS surface, start,
+         start + length(seg) AS "end",
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS ti
+  FROM pos WHERE regexp_full_match(seg, '\\w+')
+),
+kws AS ({kw_rows}),
+m AS (
+  SELECT a.doc_id, k.kw AS norm_label,
+         a.surface || ' ' || b.surface AS label,
+         a.start AS start, b."end" AS "end",
+         a.start::VARCHAR || ' ' || b."end"::VARCHAR AS brat_offsets
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ti = a.ti + 1
+  JOIN kws k ON a.norm = k.w1 AND b.norm = k.w2
+)
+SELECT doc_id,
+       'T' || (row_number() OVER (PARTITION BY doc_id ORDER BY start, "end"))::VARCHAR
+        || chr(9) || norm_label || ' ' || brat_offsets || chr(9) || label AS line
+FROM m
+ORDER BY doc_id, line
+"""
+
+
+def _dot_fold(a: str, b: str, dim: int) -> str:
+    """Bit-identical replay of cosine_col's dot product: Spark's
+    zip_with(array<float>, array<float>, x*y) multiplies in float32, then
+    F.aggregate folds the products left-to-right in float64 — so multiply
+    in FLOAT, cast each product to DOUBLE, and fold sequentially."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] * {b}[i])::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _lsh_ann_oracle_sql(dim=64, k=10, bits=8, num_tables=4, seed=42) -> str:
+    """Exact SQL replay of q32's hyperplane LSH: the hyperplanes are
+    seeded-deterministic (operators/similarity.hyperplanes), so their
+    values are embedded as DOUBLE[] literals and the sign-pattern bucket
+    codes, bucket equi-join, candidate dedup, and rounded-cosine rerank
+    are replayed relationally. Arithmetic matches the Spark side: float32
+    embeddings promote exactly to float64 on both engines; a sign flip
+    would need |dot| < ~1e-13, far below the data's O(1) dot magnitudes."""
+    from iamsystem_python_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits, num_tables, seed)
+
+    def bexpr(t: int) -> str:
+        terms = []
+        for bit in range(bits):
+            arr = (
+                "["
+                + ",".join(repr(float(x)) for x in planes[t][bit])
+                + "]::DOUBLE[]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0"
+                f" THEN {1 << bit} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {bexpr(t)} AS bucket FROM embeddings"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH b AS ({union}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS neighbor_id
+  FROM b i JOIN b q ON i.table_id = q.table_id AND i.bucket = q.bucket
+  WHERE q.vec_id < 5 AND i.vec_id <> q.vec_id
+),
+scored AS (
+  -- rerank dots use a sequential left fold (list_reduce), bit-identical to
+  -- Spark's F.aggregate fold order, so round(·, 6) never straddles a
+  -- boundary; list_dot_product (order-unspecified) is fine for the sign
+  -- tests above but produced a 1-ulp rounding split here at sf0.001
+  SELECT query_id, neighbor_id,
+         round({_dot_fold('qe.embedding', 'ie.embedding', dim)}
+               / (sqrt({_dot_fold('qe.embedding', 'qe.embedding', dim)})
+                  * sqrt({_dot_fold('ie.embedding', 'ie.embedding', dim)})), 6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ie ON ie.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def _keyword_count_sql(agg_doc: bool) -> str:
     per_kw = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{kw}' AS keyword, "
@@ -1603,9 +1727,11 @@ ORDER BY id_a, id_b
         "q40_keyword_matches": _keyword_count_sql(agg_doc=True),
         "q41_keyword_doc_freq": _keyword_count_sql(agg_doc=False),
         "q42_nested_keywords": _nested_keyword_sql(),
+        "q32_lsh_ann": _lsh_ann_oracle_sql(),
         "q43_abbreviation_matches": _abbrev_oracle_sql(),
         "q44_levenshtein_matches": _levenshtein_oracle_sql(),
         "q45_stem_matches": _stem_oracle_sql(),
+        "q46_brat_export": _brat_oracle_sql(),
         "q34_contamination": _contamination_oracle_sql(5),
         "q35_repetition": """
 WITH toks AS (
