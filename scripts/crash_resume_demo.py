@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""End-to-end crash-kill resilience demo (VERDICT r03 next-round task 9).
+
+The unit tests cover the manifest-skip logic; this script is the missing
+real-process evidence for "restart loses no completed stage":
+
+  1. CLEAN   — spark-submit the pipeline to completion (reference output).
+  2. CRASH   — spark-submit the same job to a second directory; poll the
+               stage manifests and `kill -9` the whole process group the
+               moment a mid-pipeline stage has STARTED writing (its output
+               directory exists) but has NOT committed (no _MANIFEST.json).
+  3. RESUME  — re-run with --resume; completed stages are skipped (their
+               manifests carry the original timestamps), the killed stage
+               and everything downstream recompute.
+  4. COMPARE — final `clusters` parquet of the crashed+resumed run must be
+               row-identical to the clean run's.
+
+Writes the full transcript to BENCH/crash_resume_r4.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_DIR = os.path.join(REPO, "BENCH")
+WORK = os.environ.get("CRASH_DEMO_WORK", "/dev/shm/crash_demo")
+ROWS = int(os.environ.get("CRASH_DEMO_ROWS", "100000"))
+STAGES = ["signatures", "exact_groups", "candidates", "verified_pairs",
+          "all_pairs", "clusters"]
+
+
+def submit_cmd(out_dir: str, resume: bool) -> list:
+    cmd = [
+        "spark-submit",
+        "--master", "local[16]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=8g",
+        "--py-files", os.path.join(REPO, "dist", "iamsystem_python_spark.zip"),
+        os.path.join(REPO, "scripts", "run_pipeline.py"),
+        "--generate", "--rows", str(ROWS),
+        "--output", out_dir,
+        "--shuffle-partitions", "16",
+    ]
+    if resume:
+        cmd.append("--resume")
+    return cmd
+
+
+def manifests_present(out_dir: str) -> dict:
+    return {
+        s: os.path.exists(os.path.join(out_dir, s, "_MANIFEST.json"))
+        for s in STAGES
+    }
+
+
+def manifest_mtimes(out_dir: str) -> dict:
+    out = {}
+    for s in STAGES:
+        p = os.path.join(out_dir, s, "_MANIFEST.json")
+        if os.path.exists(p):
+            out[s] = round(os.path.getmtime(p), 2)
+    return out
+
+
+def run_to_completion(out_dir: str, resume: bool) -> dict:
+    t0 = time.time()
+    p = subprocess.run(
+        submit_cmd(out_dir, resume), capture_output=True, text=True,
+        cwd=REPO, timeout=3600,
+    )
+    return {
+        "rc": p.returncode,
+        "seconds": round(time.time() - t0, 1),
+        "stderr_tail": p.stderr[-800:] if p.returncode != 0 else "",
+    }
+
+
+def run_and_kill(out_dir: str) -> dict:
+    """Launch the job and kill -9 its process group mid-stage."""
+    proc = subprocess.Popen(
+        submit_cmd(out_dir, resume=False),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        cwd=REPO, start_new_session=True,
+    )
+    killed_during = None
+    t0 = time.time()
+    while time.time() - t0 < 1800:
+        if proc.poll() is not None:
+            return {"error": "job finished before kill", "rc": proc.returncode}
+        # kill while a stage PAST signatures is in flight: its directory
+        # exists (write started) but its manifest does not (not committed)
+        for s in STAGES[1:]:
+            sdir = os.path.join(out_dir, s)
+            if os.path.isdir(sdir) and not os.path.exists(
+                os.path.join(sdir, "_MANIFEST.json")
+            ):
+                time.sleep(0.3)  # let the write get genuinely mid-flight
+                if proc.poll() is None and not os.path.exists(
+                    os.path.join(sdir, "_MANIFEST.json")
+                ):
+                    killed_during = s
+                    os.killpg(proc.pid, signal.SIGKILL)
+                    proc.wait()
+                    return {
+                        "killed_during_stage": s,
+                        "elapsed_at_kill_s": round(time.time() - t0, 1),
+                        "manifests_at_kill": manifests_present(out_dir),
+                    }
+        time.sleep(0.1)
+    os.killpg(proc.pid, signal.SIGKILL)
+    return {"error": "timeout waiting for a killable stage"}
+
+
+def compare_clusters(dir_a: str, dir_b: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    q = (
+        "SELECT count(*) FROM ("
+        f"  SELECT * FROM read_parquet('{dir_a}/clusters/*.parquet') "
+        f"  EXCEPT SELECT * FROM read_parquet('{dir_b}/clusters/*.parquet'))"
+    )
+    a_minus_b = con.execute(q).fetchone()[0]
+    q2 = q.replace(dir_a, "__T__").replace(dir_b, dir_a).replace("__T__", dir_b)
+    b_minus_a = con.execute(q2).fetchone()[0]
+    n_a = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dir_a}/clusters/*.parquet')"
+    ).fetchone()[0]
+    n_b = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dir_b}/clusters/*.parquet')"
+    ).fetchone()[0]
+    return {
+        "rows_clean": n_a,
+        "rows_resumed": n_b,
+        "clean_minus_resumed": a_minus_b,
+        "resumed_minus_clean": b_minus_a,
+        "identical": a_minus_b == 0 and b_minus_a == 0 and n_a == n_b,
+    }
+
+
+def main() -> None:
+    subprocess.run(["sh", os.path.join(REPO, "scripts", "build_zip.sh")],
+                   check=True, capture_output=True)
+    clean_dir = os.path.join(WORK, "clean")
+    crash_dir = os.path.join(WORK, "crash")
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+
+    transcript = {"rows": ROWS, "work": WORK}
+    print("1/4 clean run ...", flush=True)
+    transcript["clean_run"] = run_to_completion(clean_dir, resume=False)
+    assert transcript["clean_run"]["rc"] == 0, transcript["clean_run"]
+
+    print("2/4 crash run (kill -9 mid-stage) ...", flush=True)
+    transcript["crash"] = run_and_kill(crash_dir)
+    assert "killed_during_stage" in transcript["crash"], transcript["crash"]
+    pre_resume_mtimes = manifest_mtimes(crash_dir)
+
+    print("3/4 resume ...", flush=True)
+    transcript["resume_run"] = run_to_completion(crash_dir, resume=True)
+    assert transcript["resume_run"]["rc"] == 0, transcript["resume_run"]
+    post_resume_mtimes = manifest_mtimes(crash_dir)
+    # completed stages were skipped on resume iff their manifests are the
+    # ORIGINAL files (mtime unchanged); the killed stage + downstream are new
+    transcript["stages_skipped_on_resume"] = sorted(
+        s for s, t in pre_resume_mtimes.items()
+        if post_resume_mtimes.get(s) == t
+    )
+    transcript["stages_recomputed_on_resume"] = sorted(
+        s for s in post_resume_mtimes
+        if s not in transcript["stages_skipped_on_resume"]
+    )
+
+    print("4/4 compare final clusters ...", flush=True)
+    transcript["clusters_compare"] = compare_clusters(clean_dir, crash_dir)
+    assert transcript["clusters_compare"]["identical"], transcript
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    out = os.path.join(BENCH_DIR, "crash_resume_r4.json")
+    with open(out, "w") as f:
+        json.dump(transcript, f, indent=2)
+    print(json.dumps(transcript, indent=2))
+    print(f"transcript -> {out}")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
