@@ -40,7 +40,15 @@ CONSEC = int(os.environ.get("WATCH_CONSEC", "2"))
 POLL_S = float(os.environ.get("WATCH_POLL_S", "25"))
 DEADLINE_H = float(os.environ.get("WATCH_DEADLINE_H", "4.5"))
 TARGET_S = float(os.environ.get("WATCH_TARGET_S", "50"))
-MAX_CAPTURES = int(os.environ.get("WATCH_MAX_CAPTURES", "4"))
+MAX_CAPTURES = int(os.environ.get("WATCH_MAX_CAPTURES", "5"))
+# Fallback tiers: if the host never reaches the full-health threshold, a
+# sustained mid-grade window (e.g. ~150 MB/s vs r03's 5.8) still yields a
+# far better artifact than r03's. (elapsed_h, min_mb_s) — the active
+# threshold relaxes over time; bench.py's own probe_gate.met stays pinned
+# at 500, so a tiered capture can never masquerade as a healthy-window one
+# and better() never lets it overwrite a met=true capture.
+TIERS = [(0.0, MIN_MB_S), (1.5, 250.0), (3.0, 120.0)]
+MIN_CAPTURE_GAP_S = 25 * 60
 
 
 def probe() -> float:
@@ -107,26 +115,49 @@ def better(new: dict, old: dict | None) -> bool:
     return new.get("value", 1e18) < old.get("value", 1e18)
 
 
+def active_threshold(elapsed_s: float) -> float:
+    thr = TIERS[0][1]
+    for h, t in TIERS:
+        if elapsed_s >= h * 3600:
+            thr = t
+    return thr
+
+
 def main() -> None:
     os.makedirs(BENCH_DIR, exist_ok=True)
-    t_end = time.time() + DEADLINE_H * 3600
+    t_start = time.time()
+    t_end = t_start + DEADLINE_H * 3600
     streak, captures, best, scaling_done = 0, 0, None, False
+    last_capture_t = 0.0
     if os.path.exists(OUT):
         with open(OUT) as f:
             best = json.load(f)
-    log({"event": "watcher_start", "min_mb_s": MIN_MB_S, "deadline_h": DEADLINE_H})
+    log({"event": "watcher_start", "tiers": TIERS, "deadline_h": DEADLINE_H})
     while time.time() < t_end:
+        thr = active_threshold(time.time() - t_start)
         mb = probe()
-        streak = streak + 1 if mb >= MIN_MB_S else 0
-        log({"event": "probe", "mb_s": mb, "streak": streak})
+        streak = streak + 1 if mb >= thr else 0
+        log({"event": "probe", "mb_s": mb, "streak": streak, "thr": thr})
         if streak >= CONSEC:
             streak = 0
-            if captures < MAX_CAPTURES and not (
-                best and best.get("probe_gate", {}).get("met")
+            # a tiered (sub-500) trigger only re-captures if this window is
+            # meaningfully better than the one the current best saw, and not
+            # more often than every MIN_CAPTURE_GAP_S
+            best_probe = (best or {}).get("probe_gate", {}).get("probe_mb_s", 0)
+            worth_it = best is None or (
+                not best.get("probe_gate", {}).get("met")
+                and mb >= 1.3 * best_probe
+            )
+            gap_ok = time.time() - last_capture_t >= MIN_CAPTURE_GAP_S or mb >= MIN_MB_S
+            done_enough = (
+                best is not None
+                and best.get("probe_gate", {}).get("met")
                 and best.get("value", 1e18) <= TARGET_S
-            ):
+            )
+            if captures < MAX_CAPTURES and not done_enough and worth_it and gap_ok:
                 captures += 1
-                log({"event": "capture_start", "n": captures})
+                last_capture_t = time.time()
+                log({"event": "capture_start", "n": captures, "trigger_mb_s": mb})
                 res = run_bench()
                 if res is not None:
                     log({"event": "capture_done", "value": res.get("value"),
@@ -135,8 +166,9 @@ def main() -> None:
                         best = res
                         with open(OUT, "w") as f:
                             json.dump(best, f, indent=2)
-            elif not scaling_done:
-                log({"event": "scaling_start"})
+            elif not scaling_done and (done_enough or captures >= MAX_CAPTURES
+                                       or not worth_it):
+                log({"event": "scaling_start", "trigger_mb_s": mb})
                 sres = run_scaling()
                 if sres is not None:
                     with open(SCALING_OUT, "w") as f:
@@ -144,8 +176,7 @@ def main() -> None:
                     scaling_done = True
                     log({"event": "scaling_done",
                          "eff": sres.get("scaling_efficiency")})
-            if (best and best.get("probe_gate", {}).get("met")
-                    and best.get("value", 1e18) <= TARGET_S and scaling_done):
+            if done_enough and scaling_done:
                 log({"event": "watcher_success_exit"})
                 return
         time.sleep(POLL_S)

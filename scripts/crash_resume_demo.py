@@ -94,9 +94,11 @@ def run_and_kill(out_dir: str) -> dict:
     while time.time() - t0 < 1800:
         if proc.poll() is not None:
             return {"error": "job finished before kill", "rc": proc.returncode}
-        # kill while a stage PAST signatures is in flight: its directory
-        # exists (write started) but its manifest does not (not committed)
-        for s in STAGES[1:]:
+        # kill while a stage at-or-past candidates is in flight: its
+        # directory exists (write started) but its manifest does not
+        # (not committed) — the candidates band self-join is the stage the
+        # resilience claim is about
+        for s in STAGES[2:]:
             sdir = os.path.join(out_dir, s)
             if os.path.isdir(sdir) and not os.path.exists(
                 os.path.join(sdir, "_MANIFEST.json")
