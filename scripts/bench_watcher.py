@@ -47,7 +47,7 @@ MAX_CAPTURES = int(os.environ.get("WATCH_MAX_CAPTURES", "5"))
 # threshold relaxes over time; bench.py's own probe_gate.met stays pinned
 # at 500, so a tiered capture can never masquerade as a healthy-window one
 # and better() never lets it overwrite a met=true capture.
-TIERS = [(0.0, MIN_MB_S), (1.5, 250.0), (3.0, 120.0)]
+TIERS = [(0.0, MIN_MB_S), (0.75, 250.0), (1.25, 140.0)]
 MIN_CAPTURE_GAP_S = 25 * 60
 
 
