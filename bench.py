@@ -132,9 +132,17 @@ def run_queries(spark, runs: int = 2) -> dict:
 
     qmap = entrymod.queries()
     times = {}
+    probes = {}
     for name in HEADLINE:
         best = None
         held = []  # keep results alive: no finalizer fires inside the loop
+        # per-query probe (outside the timed section): a headline captured
+        # under probe_gate.met can still contain queries measured after the
+        # window collapsed mid-run (the r04 artifact: gate 2530 MB/s, but
+        # the pipeline section's probes read 136-165). Recording the host
+        # condition NEXT TO each query makes per-query regressions
+        # attributable without re-running the whole capture.
+        probes[name] = host_fresh_page_mb_s()
         for _ in range(max(1, runs)):
             t0 = time.time()
             df = qmap[name](spark, SF_DIR)
@@ -145,7 +153,7 @@ def run_queries(spark, runs: int = 2) -> dict:
         for df in held:
             scoped_cache.release(df)
         times[name] = round(best, 3)
-    return times
+    return times, probes
 
 
 def _ensure_corpus(spark, n_rows: int, work: str) -> str:
@@ -433,7 +441,7 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     try:
-        qtimes = run_queries(spark)
+        qtimes, qprobes = run_queries(spark)
         dedup = run_dedup_pipeline(
             spark, DEDUP_ROWS, work, tag=f"main_c{CPUS}", cpus=int(CPUS)
         )
@@ -445,6 +453,7 @@ def main() -> None:
         "value": round(sum(qtimes.values()) + dedup["seconds"], 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_probes_mb_s": qprobes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "dedup_pipeline": dedup,
         "probe_gate": gate,

@@ -1,0 +1,18 @@
+"""Round-4 1-vs-4 interleaved pair (N and 4N at a second cluster-size point;
+complements the 2-vs-8 pairs in scaling_interleaved_r4_healthy.json)."""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+bench.DEDUP_ROWS = 60000
+work = "/dev/shm/spark_graft_bench"
+os.makedirs(work, exist_ok=True)
+out = bench.scaling_run_interleaved(work, n=1, rounds=2)
+with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH", "scaling_interleaved_r4_n1.json"), "w") as f:
+    json.dump(out, f, indent=2)
+print(json.dumps({k: out[k] for k in ("scaling_efficiency", "hardware_ceiling_pure_cpu", "headline_pair")}))

@@ -1,0 +1,19 @@
+"""Round-4 healthy-window interleaved N-vs-4N scaling re-run (same harness as
+scaling_interleaved_r4 but captured in a verified-healthy host window)."""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["SPARK_GRAFT_DEDUP_ROWS"] = "300000"
+
+import bench
+
+bench.DEDUP_ROWS = 300000
+work = "/dev/shm/spark_graft_bench"
+os.makedirs(work, exist_ok=True)
+out = bench.scaling_run_interleaved(work, n=2, rounds=3)
+with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH", "scaling_interleaved_r4_healthy.json"), "w") as f:
+    json.dump(out, f, indent=2)
+print(json.dumps({k: out[k] for k in ("scaling_efficiency", "hardware_ceiling_pure_cpu", "headline_pair")}))

@@ -49,7 +49,7 @@ def test_run_queries_holds_results_until_loop_ends(monkeypatch):
     monkeypatch.setattr(bench, "HEADLINE", ["q_fake"])
     monkeypatch.setattr(entrymod, "queries", lambda: {"q_fake": make_query})
 
-    times = bench.run_queries(spark=None, runs=2)
+    times, probes = bench.run_queries(spark=None, runs=2)
     gc.collect()
 
     # r03 bug shape was ["run", "unpersist", "run", ...]: rebinding `df`
@@ -58,6 +58,7 @@ def test_run_queries_holds_results_until_loop_ends(monkeypatch):
     # execute with caches pinned, then the explicit release fires.
     assert events == ["run", "run", "unpersist", "unpersist"]
     assert set(times) == {"q_fake"}
+    assert set(probes) == {"q_fake"} and probes["q_fake"] > 0
 
 
 def test_membw_ceiling_probe_shape():
