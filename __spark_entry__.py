@@ -917,6 +917,22 @@ def q54_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs).orderBy("doc_id")
 
 
+def q55_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    md5-ordered deterministic anchors (TakeOrderedAndProject), map-side
+    argmax-cosine cluster assignment over literal anchor vectors (one
+    codegen projection, no shuffle), within-cluster smaller-id-wins cosine
+    prune. Oracle replays anchors, assignment, and prune exactly in DuckDB
+    (double-literal dot for assignment, float32-product fold for the
+    table-vs-table prune)."""
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+    from iamsystem_python_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = semantic_dedup(emb, num_anchors=8, threshold=0.3)
+    return tie_cache(res.orderBy("id"), res)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -969,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_incremental_dedup": q52_incremental_dedup,
         "q53_repo_similarity": q53_repo_similarity,
         "q54_unigram_logprob": q54_unigram_logprob,
+        "q55_semantic_dedup": q55_semantic_dedup,
     }
 
 
@@ -1466,6 +1483,60 @@ FROM d GROUP BY sx_code ORDER BY sx_code
 """
 
 
+def _semantic_dedup_oracle_sql(dim=64, num_anchors=8, threshold=0.3) -> str:
+    """q55 oracle: exact relational replay of semantic_dedup. Anchors are
+    re-derived from the table (md5-ordered limit — no data-derived
+    literals), assignment cosines multiply float32·float64 (the Spark side
+    embeds anchors as DOUBLE literals) while prune cosines use the
+    float32-product fold (_dot_fold; both sides are table float32
+    vectors), matching the engine's arithmetic bit-for-bit. Rounding to 6
+    happens BEFORE the argmax on both engines, with anchor_id as the
+    deterministic tiebreak."""
+
+    def dot_d(a, b):
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    dot_f = lambda a, b: _dot_fold(a, b, dim)  # noqa: E731
+    return f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS a_vec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {num_anchors}
+),
+scored AS (
+  SELECT e.vec_id AS id, a.anchor_id,
+         round({dot_d('e.embedding', 'a.a_vec')}
+               / (sqrt({dot_f('e.embedding', 'e.embedding')})
+                  * sqrt({dot_d('a.a_vec', 'a.a_vec')})), 6) AS cos
+  FROM embeddings e CROSS JOIN anchors a
+),
+assigned AS (
+  SELECT id, anchor_id, cos AS anchor_cos FROM (
+    SELECT id, anchor_id, cos,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cos DESC, anchor_id) AS rn
+    FROM scored) t WHERE rn = 1
+),
+members AS (
+  SELECT s.id, s.anchor_id, e.embedding AS vec
+  FROM assigned s JOIN embeddings e ON e.vec_id = s.id
+),
+dropped AS (
+  SELECT DISTINCT b.id FROM members a JOIN members b
+    ON a.anchor_id = b.anchor_id AND a.id < b.id
+  WHERE {dot_f('a.vec', 'b.vec')}
+        / (sqrt({dot_f('a.vec', 'a.vec')})
+           * sqrt({dot_f('b.vec', 'b.vec')})) >= {threshold}
+)
+SELECT s.id, s.anchor_id, s.anchor_cos, (d.id IS NULL) AS keep
+FROM assigned s LEFT JOIN dropped d ON d.id = s.id
+ORDER BY s.id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     en = _hits_sql(_LANG_WORDS["en"])
     lang_scores = ", ".join(
@@ -1665,6 +1736,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         "q25_minhash_pairs": _minhash_oracle_sql(3, 16, 8, 0.5),
         "q52_incremental_dedup": _incremental_minhash_oracle_sql(3, 16, 8, 0.5, 3),
         "q53_repo_similarity": _group_minhash_oracle_sql(3, 64, 0.05),
+        "q55_semantic_dedup": _semantic_dedup_oracle_sql(64, 8, 0.3),
         "q54_unigram_logprob": """
 WITH toks AS (
   SELECT doc_id, t.tok AS tok

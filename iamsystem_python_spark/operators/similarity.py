@@ -307,3 +307,121 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    num_anchors: int = 8,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: Optional[int] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cluster by nearest anchor, then drop any row whose cluster holds a
+    smaller-id row within cosine ``threshold``.
+
+    Stage shape (the 100-TB lens):
+
+    1. **Anchors** — the ``num_anchors`` rows with the smallest
+       ``md5(cast(id as string))`` digests. A seeded-hash global sample
+       that is (a) deterministic w.r.t. content regardless of partition
+       layout, (b) a ``TakeOrderedAndProject`` (per-partition top-k +
+       driver merge, no global sort), and (c) exactly replayable in
+       ANSI SQL — unlike Lloyd iterations (``kmeans_centroids`` is the
+       refined-quantizer path when replayability is not needed).
+    2. **Assignment** — anchors collect to the driver (k·dim floats —
+       the SMALL side, same as ``kmeans_centroids``' quantizer) and are
+       embedded as literal vectors in ONE projection: each row computes
+       ``num_anchors`` cosines inside codegen and takes the argmax via
+       ``array_sort`` on (−cos, anchor_id) structs. Strictly map-side —
+       no crossJoin-then-window (that shape shuffles n·k rows to group
+       by id), no shuffle, no UDF. Scale k with n like SemDeDup's
+       ~100k clusters; k literals per projection stay in one codegen
+       stage into the thousands.
+    3. **Prune** — equi self-join on ``anchor_id``; a row is dropped
+       iff a smaller-id member of the same cluster is within
+       ``threshold``. Quadratic only within a cluster, so the cap
+       ``max_cluster_size`` (observe metric ``semdedup_rows_dropped``)
+       bounds the worst cell exactly like ``cosine_neardup_pairs``.
+       The final keep join on ``id`` is NOT broadcast by hand: at web
+       scale the dropped set is O(n) (30-50% dup rates), so it must be
+       allowed to shuffle; AQE downgrades it to broadcast when small.
+
+    Returns (id, anchor_id, anchor_cos, keep) — every input row, with
+    ``keep=false`` on the semantic duplicates. The keep rule is
+    order-free (NOT EXISTS over id-ordered pairs), so the result is
+    deterministic and embarrassingly parallel — no greedy sequential
+    scan over cluster members.
+    """
+    from iamsystem_python_spark.operators.dedup_text import _cap_blocks
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # TakeOrderedAndProject (per-partition top-k + driver merge); k rows
+    anchor_rows = (
+        base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(num_anchors)
+        .collect()
+    )
+    # argmax over literal anchor vectors in one projection. Anchor values
+    # become DOUBLE literals, so the dot multiplies float32·float64 —
+    # the oracle replays exactly that (vs the float32·float32 fold of the
+    # table-vs-table prune below). Rounding to 6 BEFORE the argmax makes
+    # the ordering robust to sub-1e-6 engine differences; exact ties
+    # (duplicate vectors) break to the smaller anchor id on both engines.
+    arr = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        cosine_col(
+                            F.col("vec"),
+                            F.array(*[F.lit(float(x)) for x in r["vec"]]),
+                        ),
+                        6,
+                    )
+                ).alias("nc"),
+                F.lit(r["id"]).alias("aid"),
+            )
+            for r in anchor_rows
+        ]
+    )
+    best = F.element_at(F.array_sort(arr), 1)
+    assigned = base.select(
+        "id",
+        best["aid"].alias("anchor_id"),
+        (-best["nc"]).alias("anchor_cos"),
+        "vec",
+    )
+    # assigned feeds both the prune self-join and the final keep join;
+    # persist scoped to the returned frame so the k-cosine projection and
+    # the source scan run once (tie_cache releases when the result dies)
+    assigned = assigned.persist()
+    members = _cap_blocks(
+        assigned.select(F.col("anchor_id").alias("blk"), "id", "vec"),
+        "blk",
+        max_cluster_size,
+        "semdedup",
+    )
+    a = members.select("blk", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = members.select("blk", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    dropped = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_col(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+
+    out = (
+        assigned.drop("vec")
+        .join(dropped.withColumn("is_dup", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "anchor_id",
+            "anchor_cos",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+    return tie_cache(out, assigned)

@@ -497,6 +497,92 @@ def test_lsh_bucketed_topk_recall(spark):
     assert len(e & a) / len(e) >= 0.6
 
 
+def _semantic_dedup_py_oracle(vecs, num_anchors, threshold):
+    """Brute-force replay of semantic_dedup in plain Python/numpy."""
+    import hashlib
+
+    ids = sorted(vecs)
+    anchors = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:num_anchors]
+
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assigned = {}
+    for i in ids:
+        best = min(
+            ((-round(cos(vecs[i], vecs[a]), 6), a) for a in anchors)
+        )
+        assigned[i] = (best[1], -best[0])
+    dropped = set()
+    for j in ids:
+        for i in ids:
+            if (
+                i < j
+                and assigned[i][0] == assigned[j][0]
+                and cos(vecs[i], vecs[j]) >= threshold
+            ):
+                dropped.add(j)
+                break
+    return assigned, dropped
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """Planted near-dup groups + exact duplicate vectors (argmax tie
+    exercise) against the plain-Python oracle, and determinism under a
+    different partition layout."""
+    from iamsystem_python_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    vecs = {}
+    for i in range(40):
+        vecs[i] = rng.standard_normal(dim)
+    # planted near-dups: tiny perturbations of earlier rows
+    for j, src in [(40, 3), (41, 3), (42, 17), (43, 28)]:
+        vecs[j] = vecs[src] + 1e-4 * rng.standard_normal(dim)
+    # exact duplicates (cosine ties everywhere, incl. possibly anchors)
+    vecs[44] = vecs[5].copy()
+    vecs[45] = vecs[5].copy()
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    assigned, dropped = _semantic_dedup_py_oracle(vecs, 6, 0.99)
+    for frame in (df, df.repartition(7)):
+        got = semantic_dedup(frame, num_anchors=6, threshold=0.99).collect()
+        assert len(got) == len(vecs)
+        for r in got:
+            exp_anchor, exp_cos = assigned[r.id]
+            assert r.anchor_id == exp_anchor, r
+            assert abs(r.anchor_cos - exp_cos) < 1e-9, r
+            assert r.keep == (r.id not in dropped), r
+    # the planted duplicates actually exercised the prune
+    assert dropped, "fixture produced no semantic duplicates"
+
+
+def test_semantic_dedup_cluster_cap_skips_skew_cells(spark):
+    """max_cluster_size=1 excludes every cluster from the quadratic prune:
+    all rows come back keep=true (skew cells are skipped, not exploded)."""
+    from iamsystem_python_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(4)
+    rows = [
+        (i, [float(x) for x in base + 1e-5 * rng.standard_normal(4)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = semantic_dedup(
+        df, num_anchors=2, threshold=0.9, max_cluster_size=1
+    ).collect()
+    assert len(res) == 10 and all(r.keep for r in res)
+    # without the cap the near-identical rows collapse to one kept row
+    res2 = semantic_dedup(df, num_anchors=2, threshold=0.9).collect()
+    assert sum(1 for r in res2 if r.keep) == 1
+
+
 # --- streaming -----------------------------------------------------------------
 
 
