@@ -100,7 +100,7 @@ def make_spark(cpus: str):
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("iamsystem_python_spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
@@ -110,10 +110,25 @@ def make_spark(cpus: str):
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
+        # Shuffle files are deleted only when the ContextCleaner GCs their
+        # shuffle dependency; the 30-min default lets spill from completed
+        # stages pile up for the whole run (the 10M attempt filled /tmp's
+        # ~80 GB quota this way). Frequent periodic GC bounds PEAK spill to
+        # roughly the live stages — exactly what a long-lived cluster app
+        # would configure.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")
-        .getOrCreate()
     )
+    # Comma-separated list honored by Spark; lets big runs stripe shuffle
+    # spill across /dev/shm + /tmp instead of the default /tmp only.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()
 
 
 def run_queries(spark, runs: int = 2) -> dict:
@@ -191,6 +206,15 @@ def run_dedup_pipeline(spark, n_rows: int, work: str, tag: str, cpus: int,
     corpus_path = _ensure_corpus(spark, n_rows, work)
     df = spark.read.parquet(corpus_path)
     actual_rows = df.count()
+    # Scale the shuffle-partition count with the data, not the core count:
+    # at 10M rows the verify stage shuffles ~80 GB of shingle blobs, and 32
+    # partitions would make 2.5 GB tasks (memory pressure + stragglers).
+    # High initial count + AQE coalescing is the idiomatic knob — small
+    # shuffles coalesce back to ~64 MB targets automatically.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(cpus, 8, min(1024, actual_rows // 20_000))),
+    )
     cfg = PipelineConfig(shuffle_partitions=max(cpus, 8))
     if warmup:
         wdir = os.path.join(work, f"warmup_{tag}")

@@ -229,12 +229,23 @@ def verify_pairs_recompute(
 
     blobs = docs.mapInPandas(shingle_kernel, schema=blob_schema)
 
-    # Pass 2: join blobs onto pairs, exact Jaccard in numpy.
+    # Pass 2: join blobs onto pairs, exact Jaccard in numpy. The blob side
+    # carries ~KBs/row, so a sort-merge join would SORT wide blob rows (and
+    # on the second join re-sort pairs that already carry sh_a) — measured
+    # 8.9 GB of pure sort spill at 2M docs. The shuffle_hash hint builds the
+    # per-partition hash map on the blob side and STREAMS the pair side
+    # through unsorted; per-partition build size is bounded by the
+    # data-scaled shuffle-partition count (bench.py/run_pipeline.py), and
+    # AQE's coalescing keeps partitions near the advisory size at any scale.
     paired = candidates.join(
-        blobs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+        blobs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .hint("shuffle_hash"),
         "doc_a",
     ).join(
-        blobs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+        blobs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+        .hint("shuffle_hash"),
         "doc_b",
     )
 
