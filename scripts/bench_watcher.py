@@ -48,6 +48,14 @@ MAX_CAPTURES = int(os.environ.get("WATCH_MAX_CAPTURES", "5"))
 # at 500, so a tiered capture can never masquerade as a healthy-window one
 # and better() never lets it overwrite a met=true capture.
 TIERS = [(0.0, MIN_MB_S), (0.75, 250.0), (1.25, 140.0)]
+# Override the schedule entirely with WATCH_TIERS="h:mb,h:mb" (e.g.
+# "0:1200" pins a single high threshold for a scaling-only relaunch where
+# a mediocre-window capture would be worse than no capture).
+if os.environ.get("WATCH_TIERS"):
+    TIERS = [
+        (float(h), float(mb))
+        for h, mb in (t.split(":") for t in os.environ["WATCH_TIERS"].split(","))
+    ]
 MIN_CAPTURE_GAP_S = 25 * 60
 
 
