@@ -61,6 +61,7 @@ def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
     checkpoint_dir: str = None,
+    stats: dict = None,
 ) -> DataFrame:
     """(doc_a, doc_b) edge list → (doc_id, cluster_id) assignment, where
     cluster_id = min doc_id of the component (deterministic, reproducible —
@@ -105,14 +106,24 @@ def connected_components(
         .distinct()
     )
 
+    rounds, converged = 0, False
     for _ in range(max_iterations):
+        rounds += 1
         after_large = _large_star(edges)
         after_small = _chk(_small_star(after_large))
         # converged when the edge set is a stable star forest
         changed = after_small.exceptAll(edges).limit(1).count()
         edges = after_small
         if changed == 0:
+            converged = True
             break
+    # star contraction is eager (per-round checkpoint + convergence count),
+    # so by return time the round count is final — callers pass a dict to
+    # surface it in run metrics ("CC rounds stay bounded" is a scale
+    # invariant worth recording, not inferring from stage wall-clock)
+    if stats is not None:
+        stats["cc_rounds"] = rounds
+        stats["cc_converged"] = converged
 
     # star forest: every u points at its root v (= component min)
     roots = edges.groupBy("u").agg(F.min("v").alias("root"))

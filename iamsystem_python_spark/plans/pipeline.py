@@ -153,11 +153,14 @@ class NearDupPipeline:
 
         # -- clusters ------------------------------------------------------------
         if not (resume and _stage_done(out_dir, "clusters")):
+            cc_stats: Dict[str, object] = {}
             clusters = cc.connected_components(
                 all_pairs.select("doc_a", "doc_b"),
                 checkpoint_dir=self.checkpoint_dir,
+                stats=cc_stats,
             )
             metrics["clusters"] = _write_stage(clusters, out_dir, "clusters", cfg)
+            metrics["clusters"].update(cc_stats)
         clusters = _read_stage(spark, out_dir, "clusters")
 
         # -- metrics ---------------------------------------------------------------

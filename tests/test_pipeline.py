@@ -146,6 +146,25 @@ def test_connected_components_basic(spark):
     }
 
 
+def test_connected_components_stats(spark):
+    """stats dict surfaces the round count and convergence flag; a 40-node
+    chain needs more rounds than a 2-edge graph but stays O(log n)."""
+    small = spark.createDataFrame([("a", "b"), ("b", "c")], ["doc_a", "doc_b"])
+    s1 = {}
+    connected_components(small, stats=s1).collect()
+    assert s1["cc_converged"] is True
+    assert 1 <= s1["cc_rounds"] <= 3
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)], ["doc_a", "doc_b"]
+    )
+    s2 = {}
+    connected_components(chain, stats=s2).collect()
+    assert s2["cc_converged"] is True
+    # alternating large/small star halves path lengths: log-bounded
+    assert s2["cc_rounds"] <= 8
+
+
 def test_connected_components_chain(spark):
     """Long chain converges (log-round large/small star)."""
     n = 40
