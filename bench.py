@@ -131,7 +131,7 @@ def make_spark(cpus: str):
     return builder.getOrCreate()
 
 
-def run_queries(spark, runs: int = 2) -> dict:
+def run_queries(spark, runs: int = 2) -> "tuple[dict, dict]":
     """Each query timed `runs` times, best kept — same host-variance
     rationale as the pipeline (see run_dedup_pipeline).
 

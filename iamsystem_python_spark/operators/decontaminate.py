@@ -147,9 +147,11 @@ def decontaminate(
     scored_input = (
         corpus if id_col == "doc_id" else corpus.withColumnRenamed(id_col, "doc_id")
     )
-    bad = (
-        contamination_scores(scored_input, ref, text_col, k, prefilter=prefilter)
-        .where(F.col("contamination") > max_contamination)
-        .select(F.col("doc_id").alias(id_col))
+    scores = contamination_scores(scored_input, ref, text_col, k, prefilter=prefilter)
+    bad = scores.where(F.col("contamination") > max_contamination).select(
+        F.col("doc_id").alias(id_col)
     )
-    return corpus.join(bad, id_col, "left_anti")
+    # re-tie: `scores` owns the bloom path's persisted grams frame; deriving
+    # `bad` does not extend that scope (scoped_cache docstring), so without
+    # this the grams cache is released before the anti-join materializes
+    return tie_cache(corpus.join(bad, id_col, "left_anti"), scores)

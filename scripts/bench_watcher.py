@@ -60,11 +60,12 @@ MIN_CAPTURE_GAP_S = 25 * 60
 
 
 def probe() -> float:
-    import numpy as np
+    # the SAME probe bench.py gates on — imported, not re-implemented, so
+    # the watcher's logged mb_s stays comparable with probe_gate values
+    # (bench.py imports pyspark lazily; importing it here is cheap)
+    from bench import host_fresh_page_mb_s
 
-    t0 = time.time()
-    np.arange(20_000_000, dtype=np.int64)
-    return round(160.0 / max(time.time() - t0, 1e-9), 1)
+    return host_fresh_page_mb_s()
 
 
 def log(event: dict) -> None:
@@ -78,10 +79,16 @@ def run_bench() -> dict | None:
     # the watcher already gated; bench re-checks briefly so a window that
     # decayed during process startup is still caught honestly
     env["SPARK_GRAFT_PROBE_WAIT_S"] = "90"
-    p = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
-    )
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        # a tiered-window capture can run many times slower than healthy;
+        # a blown budget must not kill the multi-hour watcher itself
+        log({"event": "bench_timeout", "timeout_s": 3600})
+        return None
     if p.returncode != 0:
         log({"event": "bench_failed", "stderr": p.stderr[-2000:]})
         return None
@@ -100,10 +107,14 @@ def run_scaling() -> dict | None:
         "  '/dev/shm/spark_graft_bench'), rounds=3);"
         "print(json.dumps(r))"
     )
-    p = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True, text=True, cwd=REPO, timeout=5400,
-    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, cwd=REPO, timeout=5400,
+        )
+    except subprocess.TimeoutExpired:
+        log({"event": "scaling_timeout", "timeout_s": 5400})
+        return None
     if p.returncode != 0:
         log({"event": "scaling_failed", "stderr": p.stderr[-2000:]})
         return None
@@ -150,11 +161,15 @@ def main() -> None:
             streak = 0
             # a tiered (sub-500) trigger only re-captures if this window is
             # meaningfully better than the one the current best saw, and not
-            # more often than every MIN_CAPTURE_GAP_S
+            # more often than every MIN_CAPTURE_GAP_S. A genuinely healthy
+            # trigger (mb >= the full gate) is ALWAYS worth it while best is
+            # still met=false — otherwise a mediocre tiered capture with
+            # probe_mb_s near 500 would permanently veto the met=true
+            # capture this watcher exists to produce.
             best_probe = (best or {}).get("probe_gate", {}).get("probe_mb_s", 0)
             worth_it = best is None or (
                 not best.get("probe_gate", {}).get("met")
-                and mb >= 1.3 * best_probe
+                and (mb >= MIN_MB_S or mb >= 1.3 * best_probe)
             )
             gap_ok = time.time() - last_capture_t >= MIN_CAPTURE_GAP_S or mb >= MIN_MB_S
             done_enough = (

@@ -124,10 +124,12 @@ def compare_clusters(dir_a: str, dir_b: str) -> dict:
     import duckdb
 
     con = duckdb.connect()
+    # EXCEPT ALL: multiplicity-exact — set-semantics EXCEPT plus count
+    # equality cannot distinguish {x,x,y} from {x,y,y}
     q = (
         "SELECT count(*) FROM ("
         f"  SELECT * FROM read_parquet('{dir_a}/clusters/*.parquet') "
-        f"  EXCEPT SELECT * FROM read_parquet('{dir_b}/clusters/*.parquet'))"
+        f"  EXCEPT ALL SELECT * FROM read_parquet('{dir_b}/clusters/*.parquet'))"
     )
     a_minus_b = con.execute(q).fetchone()[0]
     q2 = q.replace(dir_a, "__T__").replace(dir_b, dir_a).replace("__T__", dir_b)

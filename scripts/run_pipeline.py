@@ -56,6 +56,7 @@ def main() -> None:
         df = generate_corpus_df(spark, args.rows, seed=42, partitions=shuffle).drop(
             "cluster_id"
         )
+        n_rows = args.rows
     else:
         if not args.input:
             raise SystemExit("--input required unless --generate")
@@ -64,6 +65,20 @@ def main() -> None:
         # Iceberg when the runtime is on the classpath, parquet fallback —
         # sources/table.py is the single format seam
         df = read_code_table(spark, args.input, fmt=args.format)
+        n_rows = df.count()  # parquet/Iceberg footer metadata — cheap job
+
+    # Scale the session shuffle-partition count with the data unless the
+    # user pinned it (same policy as bench.py): the verification stage's
+    # shuffled hash joins build per-partition maps of wide shingle blobs,
+    # and a fixed count (e.g. the 200 default) at 10M+ rows means
+    # hundreds-of-MB unspillable build maps per task. High initial count +
+    # AQE coalescing is the idiomatic knob — small shuffles coalesce back
+    # toward the advisory size automatically.
+    if args.shuffle_partitions is None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(shuffle, min(1024, n_rows // 20_000))),
+        )
 
     clusters = NearDupPipeline(cfg, checkpoint_dir=args.checkpoint_dir).run(
         spark, df, args.output, resume=args.resume
