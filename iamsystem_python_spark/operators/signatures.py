@@ -31,6 +31,7 @@ from iamsystem_python_spark.functions.hashing import (
     TokenIdMap,
     band_hashes_batch,
     minhash_batch,
+    oph_minhash_batch,
     minhash_params,
     shingle_hashes,
     simhash_batch,
@@ -92,7 +93,11 @@ def add_signatures(
     k = cfg.shingle_k
     num_bands = cfg.num_bands
     tokenizer_name = cfg.tokenizer
-    a, b = minhash_params(cfg.num_perm, cfg.seed)
+    scheme = cfg.minhash_scheme
+    if scheme not in ("affine", "oph"):
+        raise KeyError(f"unknown minhash_scheme: {scheme!r}")
+    num_perm, seed = cfg.num_perm, cfg.seed
+    a, b = minhash_params(num_perm, seed)
     names = [f.name for f in (SIGNATURE_SCHEMA_FULL if include_shingles else SIGNATURE_SCHEMA).fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,9 +109,27 @@ def add_signatures(
             sh_lists = [
                 np.unique(shingle_hashes(idmap.ids(toks), k)) for toks in token_lists
             ]
-            # batched numpy: one linear pass per permutation over the whole
-            # Arrow batch (cache-friendly — see minhash_batch docstring)
-            sigs = minhash_batch(sh_lists, a, b)
+            # batched numpy: affine = one linear pass per permutation over
+            # the whole Arrow batch (cache-friendly — see minhash_batch
+            # docstring); oph = ONE pass total + bin minima + rotation
+            # densification (see oph_minhash_batch — the O(n) fast path)
+            if scheme == "oph":
+                sigs = oph_minhash_batch(sh_lists, num_perm, seed)
+                # STRIDE bins across bands: rotation densification fills
+                # ADJACENT bins with correlated values (borrows of the same
+                # local min), so a contiguous band slice over a densified
+                # run hashes equal across many docs → mega LSH buckets
+                # (measured: candidates stage 5× slower from hot band keys
+                # at 2M docs). Band i taking bins {i, i+B, i+2B, ...}
+                # breaks the adjacency — each band mixes maximally-distant
+                # bins. Deterministic pure reindex, applied identically to
+                # every doc, so collision probabilities per band row are
+                # unchanged.
+                sigs = np.ascontiguousarray(
+                    sigs[:, np.arange(num_perm).reshape(-1, num_bands).T.reshape(-1)]
+                )
+            else:
+                sigs = minhash_batch(sh_lists, a, b)
             bnds = band_hashes_batch(sigs, num_bands).view(np.int64)
             sims = simhash_batch(sh_lists)
             out = {
