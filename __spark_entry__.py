@@ -933,6 +933,45 @@ def q55_semantic_dedup(spark, sf_dir):
     return tie_cache(res.orderBy("id"), res)
 
 
+def q56_boilerplate_removal(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (C4's repeated-line filter
+    pointed at source code — license headers, generated-file preambles):
+    every 10-token window occurring in ≥2 DISTINCT documents is deleted
+    from ALL of them, first occurrence included — the global-drop
+    semantics that distinguish it from q51's keep-first dedup
+    (operators/dedup_text.boilerplate_removal; window segmenter because
+    the synthetic corpus has no line structure — on real code the 'lines'
+    segmenter applies the same plan to newline splits). Non-vacuous at
+    sf0.01: ~278 removed window occurrences. cleaned_sha value-checks the
+    rebuilt text against the oracle's string replay."""
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    docs = _t(spark, sf_dir, "documents")
+    out = boilerplate_removal(
+        docs, min_docs=2, segmenter="windows", chunk_tokens=10
+    )
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        F.sha2(F.col("cleaned_text"), 256).alias("cleaned_sha"),
+    ).orderBy("doc_id")
+
+
+def q57_containment_pairs(spark, sf_dir):
+    """n-gram containment pairs — |A∩B| / min(|A|,|B|) — the asymmetric
+    clone measure for the small-file-pasted-into-large-file shape that a
+    Jaccard gate structurally misses (vendored files, copied utility
+    modules). Blocked all-pairs with the q26 machinery
+    (operators/dedup_text.ngram_containment_pairs), lang blocking."""
+    from iamsystem_python_spark.operators.dedup_text import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, n=3, threshold=0.6, block_col="lang"
+    ).orderBy("doc_a", "doc_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -986,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_repo_similarity": q53_repo_similarity,
         "q54_unigram_logprob": q54_unigram_logprob,
         "q55_semantic_dedup": q55_semantic_dedup,
+        "q56_boilerplate_removal": q56_boilerplate_removal,
+        "q57_containment_pairs": q57_containment_pairs,
     }
 
 
@@ -1949,5 +1990,43 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 ORDER BY doc_id
+""",
+        "q56_boilerplate_removal": """
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS ord,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+  WHERE text IS NOT NULL
+), chunks AS (
+  SELECT doc_id,
+         CAST(floor(ord / 10) AS BIGINT) AS chunk_i,
+         string_agg(w, ' ' ORDER BY ord) AS chunk
+  FROM words GROUP BY doc_id, floor(ord / 10)
+), boiler AS (
+  SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sha256(coalesce(
+         string_agg(c.chunk, ' ' ORDER BY c.chunk_i) FILTER (WHERE b.chunk IS NULL), ''
+       )) AS cleaned_sha
+FROM chunks c LEFT JOIN boiler b USING (chunk)
+GROUP BY c.doc_id
+ORDER BY doc_id
+""",
+        "q57_containment_pairs": f"""
+WITH base AS (
+  SELECT lang AS blk, doc_id, {_shingle_sql(3)} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / least(len(a.sh), len(b.sh)), 6) AS containment
+FROM base a JOIN base b USING (blk)
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      / least(len(a.sh), len(b.sh)) >= 0.6
+ORDER BY doc_a, doc_b
 """,
     }

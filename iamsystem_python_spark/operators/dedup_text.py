@@ -408,6 +408,42 @@ def ngram_jaccard_pairs(
     readable from a QueryExecutionListener, no extra job). Use LSH
     (lsh_candidate_pairs) when blocks can be large; this operator is for
     bounded blocks."""
+    return _ngram_pairs(
+        df, text_col, n, threshold, block_col, max_block_size, measure="jaccard"
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    max_block_size: int = None,
+) -> DataFrame:
+    """Word n-gram *containment* pairs within blocks: score =
+    |A∩B| / min(|A|,|B|) (Broder's containment with the smaller set as
+    denominator). Catches the small-in-large shape Jaccard structurally
+    misses — a 100-line file pasted verbatim inside a 10k-line file has
+    containment 1.0 but Jaccard ≈ 0.01, so a Jaccard gate never fires.
+    That asymmetry is the common clone shape in source code (vendored
+    files, license headers, copied utility modules). Same blocked
+    all-pairs plan and quadratic backstop as :func:`ngram_jaccard_pairs`;
+    returns (doc_a, doc_b, containment)."""
+    return _ngram_pairs(
+        df, text_col, n, threshold, block_col, max_block_size, measure="containment"
+    )
+
+
+def _ngram_pairs(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    threshold: float,
+    block_col: str,
+    max_block_size,
+    measure: str,
+) -> DataFrame:
     tok = (
         df.select(
             "doc_id",
@@ -443,19 +479,19 @@ def ngram_jaccard_pairs(
     base = _cap_blocks(base, "blk", max_block_size, "ngram")
     a = base.select("blk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select("blk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    if measure == "jaccard":
+        score = inter / F.size(F.array_union("sh_a", "sh_b"))
+    elif measure == "containment":
+        score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        raise KeyError(f"unknown n-gram pair measure: {measure!r}")
     return (
         a.join(b, "blk")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn(measure, F.round(score, 6))
+        .where(F.col(measure) >= threshold)
+        .select("doc_a", "doc_b", measure)
     )
 
 
@@ -708,5 +744,101 @@ def chunk_dedup(
             F.size("__chunks").cast("long").alias("n_chunks"),
             F.coalesce(F.size("__dropped"), F.lit(0)).cast("long").alias("n_dropped"),
             F.array_join("__kept", delimiter).alias("cleaned_text"),
+        )
+    )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    segmenter: str = "lines",
+    chunk_tokens: int = 10,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the C4 "repeated line" filter,
+    pointed at source code): a segment that occurs in ``min_docs`` or more
+    DISTINCT documents is boilerplate — license headers, copyright
+    banners, generated-file preambles — and is removed from EVERY
+    document, first occurrence included. That global-drop rule is the
+    semantic difference from :func:`chunk_dedup`, which keeps the first
+    occurrence: dedup preserves one copy of duplicated content;
+    boilerplate removal deletes content whose cross-document frequency
+    marks it as template, not signal.
+
+    ``segmenter='lines'`` splits on newlines; the counting key is the
+    whitespace-trimmed line, and blank lines are never counted or removed
+    (they are formatting, and would trivially exceed any threshold).
+    ``segmenter='windows'`` reuses :func:`chunks_projection`'s row-local
+    ``chunk_tokens``-token windows for corpora without line structure.
+
+    100-TB shape (same skeleton as chunk_dedup): segmentation is row-local
+    (one projection, no word explode); the only corpus shuffles move
+    narrow (hash60, id, seg_i) rows — first a countDistinct(id) per hash
+    (map-side partial agg), then the drop-set groupBy; document text never
+    crosses a shuffle. The boilerplate set is document-frequency-bounded
+    (≤ distinct segments / min_docs) and joins back on the 60-bit hash as
+    a plain equi-join — no broadcast assumption needed. Degenerate skew (a
+    header in millions of files) concentrates only narrow rows.
+
+    Returns (id_col, n_segments, n_removed, cleaned_text): cleaned_text is
+    the document with boilerplate segments deleted, rejoined with the
+    original separator ('\\n' for lines, ``delimiter`` for windows).
+    """
+    if segmenter == "lines":
+        sep = "\n"
+        base = (
+            df.select(id_col, text_col)
+            .where(F.col(text_col).isNotNull())
+            .withColumn("__chunks", F.split(F.col(text_col), "\n", -1))
+        )
+        key = F.trim(F.col("__chunk"))
+    elif segmenter == "windows":
+        sep = delimiter
+        base = chunks_projection(df, id_col, text_col, chunk_tokens, delimiter)
+        key = F.col("__chunk")
+    else:
+        raise KeyError(f"unknown boilerplate segmenter: {segmenter!r}")
+
+    narrow = (
+        base.select(F.col(id_col), F.posexplode("__chunks").alias("__ci", "__chunk"))
+        .withColumn("__key", key)
+        .where(F.col("__key") != "")
+        .select(
+            id_col,
+            "__ci",
+            F.conv(F.substring(F.sha2(F.col("__key"), 256), 1, 15), 16, 10)
+            .cast("long")
+            .alias("__h"),
+        )
+    )
+    boiler = (
+        narrow.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= int(min_docs))
+        .select("__h")
+    )
+    dropped = (
+        narrow.join(boiler, "__h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__ci")).alias("__dropped"))
+    )
+    return (
+        base.join(dropped, on=id_col, how="left")
+        .withColumn(
+            "__kept",
+            F.when(F.col("__dropped").isNull(), F.col("__chunks")).otherwise(
+                F.filter(
+                    F.col("__chunks"),
+                    lambda c, i: ~F.array_contains(F.col("__dropped"), i),
+                )
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__chunks").cast("long").alias("n_segments"),
+            F.coalesce(F.size("__dropped"), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join("__kept", sep).alias("cleaned_text"),
         )
     )

@@ -1580,3 +1580,183 @@ def test_unigram_logprob_hand_oracle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_removal — corpus-frequency segment removal (C4 line filter)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_lines_hand_example(spark):
+    """License-header shape: the trimmed line key matches 'shared' and
+    'shared ' across docs; removal drops the ORIGINAL (untrimmed) line;
+    blank lines are never counted or removed."""
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    rows = [
+        (1, "HEADER\n  code a\nshared\nbody one"),
+        (2, "HEADER\ncode b\nshared \nbody two"),
+        (3, "HEADER\n\nbody three"),
+        (4, "unique only\nbody four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in boilerplate_removal(df, min_docs=2, segmenter="lines").collect()
+    }
+    assert got == {
+        1: (4, 2, "  code a\nbody one"),
+        2: (4, 2, "code b\nbody two"),
+        3: (3, 1, "\nbody three"),  # blank line survives
+        4: (2, 0, "unique only\nbody four"),
+    }
+
+
+def test_boilerplate_drops_all_occurrences_unlike_chunk_dedup(spark):
+    """The semantic contrast with chunk_dedup: dedup keeps the globally
+    first copy; boilerplate removal deletes every copy once the distinct
+    document frequency reaches min_docs."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        boilerplate_removal,
+        chunk_dedup,
+    )
+
+    rows = [(10, "dup dup dup"), (20, "dup dup dup"), (30, "solo text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dedup = {r.doc_id: r.cleaned_text for r in chunk_dedup(df, chunk_tokens=3).collect()}
+    boiler = {
+        r.doc_id: r.cleaned_text
+        for r in boilerplate_removal(
+            df, min_docs=2, segmenter="windows", chunk_tokens=3
+        ).collect()
+    }
+    assert dedup[10] == "dup dup dup" and dedup[20] == ""
+    assert boiler[10] == "" and boiler[20] == ""  # first copy gone too
+    assert boiler[30] == "solo text here"
+
+
+def test_boilerplate_windows_matches_brute_force(spark):
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),
+        (3, "a b c d e f g"),
+        (4, "q r"),
+    ]
+    k, min_docs = 3, 2
+    # brute: chunk each doc, count distinct docs per chunk, drop >= min_docs
+    chunks = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        chunks[doc_id] = [" ".join(ws[i * k : i * k + k]) for i in range((len(ws) + k - 1) // k)]
+    df_count = {}
+    for doc_id, cs in chunks.items():
+        for c in set(cs):
+            df_count[c] = df_count.get(c, 0) + 1
+    boiler = {c for c, n in df_count.items() if n >= min_docs}
+    expect = {
+        doc_id: (
+            len(cs),
+            sum(1 for c in cs if c in boiler),
+            " ".join(c for c in cs if c not in boiler),
+        )
+        for doc_id, cs in chunks.items()
+    }
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in boilerplate_removal(
+            df, min_docs=min_docs, segmenter="windows", chunk_tokens=k
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_boilerplate_within_doc_repeats_count_once(spark):
+    """A line repeated 5× inside ONE doc has document frequency 1 — not
+    boilerplate at min_docs=2 (countDistinct, not count)."""
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [(1, "x\nx\nx\nx\nx"), (2, "other\nlines")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.n_removed for r in boilerplate_removal(df, min_docs=2).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_boilerplate_null_text_and_bad_segmenter(spark):
+    import pytest as _pytest
+
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    df = spark.createDataFrame([(1, "a\nb"), (2, None)], ["doc_id", "text"])
+    assert [r.doc_id for r in boilerplate_removal(df, min_docs=2).collect()] == [1]
+    with _pytest.raises(KeyError):
+        boilerplate_removal(df, segmenter="sentences")
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment_pairs — small-in-large clone detection
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_small_in_large(spark):
+    """A short doc pasted verbatim inside a much larger doc: containment
+    1.0, Jaccard far below any useful gate — the asymmetric clone shape
+    (vendored file / license header) Jaccard structurally misses."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta"
+    filler = " ".join(f"w{i}" for i in range(120))
+    rows = [(1, small, "s"), (2, filler + " " + small, "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    cont = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.3).count() == 0
+
+
+def test_containment_matches_brute_force(spark):
+    from iamsystem_python_spark.operators.dedup_text import ngram_containment_pairs
+
+    rows = [
+        (1, "a b c d e", "s"),
+        (2, "a b c d x", "s"),
+        (3, "z z z", "s"),
+        (4, "a b c", "s"),
+    ]
+
+    def shingles(text, n=3):
+        ws = text.lower().split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    expect = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = shingles(rows[i][1]), shingles(rows[j][1])
+            c = round(len(a & b) / min(len(a), len(b)), 6)
+            if c >= 0.5:
+                expect.append((rows[i][0], rows[j][0], c))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = [
+        (r.doc_a, r.doc_b, r.containment)
+        for r in ngram_containment_pairs(df, n=3, threshold=0.5)
+        .orderBy("doc_a", "doc_b")
+        .collect()
+    ]
+    assert got == sorted(expect)
+
+
+def test_ngram_pairs_unknown_measure_raises(spark):
+    import pytest as _pytest
+
+    from iamsystem_python_spark.operators.dedup_text import _ngram_pairs
+
+    df = spark.createDataFrame([(1, "a b c", "s")], ["doc_id", "text", "source"])
+    with _pytest.raises(KeyError):
+        _ngram_pairs(df, "text", 3, 0.5, "source", None, measure="dice")
