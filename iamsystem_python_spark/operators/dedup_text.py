@@ -756,6 +756,7 @@ def boilerplate_removal(
     segmenter: str = "lines",
     chunk_tokens: int = 10,
     delimiter: str = " ",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Corpus-frequency boilerplate removal (the C4 "repeated line" filter,
     pointed at source code): a segment that occurs in ``min_docs`` or more
@@ -782,20 +783,27 @@ def boilerplate_removal(
     a plain equi-join — no broadcast assumption needed. Degenerate skew (a
     header in millions of files) concentrates only narrow rows.
 
-    Returns (id_col, n_segments, n_removed, cleaned_text): cleaned_text is
-    the document with boilerplate segments deleted, rejoined with the
-    original separator ('\\n' for lines, ``delimiter`` for windows).
+    Returns (id_col, *carry_cols, n_segments, n_removed, cleaned_text):
+    cleaned_text is the document with boilerplate segments deleted,
+    rejoined with the original separator ('\\n' for lines, ``delimiter``
+    for windows). ``carry_cols`` names doc-level columns projected through
+    the row-local base frame into the output — a passthrough, NOT a join
+    back onto the corpus (the signing-view consumer needs repo/path/sha
+    next to the cleaned text without a second text-bearing shuffle).
     """
+    carry = [c for c in carry_cols if c != id_col]
     if segmenter == "lines":
         sep = "\n"
         base = (
-            df.select(id_col, text_col)
+            df.select(id_col, *carry, text_col)
             .where(F.col(text_col).isNotNull())
             .withColumn("__chunks", F.split(F.col(text_col), "\n", -1))
         )
         key = F.trim(F.col("__chunk"))
     elif segmenter == "windows":
         sep = delimiter
+        if carry:
+            raise KeyError("carry_cols is only supported with segmenter='lines'")
         base = chunks_projection(df, id_col, text_col, chunk_tokens, delimiter)
         key = F.col("__chunk")
     else:
@@ -837,6 +845,7 @@ def boilerplate_removal(
         )
         .select(
             F.col(id_col),
+            *carry,
             F.size("__chunks").cast("long").alias("n_segments"),
             F.coalesce(F.size("__dropped"), F.lit(0)).cast("long").alias("n_removed"),
             F.array_join("__kept", sep).alias("cleaned_text"),

@@ -60,6 +60,51 @@ SIGNATURE_SCHEMA_FULL = T.StructType(
 )
 
 
+def signing_view(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The text view the signature stage signs when boilerplate-aware
+    signing is on (cfg.boilerplate_min_docs): lines occurring in ≥min_docs
+    DISTINCT documents are stripped from ``content`` BEFORE shingling, so
+    a shared license header or generated preamble cannot by itself push
+    two unrelated files over the Jaccard threshold. Returns the input
+    columns with ``content`` replaced by the stripped text plus two
+    precomputed columns ``add_signatures`` respects instead of rederiving:
+
+    - ``sha256`` = sha2(RAW content) — the per-row integrity invariant
+      stays bound to the bytes that entered the pipeline, never to the
+      stripped view;
+    - ``doc_id`` = sha2(repo||path||commit) — identical derivation to
+      add_signatures' own.
+
+    Transport: the strip is operators/dedup_text.boilerplate_removal with
+    carry_cols, so repo/path/commit/lang/sha ride the row-local base
+    projection — no join back onto the corpus, text still never crosses a
+    shuffle. cfg.boilerplate_min_docs=None returns df unchanged."""
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    if not cfg.boilerplate_min_docs:
+        return df
+    with_id = df.withColumn(
+        "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
+    ).withColumn("sha256", F.sha2(F.col("content"), 256))
+    stripped = boilerplate_removal(
+        with_id,
+        id_col="doc_id",
+        text_col="content",
+        min_docs=cfg.boilerplate_min_docs,
+        segmenter="lines",
+        carry_cols=("sha256", "repo", "path", "commit", "lang"),
+    )
+    return stripped.select(
+        "doc_id",
+        "sha256",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.col("cleaned_text").alias("content"),
+    )
+
+
 def _get_tokenizer(name: str):
     from iamsystem_python_spark.core.tokenize import (
         code_tokenizer,
@@ -150,9 +195,17 @@ def add_signatures(
                 out["minhash"] = list(sigs.view(np.int64))
             yield pd.DataFrame(out, columns=names)
 
-    prepared = df.withColumn(
-        "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
-    ).withColumn("sha256", F.sha2(F.col("content"), 256))
+    # signing_view supplies pre-stripped content WITH doc_id and the raw
+    # content's sha256 already attached — recomputing sha2 here would bind
+    # the integrity hash to the stripped view and break the per-row
+    # invariant, so existing columns win.
+    prepared = df
+    if "doc_id" not in prepared.columns:
+        prepared = prepared.withColumn(
+            "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
+        )
+    if "sha256" not in prepared.columns:
+        prepared = prepared.withColumn("sha256", F.sha2(F.col("content"), 256))
     # The kernel is per-ROW (no key grouping), so input-split skew is the
     # reader's problem, not a key-distribution problem: only force a shuffle
     # when the source is too coarsely split to keep every core busy.

@@ -3,6 +3,9 @@
 Stage graph (north_rule):
 
   input(repo,path,commit,lang,content)
+    → signing view   (optional, cfg.boilerplate_min_docs: strip lines in
+                      ≥min_docs distinct docs before shingling; sha256
+                      stays bound to raw content — signatures.signing_view)
     → signatures     (mapInPandas kernel: shingles/MinHash/bands/SimHash)
     → exact_groups   (sha256 groupBy)
     → candidates     (LSH band self-join ∪ SimHash block self-join,
@@ -99,9 +102,16 @@ class NearDupPipeline:
         os.makedirs(out_dir, exist_ok=True)
         metrics: Dict[str, Dict] = {}
 
+        # -- signing view (optional boilerplate-aware strip) -------------------
+        # cfg.boilerplate_min_docs=None: src IS df (no-op). Otherwise every
+        # text consumer downstream — the signature kernel AND the Jaccard
+        # verification recompute — sees the stripped view, while sha256 /
+        # exact groups stay bound to raw content (signatures.signing_view).
+        src = signatures.signing_view(df, cfg)
+
         # -- signatures ------------------------------------------------------
         if not (resume and _stage_done(out_dir, "signatures")):
-            sig = signatures.add_signatures(df, cfg)
+            sig = signatures.add_signatures(src, cfg)
             metrics["signatures"] = _write_stage(sig, out_dir, "signatures", cfg)
         sig = _read_stage(spark, out_dir, "signatures")
 
@@ -123,8 +133,16 @@ class NearDupPipeline:
 
         # -- verified pairs ----------------------------------------------------
         if not (resume and _stage_done(out_dir, "verified_pairs")):
-            docs_with_id = df.withColumn(
-                "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
+            # verification must shingle the SAME view the signatures signed
+            # (src): candidates selected on stripped text, verified on
+            # stripped text — otherwise a stripped-candidate pair could be
+            # re-inflated by its header at the exact-Jaccard gate.
+            docs_with_id = (
+                src
+                if "doc_id" in src.columns
+                else src.withColumn(
+                    "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
+                )
             )
             verified = dedup.verify_pairs_recompute(cand, docs_with_id, cfg)
             metrics["verified_pairs"] = _write_stage(

@@ -37,6 +37,17 @@ def main() -> None:
         "iterative connected-components stage; default uses localCheckpoint "
         "(executor-memory-resident — fine single-node, not preemption-safe)",
     )
+    ap.add_argument(
+        "--strip-boilerplate",
+        type=int,
+        default=None,
+        metavar="MIN_DOCS",
+        help="boilerplate-aware signing: strip lines occurring in >= MIN_DOCS "
+        "distinct documents (license headers, generated preambles) from the "
+        "text the signature kernel and the Jaccard verification see; the "
+        "per-row sha256 invariant and exact-dup groups stay bound to raw "
+        "content. Off by default.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,7 +61,10 @@ def main() -> None:
     shuffle = args.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    cfg = PipelineConfig(shuffle_partitions=shuffle)
+    cfg = PipelineConfig(
+        shuffle_partitions=shuffle,
+        boilerplate_min_docs=args.strip_boilerplate,
+    )
 
     if args.generate:
         df = generate_corpus_df(spark, args.rows, seed=42, partitions=shuffle).drop(

@@ -313,3 +313,132 @@ def test_block_cap_bounds_quadratic_variants(spark):
     capped_v = cosine_neardup_pairs(vdf, threshold=0.99, max_block_size=10).collect()
     assert open_v >= 40 * 39 // 2
     assert {(r.id_a, r.id_b) for r in capped_v} == {("w1", "w2")}
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-aware signing (cfg.boilerplate_min_docs → signatures.signing_view)
+# ---------------------------------------------------------------------------
+
+_BP_HEADER = "\n".join(
+    f"// license clause {i} of the acme corp public header text" for i in range(50)
+)
+
+
+def _bp_corpus(spark):
+    """5-doc input_hint-shaped corpus: a/b/e share a 50-line header over
+    unrelated 3-line bodies (raw shingle Jaccard ≈ 0.87 — a false clone
+    pair created purely by the header); c/d are 20-line bodies differing
+    in one line (true near-dup, J ≈ 0.84) whose shared lines live in only
+    TWO docs, i.e. below min_docs=3, so stripping must not touch them."""
+    def body(tag, n):
+        return "\n".join(
+            f"def fn_{tag}_{i}(): return value_{tag} + offset_{i} * scale_{tag}"
+            for i in range(n)
+        )
+
+    rows = [
+        ("ra", "a.py", "c0", "py", _BP_HEADER + "\n" + body("aa", 3)),
+        ("rb", "b.py", "c0", "py", _BP_HEADER + "\n" + body("bb", 3)),
+        ("re", "e.py", "c0", "py", _BP_HEADER + "\n" + body("ee", 3)),
+        ("rc", "c.py", "c0", "py", body("cc", 20)),
+        ("rd", "d.py", "c0", "py",
+         body("cc", 19) + "\ndef fn_dd_x(): return other_value * 3"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def _bp_doc_id(repo, path, commit="c0"):
+    import hashlib
+
+    return hashlib.sha256((repo + path + commit).encode()).hexdigest()
+
+
+def test_signing_view_strips_header_keeps_raw_sha(spark):
+    """signing_view: header lines (≥min_docs distinct docs) are stripped from
+    content, but sha256 stays bound to the RAW bytes; doc_id matches the
+    pipeline derivation; off (None) is the identity."""
+    import hashlib
+
+    df = _bp_corpus(spark)
+    cfg = PipelineConfig(shuffle_partitions=4, boilerplate_min_docs=3)
+    out = {r.path: r for r in signatures.signing_view(df, cfg).collect()}
+    raw = {r.path: r.content for r in df.collect()}
+
+    for path in ("a.py", "b.py", "e.py"):
+        assert _BP_HEADER.splitlines()[0] not in out[path].content
+        assert out[path].content == raw[path][len(_BP_HEADER) + 1:]
+    for path in ("c.py", "d.py"):  # shared in only 2 docs < min_docs=3 → kept
+        assert out[path].content == raw[path]
+    for path, r in out.items():
+        assert r.sha256 == hashlib.sha256(raw[path].encode()).hexdigest()
+        assert r.doc_id == _bp_doc_id(r.repo, path)
+
+    off = signatures.signing_view(df, PipelineConfig(shuffle_partitions=4))
+    assert off is df
+
+
+def test_boilerplate_signing_pipeline_end_to_end(spark, tmp_path):
+    """Flagship pipeline with boilerplate_min_docs: the header-only false
+    pairs (a,b,e) disappear, the true near-dup (c,d) survives, and the
+    signatures stage's sha256 still matches a fresh hash of RAW content.
+    Control: with stripping off the header pairs ARE emitted (proving the
+    test would catch a no-op signing view)."""
+    df = _bp_corpus(spark)
+    a, b, e = (_bp_doc_id("ra", "a.py"), _bp_doc_id("rb", "b.py"),
+               _bp_doc_id("re", "e.py"))
+    c, d = _bp_doc_id("rc", "c.py"), _bp_doc_id("rd", "d.py")
+    header_pairs = {tuple(sorted(p)) for p in [(a, b), (a, e), (b, e)]}
+
+    raw_out = str(tmp_path / "raw")
+    NearDupPipeline(PipelineConfig(shuffle_partitions=4)).run(spark, df, raw_out)
+    raw_pairs = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in spark.read.parquet(f"{raw_out}/all_pairs").collect()
+    }
+    assert header_pairs <= raw_pairs  # control: header alone fakes clones
+
+    cfg = PipelineConfig(shuffle_partitions=4, boilerplate_min_docs=3)
+    out = str(tmp_path / "stripped")
+    NearDupPipeline(cfg).run(spark, df, out)
+    pairs = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in spark.read.parquet(f"{out}/all_pairs").collect()
+    }
+    assert (c, d) in pairs or (d, c) in pairs
+    assert not (header_pairs & pairs)
+
+    # integrity invariant: stage sha256 == fresh sha of RAW content
+    sig = spark.read.parquet(f"{out}/signatures")
+    fresh = df.select(
+        F.sha2(F.concat("repo", "path", "commit"), 256).alias("doc_id"),
+        F.sha2("content", 256).alias("sha_fresh"),
+    )
+    assert sig.join(fresh, "doc_id").where(
+        F.col("sha256") != F.col("sha_fresh")
+    ).count() == 0
+
+
+def test_boilerplate_carry_cols_lines_only(spark):
+    """carry_cols is a row-local projection passthrough — only defined for
+    the lines segmenter (windows re-derives its own base frame)."""
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [("d1", "x\ny", "m1"), ("d2", "x\nz", "m2")],
+        ["doc_id", "text", "meta"],
+    )
+    got = {
+        r.doc_id: r
+        for r in boilerplate_removal(
+            df, min_docs=2, segmenter="lines", carry_cols=("meta",)
+        ).collect()
+    }
+    assert got["d1"].meta == "m1" and got["d2"].meta == "m2"
+    assert got["d1"].cleaned_text == "y" and got["d2"].cleaned_text == "z"
+
+    with pytest.raises(KeyError):
+        boilerplate_removal(
+            df, min_docs=2, segmenter="windows", carry_cols=("meta",)
+        )
