@@ -291,3 +291,127 @@ def test_brat_sentence_break():
     assert annots[0].to_string(text=True) == (
         "cancer du\\npoumon\t0 16\tcancer du poumon\tcancer du\\npoumon"
     )
+
+
+# ---------------------------------------------------------------------------
+# documentation examples — reference tests/test_doc.py BratDocTest (the last
+# unported tail of the 1,008-LoC doc corpus; VERDICT r03 task 8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def _reset_brat_formatter():
+    """Mirror BratDocTest.tearDown (test_doc.py:436-440): the formatter is
+    class-level state, restore DEFAULT after each example."""
+    from iamsystem_python_spark.core.matcher import EBratFormatters
+    from iamsystem_python_spark.core.matcher import Annotation
+
+    yield
+    Annotation.set_brat_formatter(brat_formatter=EBratFormatters.DEFAULT)
+
+
+def test_doc_brat_document(_reset_brat_formatter):
+    """test_doc.py:442-465: discontinuous T-line + IAMSYSTEM note."""
+    from iamsystem_python_spark.core.keywords import Entity
+
+    ent1 = Entity(label="North America", kb_id="NA")
+    matcher = Matcher.build(keywords=[ent1], w=3)
+    annots = matcher.annot_text(text="North and South America")
+    brat_document = BratDocument()
+    brat_document.add_annots(annots, brat_type="CONTINENT", keyword_attr=None)
+    assert str(brat_document) == (
+        "T1\tCONTINENT 0 5;16 23\tNorth America\n"
+        "#1\tIAMSYSTEM T1\tNorth America (NA)"
+    )
+
+
+def test_doc_brat_doc_keyword(_reset_brat_formatter):
+    """test_doc.py:466-494: brat_type read off a custom keyword attr."""
+    from iamsystem_python_spark.core.keywords import Entity as BaseEntity
+
+    class Entity(BaseEntity):
+        def __init__(self, label: str, code: str, brat_type: str):
+            super().__init__(label, code)
+            self.brat_type = brat_type
+
+    ent1 = Entity(label="North America", code="NA", brat_type="CONTINENT")
+    matcher = Matcher.build(keywords=[ent1], w=3)
+    annots = matcher.annot_text(text="North and South America")
+    brat_document = BratDocument()
+    brat_document.add_annots(annots=annots, keyword_attr="brat_type")
+    assert str(brat_document) == (
+        "T1\tCONTINENT 0 5;16 23\tNorth America\n"
+        "#1\tIAMSYSTEM T1\tNorth America (NA)"
+    )
+
+
+def test_doc_brat_writer(_reset_brat_formatter, tmp_path):
+    """test_doc.py:495-526: saveEntities + saveNotes through a file."""
+    from iamsystem_python_spark.core.keywords import Entity
+
+    ent1 = Entity(label="North America", kb_id="NA")
+    matcher = Matcher.build(keywords=[ent1], w=3)
+    annots = matcher.annot_text(text="North and South America")
+    doc = BratDocument()
+    doc.add_annots(annots=annots, brat_type="CONTINENT")
+    filename = str(tmp_path / "docs.ann")
+    with open(filename, "w") as f:
+        BratWriter.saveEntities(brat_entities=doc.get_entities(), write=f.write)
+        BratWriter.saveNotes(brat_notes=doc.get_notes(), write=f.write)
+    with open(filename) as f:
+        lines = f.readlines()
+    assert lines[0] == "T1\tCONTINENT 0 5;16 23\tNorth America\n"
+    assert lines[1] == "#1\tIAMSYSTEM T1\tNorth America (NA)\n"
+
+
+def test_doc_brat_default_formatter(_reset_brat_formatter):
+    """test_doc.py:527-539."""
+    matcher = Matcher.build(keywords=["North America"])
+    annots = matcher.annot_text(text="North America")
+    assert str(annots[0]) == "North America\t0 13\tNorth America"
+
+
+def test_doc_brat_individual_formatter(_reset_brat_formatter):
+    """test_doc.py:540-557: TOKEN formatter splits per-token offsets."""
+    from iamsystem_python_spark.core.matcher import EBratFormatters
+    from iamsystem_python_spark.core.matcher import Annotation
+
+    Annotation.set_brat_formatter(brat_formatter=EBratFormatters.TOKEN)
+    matcher = Matcher.build(keywords=["North America"])
+    annots = matcher.annot_text(text="North America")
+    assert str(annots[0]) == "North America\t0 5;6 13\tNorth America"
+
+
+def test_doc_brat_tokenstop_formatter(_reset_brat_formatter):
+    """test_doc.py:558-583: CONTINUOUS_SEQ_STOP folds interior stopwords
+    back into the span; formatter change affects EXISTING annotations
+    (class-level state, like the reference)."""
+    from iamsystem_python_spark.core.matcher import EBratFormatters
+    from iamsystem_python_spark.core.keywords import Entity
+    from iamsystem_python_spark.core.matcher import Annotation
+
+    matcher = Matcher.build(
+        keywords=[Entity(label="cancer de prostate", kb_id="C61")],
+        stopwords=["de", "la"],
+    )
+    annots = matcher.annot_text(text="cancer de la prostate")
+    assert str(annots[0]) == "cancer prostate\t0 6;13 21\tcancer de prostate (C61)"
+    Annotation.set_brat_formatter(
+        brat_formatter=EBratFormatters.CONTINUOUS_SEQ_STOP
+    )
+    assert str(annots[0]) == (
+        "cancer de la prostate\t0 21\tcancer de prostate (C61)"
+    )
+
+
+def test_doc_brat_span_formatter(_reset_brat_formatter):
+    """test_doc.py:584-606: SPAN formatter emits start..end of the whole
+    annotation including non-matched interior text."""
+    from iamsystem_python_spark.core.matcher import EBratFormatters
+    from iamsystem_python_spark.core.matcher import Annotation
+
+    matcher = Matcher.build(keywords=["North America"], stopwords=["and"], w=2)
+    annots = matcher.annot_text(text="North and South America")
+    assert str(annots[0]) == "North America\t0 5;16 23\tNorth America"
+    Annotation.set_brat_formatter(brat_formatter=EBratFormatters.SPAN)
+    assert str(annots[0]) == "North and South America\t0 23\tNorth America"
