@@ -972,6 +972,45 @@ def q57_containment_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q58_incremental_clusters(spark, sf_dir):
+    """Incremental cluster-store maintenance — the companion to q52: docs
+    with doc_id % 3 == 0 are the NEW ingest batch; the store is yesterday's
+    connected_components over the historical (old-old) near-dup pairs.
+    incremental_connected_components (operators/cc.py) contracts the
+    batch's edges onto the store's representatives, runs star-contraction
+    on the DELTA graph only (O(|batch edges|) nodes), and relabels the
+    store via a broadcast rep→root map — the 10^12-row store is streamed
+    through two BroadcastHashJoins, never shuffled, never re-clustered.
+    Equal to full CC over old∪new edges by the contraction argument; the
+    oracle replays full-corpus pairs + 5-round min-label propagation."""
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+    from iamsystem_python_spark.operators.cc import (
+        connected_components,
+        incremental_connected_components,
+    )
+    from iamsystem_python_spark.operators.dedup_text import (
+        build_minhash_index,
+        incremental_lsh_pairs_sql,
+        minhash_lsh_pairs_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    new = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    old_pairs = minhash_lsh_pairs_sql(
+        old, k=3, num_perm=16, num_bands=8, threshold=0.5
+    )
+    store = connected_components(old_pairs.select("doc_a", "doc_b"))
+    index = build_minhash_index(old, k=3, num_perm=16)
+    new_pairs = incremental_lsh_pairs_sql(
+        new, index, k=3, num_perm=16, num_bands=8, threshold=0.5
+    )
+    updated = incremental_connected_components(
+        store, new_pairs.select("doc_a", "doc_b")
+    )
+    return tie_cache(updated.orderBy("doc_id"), updated)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1027,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_semantic_dedup": q55_semantic_dedup,
         "q56_boilerplate_removal": q56_boilerplate_removal,
         "q57_containment_pairs": q57_containment_pairs,
+        "q58_incremental_clusters": q58_incremental_clusters,
     }
 
 
@@ -1203,6 +1243,45 @@ sym AS (
 SELECT h1.doc_a AS doc_id, least(h1.m1, coalesce(h2.m2, h1.m1)) AS cluster_id
 FROM hop1 h1 LEFT JOIN hop2 h2 ON h1.doc_a = h2.doc_a
 ORDER BY doc_id
+"""
+
+
+def _label_prop_clusters_oracle_sql(
+    k: int, num_perm: int, num_bands: int, threshold: float, rounds: int = 5
+) -> str:
+    """q58 oracle: FULL-corpus near-dup pairs (same CTEs as q25's oracle)
+    followed by `rounds` rounds of min-label propagation — exact CC for any
+    component whose eccentricity from its minimum node is ≤ rounds (q27's
+    2-hop variant assumes near-cliques; this one tolerates chains formed by
+    the batch bridging several old clusters). The engine path being
+    incremental is exactly what the value-check proves: contraction +
+    delta-CC + broadcast relabel must equal the from-scratch clustering."""
+    pairs = _minhash_oracle_sql(k, num_perm, num_bands, threshold).replace(
+        "ORDER BY doc_a, doc_b", ""
+    )
+    prop = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        cur = f"l{i}"
+        prop.append(
+            f"""{cur} AS (
+  SELECT s.u AS u, least(min(p.lbl), min(q.lbl)) AS lbl
+  FROM sym s JOIN {prev} p ON p.u = s.u JOIN {prev} q ON q.u = s.v
+  GROUP BY s.u
+)"""
+        )
+        prev = cur
+    prop_sql = ",\n".join(prop)
+    return f"""
+WITH pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM sym),
+{prop_sql}
+SELECT u AS doc_id, lbl AS cluster_id FROM {prev} ORDER BY doc_id
 """
 
 
@@ -1807,6 +1886,7 @@ WHERE a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """,
         "q27_neardup_clusters": _clusters_oracle_sql(3, 16, 8, 0.5),
+        "q58_incremental_clusters": _label_prop_clusters_oracle_sql(3, 16, 8, 0.5),
         "q28_simhash_pairs": _simhash_oracle_sql(3, 32, 3),
         "q30_ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

@@ -136,3 +136,89 @@ def connected_components(
     ).select("doc_id", F.col("root"))
     cluster_min = labeled.groupBy("root").agg(F.min("doc_id").alias("cluster_id"))
     return labeled.join(cluster_min, "root").select("doc_id", "cluster_id")
+
+
+def incremental_connected_components(
+    store: DataFrame,
+    new_pairs: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_dir: str = None,
+    stats: dict = None,
+) -> DataFrame:
+    """Maintain a persisted cluster assignment under a new batch of edges —
+    the cluster-store companion to ``dedup_text.incremental_lsh_pairs_sql``
+    (the production nightly-ingest shape at 10^12 files).
+
+    ``store`` is yesterday's ``connected_components`` output
+    (doc_id, cluster_id), where cluster_id = min doc_id of the component —
+    i.e. the store IS a depth-1 star forest. ``new_pairs`` (doc_a, doc_b)
+    is the batch's edge list (new-new and new-old). Returns the UPDATED
+    full assignment, equal to ``connected_components(old_edges ∪
+    new_pairs)`` — proved by the contraction argument: collapsing each old
+    component to its representative preserves the component structure of
+    the union graph, and because every representative is its component's
+    minimum, the contracted graph's component minima equal the merged
+    graph's minima.
+
+    Scale shape (the whole point — never re-cluster history):
+      * the iterative star-contraction runs ONLY on the contracted delta
+        graph, O(|batch edges|) nodes — independent of corpus size;
+      * the store is scanned exactly twice, both times streamed through a
+        BroadcastHashJoin (broadcast endpoint set → per-endpoint reps;
+        broadcast rep→root map → relabel), so the 10^12-row store is never
+        shuffled and old edges are never re-read;
+      * docs absent from the store (previously unclustered old docs, or
+        brand-new batch docs) contract to themselves and are assigned now.
+
+    Doc ids must be unique corpus-wide (same contract as the incremental
+    LSH index: re-ingests delete-then-insert upstream).
+    """
+    endpoints = (
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # one streamed pass over the store: reps for the (small) endpoint set.
+    # Consumed three times below (two contraction sides + the anti-join),
+    # and recomputing would rescan the store — persist, scoped to the
+    # returned frame (tie_cache at the bottom).
+    known = store.join(F.broadcast(endpoints), "doc_id").persist()
+    rep_a = known.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("rep_a")
+    )
+    rep_b = known.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("rep_b")
+    )
+    contracted = (
+        new_pairs.join(F.broadcast(rep_a), "doc_a", "left")
+        .join(F.broadcast(rep_b), "doc_b", "left")
+        .select(
+            F.coalesce("rep_a", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("rep_b", F.col("doc_b")).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))  # intra-cluster edges: no-op
+        .distinct()
+    )
+    # exact CC on the delta graph only; node set = {touched old reps} ∪
+    # {docs not in the store}; labels = min doc_id over the MERGED component
+    delta = connected_components(contracted, max_iterations, checkpoint_dir, stats)
+
+    # relabel the store: only clusters whose rep was rehomed change; the
+    # map is ≤ |endpoints| rows → broadcast, store streamed, no shuffle
+    relabel = delta.select(
+        F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("new_cluster")
+    )
+    updated_old = store.join(F.broadcast(relabel), "cluster_id", "left").select(
+        "doc_id", F.coalesce("new_cluster", F.col("cluster_id")).alias("cluster_id")
+    )
+    # endpoints the store did not know: previously-unclustered old docs and
+    # brand-new docs — every one is a contracted-graph node, so delta
+    # assigns it (coalesce is unreachable belt-and-braces for isolated ids)
+    new_docs = endpoints.join(known.select("doc_id"), "doc_id", "left_anti")
+    new_assign = new_docs.join(F.broadcast(delta), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    out = updated_old.unionByName(new_assign)
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+
+    return tie_cache(out, known)

@@ -231,6 +231,68 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert ckpt_files, "no checkpoint data written under checkpoint_dir"
 
 
+def _cc_set(df):
+    return {(r.doc_id, r.cluster_id) for r in df.collect()}
+
+
+def test_incremental_cc_equals_full_cc(spark):
+    """incremental_connected_components(store, new) ≡ CC(old ∪ new) on a
+    graph exercising every delta shape at once: a two-cluster merge via a
+    bridging new doc, a new-new only cluster, a previously-unclustered old
+    doc joining, and an untouched cluster."""
+    from iamsystem_python_spark.operators.cc import incremental_connected_components
+
+    old = [("b", "c"), ("c", "d"), ("p", "q"), ("x", "y")]  # {b,c,d} {p,q} {x,y}
+    # n1 bridges {b,c,d} and {p,q}; n2-n3 is new-new; "u" is an old doc the
+    # store never saw (no prior pairs) joining {x,y} — x,y stays... no: it
+    # joins, so the only untouched cluster is none → add one: {s,t}
+    old.append(("s", "t"))
+    new = [("d", "n1"), ("n1", "p"), ("n2", "n3"), ("u", "x")]
+    old_df = spark.createDataFrame(old, ["doc_a", "doc_b"])
+    new_df = spark.createDataFrame(new, ["doc_a", "doc_b"])
+    store = connected_components(old_df)
+    got = _cc_set(incremental_connected_components(store, new_df))
+    want = _cc_set(connected_components(old_df.union(new_df)))
+    assert got == want
+    # untouched cluster kept its exact label
+    assert ("s", "s") in got and ("t", "s") in got
+
+
+def test_incremental_cc_new_min_relabels_cluster(spark):
+    """A new doc whose id sorts below the old cluster minimum becomes the
+    merged cluster's label — min semantics hold across the contraction."""
+    from iamsystem_python_spark.operators.cc import incremental_connected_components
+
+    old_df = spark.createDataFrame([("m", "n")], ["doc_a", "doc_b"])
+    store = connected_components(old_df)
+    assert _cc_set(store) == {("m", "m"), ("n", "m")}
+    new_df = spark.createDataFrame([("a0", "n")], ["doc_a", "doc_b"])
+    got = _cc_set(incremental_connected_components(store, new_df))
+    assert got == {("m", "a0"), ("n", "a0"), ("a0", "a0")}
+
+
+def test_incremental_cc_delta_stats_and_chain_merge(spark):
+    """Chain of K old clusters merged by K-1 new bridge edges: the
+    iterative contraction runs on the delta graph only (rounds stay
+    log-bounded in the DELTA size) and every member lands on the global
+    min label."""
+    from iamsystem_python_spark.operators.cc import incremental_connected_components
+
+    k = 12
+    old = [(f"c{i:02d}a", f"c{i:02d}b") for i in range(k)]
+    new = [(f"c{i:02d}b", f"c{i+1:02d}a") for i in range(k - 1)]
+    store = connected_components(spark.createDataFrame(old, ["doc_a", "doc_b"]))
+    stats = {}
+    got = _cc_set(
+        incremental_connected_components(
+            store, spark.createDataFrame(new, ["doc_a", "doc_b"]), stats=stats
+        )
+    )
+    assert got == {(f"c{i:02d}{s}", "c00a") for i in range(k) for s in "ab"}
+    assert stats["cc_converged"] is True
+    assert stats["cc_rounds"] <= 8
+
+
 def test_stage_manifest_counts_without_reread(spark, tmp_path):
     """_write_stage gets the row count from an Observation on the write job
     itself (VERDICT r1 #5): the manifest count is right, and the whole stage
