@@ -1011,6 +1011,24 @@ def q58_incremental_clusters(spark, sf_dir):
     return tie_cache(updated.orderBy("doc_id"), updated)
 
 
+def q59_bbit_minhash_pairs(spark, sf_dir):
+    """1-bit minwise hashing (Li–König): LSH band candidates estimated
+    WITHOUT text or shingle sets — the similarity join ships one packed
+    int64 per doc (64 sig low bits), est_jaccard = max(0,
+    2·agreement/64 − 1). The 10^12-file storage/bandwidth profile: 8
+    bytes/doc in the estimation path vs the full variant's per-doc shingle
+    set. Oracle replays the identical sig computation and per-lane low-bit
+    agreement in DuckDB (operators/dedup_text.bbit_minhash_pairs_sql)."""
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+    from iamsystem_python_spark.operators.dedup_text import bbit_minhash_pairs_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = bbit_minhash_pairs_sql(
+        docs, k=3, num_perm=64, num_bands=16, threshold=0.5
+    )
+    return tie_cache(pairs.orderBy("doc_a", "doc_b"), pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1067,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_boilerplate_removal": q56_boilerplate_removal,
         "q57_containment_pairs": q57_containment_pairs,
         "q58_incremental_clusters": q58_incremental_clusters,
+        "q59_bbit_minhash_pairs": q59_bbit_minhash_pairs,
     }
 
 
@@ -1129,6 +1148,61 @@ JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
 WHERE len(list_intersect(sa.h, sb.h))::DOUBLE
       / len(list_distinct(list_concat(sa.h, sb.h))) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _bbit_minhash_oracle_sql(
+    k: int, num_perm: int, num_bands: int, threshold: float
+) -> str:
+    """q59 oracle: same shingle-hash/sig/band CTEs as the q25 oracle, but
+    the pair score is the Li–König b=1 estimate — per-lane low-bit
+    agreement replayed directly (the engine packs lanes into one int64 and
+    XOR/popcounts; semantically identical, and the value-hash compares the
+    resulting est_jaccard)."""
+    from iamsystem_python_spark.functions.sqlhash import P, perm_params
+
+    r = num_perm // num_bands
+    sig_exprs = ",\n    ".join(
+        f"list_aggregate(list_transform(h, x -> ({a} * (x % {P}) + {b}) % {P}), 'min') AS sig_{i}"
+        for i, (a, b) in enumerate(perm_params(num_perm, 42))
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, concat_ws(',', '{b}', {cols}) AS band_key FROM sig".format(
+            b=band,
+            cols=", ".join(f"sig_{band * r + j}::VARCHAR" for j in range(r)),
+        )
+        for band in range(num_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} % 2 = sb.sig_{i} % 2 THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    est = f"greatest(0.0, 2.0 * ({agree})::DOUBLE / {num_perm} - 1.0)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh, s ->
+           (('0x' || substring(sha256(s), 1, 15))::UBIGINT)::BIGINT)) AS h
+  FROM base
+), sig AS (
+  SELECT doc_id, h,
+    {sig_exprs}
+  FROM hashed
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, round({est}, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE {est} >= {threshold}
 ORDER BY doc_a, doc_b
 """
 
@@ -1887,6 +1961,7 @@ ORDER BY doc_a, doc_b
 """,
         "q27_neardup_clusters": _clusters_oracle_sql(3, 16, 8, 0.5),
         "q58_incremental_clusters": _label_prop_clusters_oracle_sql(3, 16, 8, 0.5),
+        "q59_bbit_minhash_pairs": _bbit_minhash_oracle_sql(3, 64, 16, 0.5),
         "q28_simhash_pairs": _simhash_oracle_sql(3, 32, 3),
         "q30_ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

@@ -314,6 +314,89 @@ def incremental_lsh_pairs_sql(
     return tie_cache(out, bands_new)
 
 
+def compress_minhash_index_bbit(index: DataFrame, num_perm: int) -> DataFrame:
+    """1-bit compression of a MinHash signature store (Li & König, "b-Bit
+    Minwise Hashing", WWW 2010 — public spec, b=1): bit i of ``bbit`` is
+    sig_i's low-order bit, so 64 permutations pack into ONE int64 per doc —
+    a 64× narrower store than the sig columns (and no hset), which is what
+    ships through every estimation join at 10^12-file scale. Estimator:
+    for b=1, P(bit_i agrees) = (1+J)/2, hence J ≈ 2·agreement/num_perm − 1.
+
+    Packing is bitwiseOR of shifted lanes (never addition — lane 63 is the
+    sign bit and ANSI-mode long addition would overflow-throw)."""
+    if num_perm > 64:
+        raise ValueError("1-bit packing supports num_perm <= 64 (one int64 word)")
+    import functools
+
+    lanes = [
+        F.shiftleft((F.col(f"sig_{i}") % 2).cast("long"), i) for i in range(num_perm)
+    ]
+    packed = functools.reduce(lambda a, b: a.bitwiseOR(b), lanes)
+    return index.select("doc_id", packed.alias("bbit"))
+
+
+def bbit_minhash_pairs_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates verified WITHOUT text or shingle sets: the
+    estimation join ships only the 1-bit packed word per side
+    (``compress_minhash_index_bbit``), and est_jaccard = max(0,
+    2·agreement/num_perm − 1) gates the pair. This is the Li–König
+    storage/bandwidth profile for a 10^12-file store: band keys are
+    derived at sign time (as in the incremental index), while similarity
+    estimation needs 8 bytes/doc — the hset column (the full variant's
+    verification payload, ~KBs/doc) never exists.
+
+    Plan shape mirrors minhash_lsh_pairs_sql: one band-key-array explode,
+    an equi self-join on band_key, then two narrow joins re-attaching the
+    packed words; agreement is a single XOR + bit_count, whole-stage
+    codegen end-to-end. The estimator's variance (~1/√num_perm) is the
+    documented trade — use num_perm=64 bands and a verification rerank on
+    the survivors when exactness matters."""
+    sig = minhash_signatures_sql(df, text_col, k, num_perm, seed)
+    band_keys = _band_keys_expr(num_perm, num_bands)
+    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    packed = compress_minhash_index_bbit(sig, num_perm)
+    xor = F.col("bb_a").bitwiseXOR(F.col("bb_b"))
+    if num_perm < 64:
+        xor = xor.bitwiseAND(F.lit((1 << num_perm) - 1))
+    agree = (F.lit(num_perm) - F.bit_count(xor)).cast("double")
+    est = F.round(
+        F.greatest(F.lit(0.0), agree * 2.0 / F.lit(float(num_perm)) - 1.0), 6
+    )
+    out = (
+        cand.join(
+            packed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "bbit", "bb_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            packed.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "bbit", "bb_b"
+            ),
+            "doc_b",
+        )
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    return tie_cache(out, bands)
+
+
 def group_minhash_pairs_sql(
     df: DataFrame,
     group_col: str,

@@ -1,0 +1,133 @@
+"""Incremental vs from-scratch cluster maintenance microbench (q58 scale
+evidence): a 1M-node / 1M-edge historical store absorbs a 15k-edge nightly
+batch. The from-scratch path re-clusters old∪new; the incremental path
+(operators/cc.incremental_connected_components) contracts the batch onto
+the stored representatives and iterates on the delta graph only.
+
+ABAB-interleaved (full, incremental, full, incremental) with a host
+fresh-page probe before each leg, same methodology as the scaling runs —
+this sandbox's hypervisor swings ~50×, so only adjacent-window pairs are
+comparable. Both legs start from parquet (old edges / store on tmpfs) and
+end in an order-independent checksum aggregate; the checksums must match,
+so the artifact carries its own correctness proof.
+
+Run: python scripts/bench_incremental_cc.py  → BENCH/incremental_cc_r4.json
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+K = int(os.environ.get("SPARK_GRAFT_ICC_CLUSTERS", "250000"))  # 5-node chains
+MERGES = int(os.environ.get("SPARK_GRAFT_ICC_MERGES", "10000"))
+NEW_NODES = int(os.environ.get("SPARK_GRAFT_ICC_NEW", "5000"))
+WORK = "/dev/shm/spark_graft_icc"
+
+
+def _spark(cpus: int = 8) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("icc-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _checksum(assign) -> tuple:
+    row = assign.agg(
+        F.count("*").alias("n"),
+        # decimal sum: 1M+ xxhash64 values overflow an ANSI-mode long
+        F.sum(F.xxhash64("doc_id", "cluster_id").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def main():
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    from iamsystem_python_spark.operators.cc import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    os.makedirs(WORK, exist_ok=True)
+    old_path, store_path = f"{WORK}/old_edges", f"{WORK}/store"
+
+    # historical graph: K chains of 5 nodes (4 edges each) — deterministic
+    c = spark.range(K).select(F.col("id").alias("c"))
+    old_edges = c.select(
+        F.explode(
+            F.expr("transform(sequence(0, 3), i -> struct(c*5 + i AS doc_a, c*5 + i + 1 AS doc_b))")
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b")
+    old_edges.write.mode("overwrite").parquet(old_path)
+    connected_components(spark.read.parquet(old_path)).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+
+    # nightly batch: MERGES bridges between adjacent clusters + NEW_NODES
+    # brand-new docs each attaching to an existing chain head
+    bridges = spark.range(MERGES).select(
+        (F.col("id") * 10 + 4).alias("doc_a"), (F.col("id") * 10 + 5).alias("doc_b")
+    )
+    attach = spark.range(NEW_NODES).select(
+        (F.lit(5 * K) + F.col("id")).alias("doc_a"), (F.col("id") * 5).alias("doc_b")
+    )
+    new_edges = bridges.union(attach)
+    new_edges.write.mode("overwrite").parquet(f"{WORK}/new_edges")
+
+    def leg_full():
+        olde = spark.read.parquet(old_path)
+        newe = spark.read.parquet(f"{WORK}/new_edges")
+        return _checksum(connected_components(olde.union(newe)))
+
+    def leg_incremental():
+        store = spark.read.parquet(store_path)
+        newe = spark.read.parquet(f"{WORK}/new_edges")
+        return _checksum(incremental_connected_components(store, newe))
+
+    pairs, sums = [], set()
+    for rnd in range(2):
+        rec = {"round": rnd}
+        for name, fn in (("full", leg_full), ("incremental", leg_incremental)):
+            rec[f"probe_{name}_mb_s"] = bench.host_fresh_page_mb_s()
+            t0 = time.time()
+            n, h = fn()
+            rec[f"seconds_{name}"] = round(time.time() - t0, 2)
+            rec[f"checksum_{name}"] = [n, h]
+            sums.add((n, h))
+        rec["speedup"] = round(rec["seconds_full"] / rec["seconds_incremental"], 2)
+        pairs.append(rec)
+        print(json.dumps(rec))
+
+    out = {
+        "metric": "incremental vs from-scratch cluster maintenance (ABAB interleaved)",
+        "store_nodes": 5 * K,
+        "store_edges": 4 * K,
+        "batch_edges": MERGES + NEW_NODES,
+        "pairs": pairs,
+        "checksums_identical": len(sums) == 1,
+        "best_speedup": max(p["speedup"] for p in pairs),
+    }
+    assert out["checksums_identical"], f"assignment mismatch across legs: {sums}"
+    dest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH",
+        "incremental_cc_r4.json",
+    )
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in ("best_speedup", "checksums_identical")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1760,3 +1760,70 @@ def test_ngram_pairs_unknown_measure_raises(spark):
     df = spark.createDataFrame([(1, "a b c", "s")], ["doc_id", "text", "source"])
     with _pytest.raises(KeyError):
         _ngram_pairs(df, "text", 3, 0.5, "source", None, measure="dice")
+
+
+def test_bbit_packing_matches_sig_low_bits(spark):
+    """bit i of the packed word == sig_i % 2 for every doc, including lane
+    63 (the sign bit — packed via shiftleft+OR, never ANSI-overflowing
+    addition)."""
+    from pyspark.sql import functions as F
+
+    from iamsystem_python_spark.operators.dedup_text import (
+        compress_minhash_index_bbit,
+        minhash_signatures_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n"), (3, "a b c d e f x")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures_sql(df, "text", k=3, num_perm=64)
+    packed = {r.doc_id: r.bbit for r in compress_minhash_index_bbit(sig, 64).collect()}
+    for row in sig.collect():
+        word = packed[row.doc_id]
+        for i in range(64):
+            assert (word >> i) & 1 == row[f"sig_{i}"] % 2, (row.doc_id, i)
+
+
+def test_bbit_estimate_matches_per_lane_agreement(spark):
+    """est_jaccard from the XOR/popcount path equals the brute-force
+    per-lane low-bit agreement estimator max(0, 2·agree/n − 1), and a
+    planted near-dup pair clears a 0.5 gate while an unrelated one
+    doesn't."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        bbit_minhash_pairs_sql,
+        minhash_signatures_sql,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base + " alpha"),
+        (2, base + " alpha beta"),
+        (3, "completely different text about spark catalyst optimizer plans"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = dict(k=3, num_perm=64, num_bands=16, threshold=0.5)
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in bbit_minhash_pairs_sql(df, "text", **cfg).collect()
+    }
+    sigs = {
+        r.doc_id: [r[f"sig_{i}"] % 2 for i in range(64)]
+        for r in minhash_signatures_sql(df, "text", k=3, num_perm=64).collect()
+    }
+    agree = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y)
+    expect = round(max(0.0, 2.0 * agree / 64 - 1.0), 6)
+    assert got.get((1, 2)) == expect
+    assert expect >= 0.5
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_bbit_num_perm_over_64_raises(spark):
+    import pytest as _pytest
+
+    from iamsystem_python_spark.operators.dedup_text import (
+        compress_minhash_index_bbit,
+    )
+
+    with _pytest.raises(ValueError):
+        compress_minhash_index_bbit(None, 128)
