@@ -1029,6 +1029,20 @@ def q59_bbit_minhash_pairs(spark, sf_dir):
     return tie_cache(pairs.orderBy("doc_a", "doc_b"), pairs)
 
 
+def q60_sequence_packing(spark, sf_dir):
+    """Pretraining sequence packing (concat-and-chunk bookkeeping): docs in
+    doc_id order form one token stream cut into 256-token sequences; each
+    doc reports its landing sequence(s) and offset. Distributed prefix sum
+    — range-partitioned sort, per-partition totals (O(#partitions) to the
+    driver), broadcast offsets, per-partition window — NEVER the
+    single-partition global-window trap (operators/packing.py). Oracle is
+    the plain global cumsum in DuckDB."""
+    from iamsystem_python_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1086,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_containment_pairs": q57_containment_pairs,
         "q58_incremental_clusters": q58_incremental_clusters,
         "q59_bbit_minhash_pairs": q59_bbit_minhash_pairs,
+        "q60_sequence_packing": q60_sequence_packing,
     }
 
 
@@ -1962,6 +1977,22 @@ ORDER BY doc_a, doc_b
         "q27_neardup_clusters": _clusters_oracle_sql(3, 16, 8, 0.5),
         "q58_incremental_clusters": _label_prop_clusters_oracle_sql(3, 16, 8, 0.5),
         "q59_bbit_minhash_pairs": _bbit_minhash_oracle_sql(3, 64, 16, 0.5),
+        "q60_sequence_packing": f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKENS_SQL})::BIGINT AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (cum // 256)::BIGINT AS start_seq,
+       (cum % 256)::BIGINT AS start_offset,
+       (CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 256
+             ELSE cum // 256 END)::BIGINT AS end_seq
+FROM c ORDER BY doc_id
+""",
         "q28_simhash_pairs": _simhash_oracle_sql(3, 32, 3),
         "q30_ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
