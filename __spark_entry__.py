@@ -1043,6 +1043,22 @@ def q60_sequence_packing(spark, sf_dir):
     return pack_sequences(docs, budget=256).orderBy("doc_id")
 
 
+def q61_token_mixture(spark, sf_dir):
+    """Token-budget mixture sampling (data-mixing recipe): en/fr/de get
+    3:1:1 of a 6,000-token budget (3600/1200/1200); zh/es are excluded.
+    Docs fill each bucket's quota in deterministic sha256(id|salt) order,
+    exclusive-prefix < target (the crossing doc is included). Keyed
+    distributed prefix sum — per-(partition,bucket) totals + broadcast
+    offsets, never a per-bucket single-partition window
+    (operators/sampling.token_mixture_sample)."""
+    from iamsystem_python_spark.operators.sampling import token_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_mixture_sample(
+        docs, weights={"en": 3, "fr": 1, "de": 1}, token_budget=6000
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1101,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_incremental_clusters": q58_incremental_clusters,
         "q59_bbit_minhash_pairs": q59_bbit_minhash_pairs,
         "q60_sequence_packing": q60_sequence_packing,
+        "q61_token_mixture": q61_token_mixture,
     }
 
 
@@ -1992,6 +2009,23 @@ SELECT doc_id, n_tokens,
        (CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 256
              ELSE cum // 256 END)::BIGINT AS end_seq
 FROM c ORDER BY doc_id
+""",
+        "q61_token_mixture": f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_TOKENS_SQL})::BIGINT AS n_tokens,
+         sha256(doc_id::VARCHAR || '|s1') AS ord
+  FROM documents WHERE lang IN ('en', 'fr', 'de')
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_before FROM c
+WHERE (lang = 'en' AND cum_before < 3600.0)
+   OR (lang = 'fr' AND cum_before < 1200.0)
+   OR (lang = 'de' AND cum_before < 1200.0)
+ORDER BY doc_id
 """,
         "q28_simhash_pairs": _simhash_oracle_sql(3, 32, 3),
         "q30_ann_topk": """

@@ -65,3 +65,94 @@ def sample_fraction_deterministic(
     # (not 2^32 - 1) so fraction=1.0 keeps every row including bucket
     # 0xFFFFFFFF
     return df.where(bucket < F.lit(int(fraction * (1 << 32))))
+
+
+def token_mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    bucket_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+    num_partitions: int = None,
+) -> DataFrame:
+    """Token-budget mixture sampling — the data-mixing recipe step: each
+    bucket (domain/language/source) gets target = budget·weight/Σweights
+    TOKENS; docs are taken in deterministic portable-hash order within the
+    bucket until the target fills (exclusive-prefix < target, so the doc
+    crossing the boundary is included — the same rule sequence packing
+    uses for a straddling doc). Buckets absent from ``weights`` are
+    excluded entirely. Returns (id, bucket, n_tokens, cum_before).
+
+    Unlike ``stratified_sample`` (row quotas via one row_number window),
+    the quota here is in tokens, so it needs a running sum in a global
+    per-bucket order — implemented as the KEYED distributed prefix sum
+    (same machinery as packing.pack_sequences, keyed by bucket):
+    range-partition on (bucket, hash, id), per-(partition, bucket) totals
+    to the driver (O(#partitions·#buckets) rows, never O(docs)),
+    broadcast exclusive offsets back, per-(partition, bucket) windows. A
+    mega-bucket therefore spans many partitions instead of collapsing one
+    executor — the failure mode of the naive Window.partitionBy(bucket)
+    running sum."""
+    if not weights:
+        raise ValueError("weights must name at least one bucket")
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+
+    spark = df.sparkSession
+    total_w = float(sum(weights.values()))
+    targets = [(k, token_budget * w / total_w) for k, w in weights.items()]
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+    orderer = F.sha2(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)), 256
+    )
+    base = (
+        df.where(F.col(bucket_col).isin(list(weights)))
+        .select(
+            F.col(id_col),
+            F.col(bucket_col).alias("bucket"),
+            toks.cast("long").alias("n_tokens"),
+            orderer.alias("ord"),
+        )
+    )
+    ranged = (
+        base.repartitionByRange(n_parts, "bucket", "ord", id_col)
+        .sortWithinPartitions("bucket", "ord", id_col)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = (
+        ranged.groupBy("pid", "bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    # RangePartitioner assigns ascending key ranges to ascending pids, so
+    # pid order IS global order within a bucket
+    acc, offsets = {}, []
+    for r in sorted(totals, key=lambda r: (r["bucket"], r["pid"])):
+        offsets.append((r["pid"], r["bucket"], acc.get(r["bucket"], 0)))
+        acc[r["bucket"]] = acc.get(r["bucket"], 0) + r["t"]
+    off_df = spark.createDataFrame(offsets or [(0, "", 0)], ["pid", "bucket", "boff"])
+    tgt_df = spark.createDataFrame(targets, ["bucket", "target"])
+    w = (
+        Window.partitionBy("pid", "bucket")
+        .orderBy("ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.join(F.broadcast(off_df), ["pid", "bucket"])
+        .join(F.broadcast(tgt_df), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("boff") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .where(F.col("cum_before") < F.col("target"))
+        .select(
+            id_col,
+            F.col("bucket").alias(bucket_col),
+            "n_tokens",
+            "cum_before",
+        )
+    )
+    return tie_cache(out, ranged)

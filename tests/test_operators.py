@@ -1888,3 +1888,77 @@ def test_pack_sequences_bad_budget_raises(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_token_mixture_quota_semantics(spark):
+    """Per-bucket token quota with the crossing doc included: selected
+    docs are a prefix of the deterministic hash order, the exclusive
+    prefix sum of every selected doc is < target, and the first
+    unselected doc's is >= target. Unlisted buckets are excluded."""
+    import hashlib
+
+    from iamsystem_python_spark.operators.sampling import token_mixture_sample
+
+    rows = [
+        (i, " ".join(["w"] * (3 + i % 5)), "a" if i % 2 else "b") for i in range(40)
+    ] + [(100 + j, "x y z", "zz") for j in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    weights, budget = {"a": 1, "b": 1}, 40  # target 20 tokens per bucket
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.cum_before)
+        for r in token_mixture_sample(df, weights, budget).collect()
+    }
+    assert all(lang != "zz" for lang, _, _ in got.values())
+    # python replay: same hash order, same exclusive-prefix rule
+    def ordkey(doc_id):
+        return hashlib.sha256(f"{doc_id}|s1".encode()).hexdigest()
+
+    for bucket in ("a", "b"):
+        docs = sorted(
+            [
+                (ordkey(i), i, 3 + i % 5)
+                for i, _, l in rows
+                if l == bucket
+            ]
+        )
+        cum, expect = 0, {}
+        for _, i, n in docs:
+            if cum < 20.0:
+                expect[i] = (bucket, n, cum)
+            cum += n
+        sel = {i: v for i, v in got.items() if v[0] == bucket}
+        assert sel == expect, bucket
+
+
+def test_token_mixture_partition_invariance(spark):
+    """Keyed distributed prefix sum: identical selection at 1, 3, and 16
+    range partitions."""
+    from iamsystem_python_spark.operators.sampling import token_mixture_sample
+
+    rows = [
+        (i, " ".join(["w"] * (1 + (i * 11) % 9)), ["p", "q", "r"][i % 3])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cfg = dict(weights={"p": 2, "q": 1}, token_budget=90)
+    ref = sorted(
+        (r.doc_id, r.lang, r.n_tokens, r.cum_before)
+        for r in token_mixture_sample(df, num_partitions=1, **cfg).collect()
+    )
+    assert ref, "quota selected nothing — test misconfigured"
+    for parts in (3, 16):
+        got = sorted(
+            (r.doc_id, r.lang, r.n_tokens, r.cum_before)
+            for r in token_mixture_sample(df, num_partitions=parts, **cfg).collect()
+        )
+        assert got == ref, f"parts={parts}"
+
+
+def test_token_mixture_empty_weights_raises(spark):
+    import pytest as _pytest
+
+    from iamsystem_python_spark.operators.sampling import token_mixture_sample
+
+    df = spark.createDataFrame([(1, "a", "en")], ["doc_id", "text", "lang"])
+    with _pytest.raises(ValueError):
+        token_mixture_sample(df, {}, 100)
