@@ -1059,6 +1059,17 @@ def q61_token_mixture(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q62_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (operators/textstats.tfidf_top_terms):
+    score = tf·ln(N/df), deterministic tie-break by term. Broadcast
+    doc-frequency join (Heaps-law-bounded vocab), corpus N via
+    crossJoin(broadcast) — no collect; text never shuffles."""
+    from iamsystem_python_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1118,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bbit_minhash_pairs": q59_bbit_minhash_pairs,
         "q60_sequence_packing": q60_sequence_packing,
         "q61_token_mixture": q61_token_mixture,
+        "q62_tfidf_terms": q62_tfidf_terms,
     }
 
 
@@ -2026,6 +2038,27 @@ WHERE (lang = 'en' AND cum_before < 3600.0)
    OR (lang = 'fr' AND cum_before < 1200.0)
    OR (lang = 'de' AND cum_before < 1200.0)
 ORDER BY doc_id
+""",
+        "q62_tfidf_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ln(n.n_docs::DOUBLE / d.df) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)::INTEGER AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY doc_id, rank
 """,
         "q28_simhash_pairs": _simhash_oracle_sql(3, 32, 3),
         "q30_ann_topk": """

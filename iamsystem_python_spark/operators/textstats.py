@@ -8,7 +8,7 @@ driver-generated ``documents`` table (doc_id, text, lang, source, n_chars).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small, fixed stopword profiles for the n-gram language heuristic;
@@ -236,4 +236,52 @@ def unigram_logprob(
         F.round(F.log2("n_corpus") - F.col("_mean_log2_c"), 5).alias(
             "bits_per_token"
         ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/topic
+    extraction pass over a training corpus (tag docs for mixture analysis,
+    route to domain buckets, build retrieval indexes). score = tf ·
+    ln(N/df) with N = corpus doc count, df = docs containing the term;
+    ties broken by term ascending for a deterministic top-k.
+
+    Plan shape (same discipline as unigram_logprob): one explode, a
+    (doc_id, term) count aggregate (map-side combined), a term-level
+    doc-frequency aggregate whose result is Heaps-law-bounded and
+    broadcast back (``broadcast_df``; set False to shuffle on term — leave
+    AQE skew-join on for head terms), corpus N via crossJoin(broadcast) —
+    no collect — and a per-doc window for the top-k prune. At 100 TB every
+    exchange carries (doc_id, term, counts) rows only; text never
+    shuffles."""
+    t = F.col(text_col)
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.lower(t), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    d = F.broadcast(docfreq) if broadcast_df else docfreq
+    scored = (
+        tf.join(d, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("integer").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
     )

@@ -1962,3 +1962,31 @@ def test_token_mixture_empty_weights_raises(spark):
     df = spark.createDataFrame([(1, "a", "en")], ["doc_id", "text", "lang"])
     with _pytest.raises(ValueError):
         token_mixture_sample(df, {}, 100)
+
+
+def test_tfidf_top_terms_hand_oracle(spark):
+    """3-doc corpus, hand-computed tf·ln(N/df): shared token 'x' (df=3)
+    scores 0 everywhere; doc-unique tokens rank first; ties broken by term
+    ascending. The doc-frequency join must be a broadcast."""
+    import math
+
+    from iamsystem_python_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "x a a b"), (2, "x b"), (3, "x c")], ["doc_id", "text"]
+    )
+    out = tfidf_top_terms(df, k=2)
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score) for r in out.collect()
+    }
+    ln = lambda n, d: round(math.log(n / d), 6)
+    # doc1: a tf=2 df=1 → 2·ln3; b tf=1 df=2 → ln1.5
+    assert got[(1, 1)] == ("a", 2, 1, round(2 * math.log(3.0), 6))
+    assert got[(1, 2)] == ("b", 1, 2, ln(3.0, 2))
+    # doc2: b ln1.5 beats x (0); doc3: c ln3 beats x
+    assert got[(2, 1)] == ("b", 1, 2, ln(3.0, 2))
+    assert got[(2, 2)] == ("x", 1, 3, 0.0)
+    assert got[(3, 1)] == ("c", 1, 1, round(math.log(3.0), 6))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
