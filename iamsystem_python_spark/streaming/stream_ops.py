@@ -394,3 +394,117 @@ def streaming_chunk_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def make_mixture_state_fn(targets: dict, salt: str = "s1"):
+    """Per-(bucket, shard) state function for
+    :func:`streaming_token_mixture` — module-level for stub-GroupState
+    unit tests. State = tokens consumed so far (one long).
+
+    Rows within a micro-batch are processed in the portable
+    sha256(id|salt) order (same orderer as the batch sampler), so a
+    single-batch availableNow run reproduces
+    ``operators.sampling.token_mixture_sample`` exactly; across batches
+    the quota is ONLINE — arrival order decides, which is the streaming
+    semantics (an ingest gate cannot reorder history). Admission rule is
+    identical: admit while consumed-so-far < target, crossing doc
+    included; only admitted docs consume budget."""
+    import hashlib
+
+    import pandas as pd
+
+    def mixture_fn(key, pdfs, state):
+        bucket = str(key[0])
+        target = float(targets.get(bucket, 0.0))
+        consumed = int(state.get[0]) if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf.itertuples(index=False))
+        rows.sort(
+            key=lambda r: (
+                hashlib.sha256(f"{r.doc_id}|{salt}".encode()).hexdigest(),
+                str(r.doc_id),
+            )
+        )
+        out = {"doc_id": [], "bucket": [], "n_tokens": [], "cum_before": [], "admitted": []}
+        for r in rows:
+            n = int(r.n_tokens)
+            admitted = consumed < target
+            out["doc_id"].append(str(r.doc_id))
+            out["bucket"].append(bucket)
+            out["n_tokens"].append(n)
+            out["cum_before"].append(consumed)
+            out["admitted"].append(admitted)
+            if admitted:
+                consumed += n
+        state.update((consumed,))
+        yield pd.DataFrame(out)
+
+    return mixture_fn
+
+
+def streaming_token_mixture(
+    stream_df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    bucket_col: str = "lang",
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Online token-budget mixture gate — the streaming twin of
+    ``operators.sampling.token_mixture_sample``: each bucket admits docs
+    (in arrival order, hash-ordered within a micro-batch) while its
+    consumed-token counter is below target = budget·weight/Σweights, then
+    closes. Emits one verdict row per doc: (doc_id, bucket, n_tokens,
+    cum_before, admitted) — downstream routes admitted docs into the
+    training mix and drops the rest.
+
+    State is ONE long per key, keyed by (bucket, shard): with
+    ``n_shards > 1`` each bucket's quota splits evenly across
+    ``pmod(xxhash64(id), n_shards)`` shards so a hot bucket's admission
+    decisions parallelize (the single-counter version is inherently
+    sequential per bucket — the documented trade: sharded quotas admit a
+    slightly different doc set than the global counter, each shard exact
+    for its own target). Checkpoint-restartable: a restarted query
+    resumes every counter from state, so quotas never double-fill."""
+    if not weights:
+        raise ValueError("weights must name at least one bucket")
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    total_w = float(sum(weights.values()))
+    targets = {
+        k: token_budget * w / total_w / float(n_shards)
+        for k, w in weights.items()
+    }
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+    narrow = (
+        stream_df.where(F.col(bucket_col).isin(list(weights)))
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(bucket_col).alias("bucket"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bucket", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("cum_before", T.LongType()),
+            T.StructField("admitted", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("consumed", T.LongType())])
+    return narrow.groupBy("bucket", "shard").applyInPandasWithState(
+        make_mixture_state_fn(targets, salt),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

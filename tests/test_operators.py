@@ -1990,3 +1990,103 @@ def test_tfidf_top_terms_hand_oracle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_streaming_token_mixture_matches_batch_single_run(spark, tmp_path):
+    """One availableNow micro-batch processed in portable hash order ==
+    the batch token_mixture_sample selection (ids, cum_before) exactly."""
+    from iamsystem_python_spark.operators.sampling import token_mixture_sample
+    from iamsystem_python_spark.streaming.stream_ops import streaming_token_mixture
+
+    schema = "doc_id string, content string, lang string"
+    rows = [
+        (str(i), " ".join(["w"] * (2 + i % 4)), "a" if i % 2 else "b")
+        for i in range(30)
+    ] + [(str(900 + j), "x y", "zz") for j in range(3)]
+    src_dir = tmp_path / "mix_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    weights, budget = {"a": 1, "b": 1}, 40
+
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    verdicts = streaming_token_mixture(
+        stream, weights, budget, bucket_col="lang", text_col="content"
+    )
+    q = (
+        verdicts.writeStream.format("parquet")
+        .option("path", str(tmp_path / "mix_out"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mix_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "mix_out"))
+    sel = {
+        (r.doc_id, r.bucket, r.n_tokens, r.cum_before)
+        for r in got.where("admitted").collect()
+    }
+    batch = token_mixture_sample(
+        spark.createDataFrame(rows, schema), weights, budget,
+        bucket_col="lang", text_col="content",
+    )
+    want = {
+        (r.doc_id, r.lang, r.n_tokens, r.cum_before) for r in batch.collect()
+    }
+    assert sel == want and want
+    # excluded bucket rows produce no verdicts at all
+    assert got.where("bucket = 'zz'").count() == 0
+
+
+def test_streaming_token_mixture_restart_never_double_fills(spark, tmp_path):
+    """Checkpoint restart restores the consumed counter: run 1 fills the
+    bucket past its target; run 2's docs are all rejected with cum_before
+    equal to run 1's final counter."""
+    from iamsystem_python_spark.streaming.stream_ops import streaming_token_mixture
+
+    schema = "doc_id string, content string, lang string"
+    src_dir = tmp_path / "mix2_src"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        verdicts = streaming_token_mixture(
+            stream, {"a": 1}, 20, bucket_col="lang", text_col="content"
+        )
+        q = (
+            verdicts.writeStream.format("parquet")
+            .option("path", str(tmp_path / "mix2_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "mix2_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    six = " ".join(["w"] * 6)
+    spark.createDataFrame(
+        [(str(i), six, "a") for i in range(4)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_once()
+    r1 = spark.read.parquet(str(tmp_path / "mix2_out")).collect()
+    # consumed 0,6,12,18 — all four admitted (crossing doc included)
+    assert sorted(r.cum_before for r in r1) == [0, 6, 12, 18]
+    assert all(r.admitted for r in r1)
+
+    spark.createDataFrame(
+        [(str(100 + j), six, "a") for j in range(2)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_once()
+    r2 = [
+        r
+        for r in spark.read.parquet(str(tmp_path / "mix2_out")).collect()
+        if int(r.doc_id) >= 100
+    ]
+    assert len(r2) == 2
+    assert all(not r.admitted and r.cum_before == 24 for r in r2)
