@@ -504,3 +504,102 @@ def test_boilerplate_carry_cols_lines_only(spark):
         boilerplate_removal(
             df, min_docs=2, segmenter="windows", carry_cols=("meta",)
         )
+
+
+def _partition_sets(df):
+    """Cluster assignment → set of frozenset components (+ label map)."""
+    from collections import defaultdict
+
+    comps = defaultdict(set)
+    for r in df.collect():
+        comps[r.cluster_id].add(r.doc_id)
+    return {frozenset(v) for v in comps.values()}
+
+
+def test_incremental_ingest_equals_full_rebuild(spark, corpus, tmp_path):
+    """The nightly loop: full pipeline on 80% of the corpus → store;
+    IncrementalIngest folds the remaining 20% in (signing ONLY the batch,
+    historical text touched only for candidate ids) — the updated cluster
+    partition equals a from-scratch full-corpus pipeline run's."""
+    from iamsystem_python_spark.plans.ingest import IncrementalIngest
+
+    docs = corpus.drop("cluster_id")
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5)) == 0
+    old_docs, new_docs = docs.where(~split), docs.where(split)
+    assert new_docs.count() > 0 and old_docs.count() > 0
+
+    store = str(tmp_path / "store")
+    NearDupPipeline(CFG).run(spark, old_docs, store)
+
+    out = str(tmp_path / "ingest")
+    updated = IncrementalIngest(CFG).run(
+        spark, new_docs, store, out, hist_docs=old_docs
+    )
+    got = _partition_sets(updated)
+
+    full_out = str(tmp_path / "full")
+    full = NearDupPipeline(CFG).run(spark, docs, full_out)
+    want = _partition_sets(full)
+    assert got == want
+    # labels are min-doc-id in both paths → assignments identical, not
+    # just partition-equal
+    assert {(r.doc_id, r.cluster_id) for r in updated.collect()} == {
+        (r.doc_id, r.cluster_id) for r in full.collect()
+    }
+
+
+def test_incremental_ingest_resume_skips_stages(spark, corpus, tmp_path):
+    """Same manifest-resume contract as the full pipeline: a resumed run
+    recomputes nothing (manifest mtimes unchanged)."""
+    import os
+
+    from iamsystem_python_spark.plans.ingest import IncrementalIngest
+
+    docs = corpus.drop("cluster_id")
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5)) == 0
+    old_docs, new_docs = docs.where(~split), docs.where(split)
+    store = str(tmp_path / "store2")
+    NearDupPipeline(CFG).run(spark, old_docs, store)
+    out = str(tmp_path / "ingest2")
+    ing = IncrementalIngest(CFG)
+    ing.run(spark, new_docs, store, out, hist_docs=old_docs)
+    stages = [
+        "new_signatures", "candidates", "verified_pairs", "new_pairs",
+        "clusters", "signatures_delta",
+    ]
+    before = {
+        s: os.path.getmtime(os.path.join(out, s, "_MANIFEST.json"))
+        for s in stages
+    }
+    ing.run(spark, new_docs, store, out, hist_docs=old_docs, resume=True)
+    for s, mtime in before.items():
+        assert os.path.getmtime(os.path.join(out, s, "_MANIFEST.json")) == mtime, s
+
+
+def test_incremental_ingest_requires_hist_docs_for_old_candidates(
+    spark, corpus, tmp_path
+):
+    """Without hist_docs the run must refuse when candidates touch
+    history (instead of silently verifying nothing)."""
+    import pytest as _pytest
+
+    from iamsystem_python_spark.plans.ingest import IncrementalIngest
+
+    docs = corpus.drop("cluster_id")
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5)) == 0
+    old_docs, new_docs = docs.where(~split), docs.where(split)
+    store = str(tmp_path / "store3")
+    NearDupPipeline(CFG).run(spark, old_docs, store)
+    with _pytest.raises(ValueError, match="hist_docs"):
+        IncrementalIngest(CFG).run(
+            spark, new_docs, store, str(tmp_path / "ingest3")
+        )
+
+
+def test_incremental_ingest_rejects_boilerplate_config():
+    import pytest as _pytest
+
+    from iamsystem_python_spark.plans.ingest import IncrementalIngest
+
+    with _pytest.raises(ValueError, match="boilerplate"):
+        IncrementalIngest(PipelineConfig(boilerplate_min_docs=2))
