@@ -1,0 +1,127 @@
+"""End-to-end incremental ingest vs full-rebuild microbench (the nightly
+loop's headline claim, measured): a store built from 95% of a synthetic
+corpus absorbs the remaining 5% batch via plans/ingest.IncrementalIngest,
+ABAB-interleaved against a from-scratch NearDupPipeline run over the whole
+corpus. Both legs end in the same order-independent assignment checksum —
+the artifact carries its own correctness proof (incremental ≡ rebuild).
+
+Host probes per leg (same methodology as the scaling runs: this sandbox's
+hypervisor swings ~50×, only adjacent-window pairs are comparable).
+
+Run: python scripts/bench_incremental_ingest.py → BENCH/incremental_ingest_r4.json
+Env: SPARK_GRAFT_II_ROWS (default 500000), SPARK_GRAFT_II_BATCH_MOD (20 → 5%).
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+ROWS = int(os.environ.get("SPARK_GRAFT_II_ROWS", "500000"))
+BATCH_MOD = int(os.environ.get("SPARK_GRAFT_II_BATCH_MOD", "20"))
+WORK = "/dev/shm/spark_graft_ingest"
+
+
+def _spark(cpus: int = 32) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ingest-bench")
+        .config("spark.sql.shuffle.partitions", str(max(32, ROWS // 20_000)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _checksum(assign) -> tuple:
+    row = assign.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("doc_id", "cluster_id").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def main():
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    from iamsystem_python_spark.plans.config import PipelineConfig
+    from iamsystem_python_spark.plans.ingest import IncrementalIngest
+    from iamsystem_python_spark.plans.pipeline import NearDupPipeline
+    from iamsystem_python_spark.sources.codegen import generate_corpus_df
+
+    cfg = PipelineConfig(
+        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+
+    docs = generate_corpus_df(spark, ROWS, seed=42, partitions=64).drop("cluster_id")
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(BATCH_MOD)) == 0
+    docs.where(~split).write.mode("overwrite").parquet(f"{WORK}/old_docs")
+    docs.where(split).write.mode("overwrite").parquet(f"{WORK}/new_docs")
+    docs.write.mode("overwrite").parquet(f"{WORK}/all_docs")
+    old_docs = spark.read.parquet(f"{WORK}/old_docs")
+    new_docs = spark.read.parquet(f"{WORK}/new_docs")
+    all_docs = spark.read.parquet(f"{WORK}/all_docs")
+    n_new = new_docs.count()
+
+    # store build is setup, not a timed leg
+    store = f"{WORK}/store"
+    NearDupPipeline(cfg).run(spark, old_docs, store)
+
+    def leg_full(tag):
+        out = f"{WORK}/full_{tag}"
+        return _checksum(NearDupPipeline(cfg).run(spark, all_docs, out))
+
+    def leg_incremental(tag):
+        out = f"{WORK}/ing_{tag}"
+        return _checksum(
+            IncrementalIngest(cfg).run(
+                spark, new_docs, store, out, hist_docs=old_docs
+            )
+        )
+
+    pairs, sums = [], set()
+    for rnd in range(2):
+        rec = {"round": rnd}
+        for name, fn in (("full", leg_full), ("incremental", leg_incremental)):
+            rec[f"probe_{name}_mb_s"] = bench.host_fresh_page_mb_s()
+            t0 = time.time()
+            n, h = fn(f"{rnd}")
+            rec[f"seconds_{name}"] = round(time.time() - t0, 2)
+            rec[f"checksum_{name}"] = [n, h]
+            sums.add((n, h))
+        rec["speedup"] = round(rec["seconds_full"] / rec["seconds_incremental"], 2)
+        pairs.append(rec)
+        print(json.dumps(rec))
+
+    out = {
+        "metric": "incremental ingest vs full rebuild (ABAB interleaved, end-to-end)",
+        "corpus_rows": ROWS,
+        "batch_rows": n_new,
+        "batch_fraction": round(n_new / ROWS, 4),
+        "pairs": pairs,
+        "checksums_identical": len(sums) == 1,
+        "best_speedup": max(p["speedup"] for p in pairs),
+    }
+    assert out["checksums_identical"], f"assignment mismatch: {sums}"
+    dest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH",
+        "incremental_ingest_r4.json",
+    )
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in ("best_speedup", "checksums_identical", "batch_rows")}))
+
+
+if __name__ == "__main__":
+    main()

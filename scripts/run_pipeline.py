@@ -14,6 +14,21 @@ With --generate the deterministic synthetic corpus is created distributed
 would be the Iceberg table path and the read below becomes
 ``spark.read.format("iceberg").load(...)`` — everything downstream is
 format-agnostic DataFrame code.
+
+Incremental mode (the nightly loop — plans/ingest.IncrementalIngest):
+
+    spark-submit ... scripts/run_pipeline.py \\
+        --input  /data/tonight_batch \\
+        --store  /data/neardup_out \\
+        --hist-input /data/code_corpus_parquet \\
+        --output /data/ingest_2026_08_19 \\
+        [--resume]
+
+signs ONLY the batch, joins it against the store's sketches, reads
+historical text only for candidate ids (--hist-input), folds the edges
+into the persisted clusters, and writes a signatures_delta for the
+roll-forward. The output directory is self-contained evidence of the run
+(stage manifests + metrics.json).
 """
 
 from __future__ import annotations
@@ -37,6 +52,15 @@ def main() -> None:
         "iterative connected-components stage; default uses localCheckpoint "
         "(executor-memory-resident — fine single-node, not preemption-safe)",
     )
+    ap.add_argument(
+        "--store",
+        default=None,
+        help="prior pipeline output dir (signatures/ + clusters/): switches "
+        "to incremental-ingest mode — --input is then the NEW batch and "
+        "--hist-input the historical corpus (text read only for candidate "
+        "ids)",
+    )
+    ap.add_argument("--hist-input", default=None)
     ap.add_argument(
         "--strip-boilerplate",
         type=int,
@@ -94,9 +118,25 @@ def main() -> None:
             str(max(shuffle, min(1024, n_rows // 20_000))),
         )
 
-    clusters = NearDupPipeline(cfg, checkpoint_dir=args.checkpoint_dir).run(
-        spark, df, args.output, resume=args.resume
-    )
+    if args.store:
+        from iamsystem_python_spark.plans.ingest import IncrementalIngest
+        from iamsystem_python_spark.sources.table import read_code_table
+
+        hist = (
+            read_code_table(spark, args.hist_input, fmt=args.format)
+            if args.hist_input
+            else None
+        )
+        clusters = IncrementalIngest(
+            cfg, checkpoint_dir=args.checkpoint_dir
+        ).run(
+            spark, df, args.store, args.output, hist_docs=hist,
+            resume=args.resume,
+        )
+    else:
+        clusters = NearDupPipeline(cfg, checkpoint_dir=args.checkpoint_dir).run(
+            spark, df, args.output, resume=args.resume
+        )
     print(f"clusters rows: {clusters.count()}")
     spark.stop()
 

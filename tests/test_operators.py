@@ -2090,3 +2090,32 @@ def test_streaming_token_mixture_restart_never_double_fills(spark, tmp_path):
     ]
     assert len(r2) == 2
     assert all(not r.admitted and r.cum_before == 24 for r in r2)
+
+
+def test_mixture_state_fn_crossing_and_restore():
+    """Stub-GroupState unit test for make_mixture_state_fn: the crossing
+    doc is admitted (consumed < target checked BEFORE adding), rejected
+    docs don't consume budget, and a second batch resumes from the
+    restored counter."""
+    import pandas as pd
+
+    from iamsystem_python_spark.streaming.stream_ops import make_mixture_state_fn
+
+    fn = make_mixture_state_fn({"a": 10.0}, salt="s1")
+    st = _StubGroupState()
+
+    def run(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "bucket", "n_tokens"])
+        (out,) = list(fn(("a", 0), iter([pdf]), st))
+        return {r.doc_id: (r.cum_before, r.admitted) for r in out.itertuples(index=False)}
+
+    # batch 1: 6 + 6 tokens — second doc crosses the 10-token target and
+    # is still admitted; consumed ends at 12
+    got = run([("d1", "a", 6), ("d2", "a", 6)])
+    assert {v for v in got.values()} == {(0, True), (6, True)}
+    assert st.get[0] == 12
+    # batch 2 from restored state: target filled, nothing admitted,
+    # nothing consumed
+    got2 = run([("d3", "a", 1)])
+    assert got2 == {"d3": (12, False)}
+    assert st.get[0] == 12
