@@ -1070,6 +1070,81 @@ def q62_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
 
 
+def q63_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM fluency score (operators/textstats.
+    bigram_logprob): Jelinek-Mercer p(w2|w1)=0.9·c12/c1 + 0.1·c2/N,
+    per-doc mean bits per bigram position. Bigrams built row-locally (one
+    transform over the token array — never a positional self-join), both
+    count tables broadcast, corpus N via crossJoin(broadcast); text never
+    shuffles. Oracle replays the counts and interpolation exactly."""
+    from iamsystem_python_spark.operators.textstats import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs).orderBy("doc_id")
+
+
+def q64_hll_distinct(spark, sf_dir):
+    """Explicit HyperLogLog distinct-token sketch per language
+    (operators/textstats.hll_distinct, m=128): portable 60-bit sha-prefix
+    hash, register = h mod m, rank via length(bin(w)) — integer string
+    ops, so DuckDB reproduces every register and the alpha·m²/Σ2^-M
+    estimate (with linear-counting small-range correction) exactly.
+    Post-partial-agg shuffle carries ≤128 narrow rows per group no matter
+    the corpus size; exact countDistinct emitted alongside for audit."""
+    from iamsystem_python_spark.operators.textstats import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(docs, group_col="lang").orderBy("lang")
+
+
+def q65_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, 5 docs per language, weight
+    = n_chars (operators/sampling.weighted_sample, Efraimidis-Spirakis
+    exp-key top-k): u from the portable sha256(id|salt), rank by
+    ln(u)/weight desc — reproducible on any engine/partitioning, unlike
+    rand(). One shuffle on the stratum, one row_number window."""
+    from iamsystem_python_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, k=5, weight_col="n_chars", strata_cols=("lang",)
+    ).select("lang", "doc_id", "n_chars", "sample_rank").orderBy(
+        "lang", "sample_rank"
+    )
+
+
+def q66_dup_fraction(spark, sf_dir):
+    """Per-doc duplicate-text fraction (operators/textstats.dup_fraction,
+    RefinedWeb-style): 10-token chunks, 60-bit sha ownership, global
+    first-occurrence by (doc_id, chunk_i); frac = dup chunks / chunks.
+    Only narrow (hash, id, chunk_i) rows shuffle — text never leaves its
+    scan. Oracle replays chunking + the ownership window exactly."""
+    from iamsystem_python_spark.operators.textstats import dup_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_fraction(docs, chunk_tokens=10).orderBy("doc_id")
+
+
+def q67_cluster_representatives(spark, sf_dir):
+    """Representative selection per near-dup cluster (operators/dedup_text.
+    cluster_representatives): keep the highest-n_chars member, id-ascending
+    tie-break — the policy step between clustering and the drop pass.
+    Clusters from the same config as q27; the join ships (doc_id, n_chars)
+    only. Oracle wraps the q27 cluster replay in the same window."""
+    from iamsystem_python_spark.functions.scoped_cache import tie_cache
+    from iamsystem_python_spark.operators.dedup_text import (
+        cluster_representatives,
+        near_dup_clusters_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters_sql(
+        docs, k=3, num_perm=16, num_bands=8, threshold=0.5
+    )
+    reps = cluster_representatives(clusters, docs, quality_col="n_chars")
+    return tie_cache(reps.orderBy("cluster_id"), clusters)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1130,6 +1205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_sequence_packing": q60_sequence_packing,
         "q61_token_mixture": q61_token_mixture,
         "q62_tfidf_terms": q62_tfidf_terms,
+        "q63_bigram_logprob": q63_bigram_logprob,
+        "q64_hll_distinct": q64_hll_distinct,
+        "q65_weighted_sample": q65_weighted_sample,
+        "q66_dup_fraction": q66_dup_fraction,
+        "q67_cluster_representatives": q67_cluster_representatives,
     }
 
 
@@ -1138,6 +1218,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+# HLL oracle constants — must mirror operators/textstats.py exactly so the
+# DuckDB replay reproduces every register and the estimate bit-for-bit.
+from iamsystem_python_spark.operators.textstats import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    HLL_P as _HLL_P,
+)
+
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (60 - _HLL_P + 1))
 
 
 def _shingle_sql(k: int) -> str:
@@ -2281,5 +2371,136 @@ WHERE a.doc_id < b.doc_id
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
       / least(len(a.sh), len(b.sh)) >= 0.6
 ORDER BY doc_a, doc_b
+""",
+        "q63_bigram_logprob": """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS a
+  FROM documents
+), bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(a) - 1),
+                                 i -> [a[i], a[i + 1]])) AS p
+    FROM arr WHERE len(a) >= 2
+  )
+), toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+total AS (SELECT sum(c1) AS n_corpus FROM uni)
+SELECT bg.doc_id AS doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-log2(0.9 * bi.c12 / u1.c1 + 0.1 * u2.c1 / total.n_corpus)), 5)
+         AS bits_per_bigram
+FROM bg
+JOIN bi USING (w1, w2)
+JOIN uni u1 ON u1.tok = bg.w1
+JOIN uni u2 ON u2.tok = bg.w2, total
+GROUP BY bg.doc_id
+ORDER BY doc_id
+""",
+        "q64_hll_distinct": f"""
+WITH toks AS (
+  SELECT lang AS grp, t.tok AS tok
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), hashed AS (
+  SELECT grp,
+         (('0x' || substring(sha256(tok), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM toks
+), ranked AS (
+  SELECT grp, h % {_HLL_M} AS j,
+         CASE WHEN (h >> {_HLL_P}) = 0 THEN {60 - _HLL_P + 1}
+              ELSE {60 - _HLL_P + 1} - length(bin(h >> {_HLL_P})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT grp, j, max(rank) AS m_j FROM ranked GROUP BY grp, j
+), full_regs AS (
+  SELECT g.grp, s.j, coalesce(r.m_j, 0) AS m_j
+  FROM (SELECT DISTINCT grp FROM toks) g
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS j) s
+  LEFT JOIN regs r ON r.grp = g.grp AND r.j = s.j
+), est AS (
+  SELECT grp,
+         {_HLL_NUMER!r} / sum(1::BIGINT << ({60 - _HLL_P + 1} - m_j))::DOUBLE AS e_raw,
+         sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v_zero
+  FROM full_regs GROUP BY grp
+), exact AS (
+  SELECT grp, count(DISTINCT tok)::BIGINT AS exact_distinct
+  FROM toks GROUP BY grp
+)
+SELECT est.grp AS lang,
+       round(CASE WHEN e_raw <= {2.5 * _HLL_M} AND v_zero > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v_zero)
+                  ELSE e_raw END, 4) AS hll_distinct,
+       exact.exact_distinct AS exact_distinct
+FROM est JOIN exact USING (grp)
+ORDER BY lang
+""",
+        "q65_weighted_sample": """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ln(((('0x' || substring(sha256(doc_id::VARCHAR || '|s1'), 1, 15))::UBIGINT)::BIGINT + 1)::DOUBLE
+            / 1152921504606846976.0) / n_chars::DOUBLE AS key
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC)
+           AS sample_rank
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, sample_rank::INTEGER AS sample_rank
+FROM ranked WHERE sample_rank <= 5
+ORDER BY lang, sample_rank
+""",
+        "q66_dup_fraction": """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS a
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i - 1 AS chunk_i,
+         array_to_string(list_slice(a, (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' ')
+           AS chunk
+  FROM arr, unnest(generate_series(1, CAST(ceil(len(a) / 10.0) AS BIGINT))) AS t(i)
+  WHERE len(a) >= 1
+), hashed AS (
+  SELECT doc_id, chunk_i,
+         (('0x' || substring(sha256(chunk), 1, 15))::UBIGINT)::BIGINT AS h
+  FROM chunks WHERE chunk <> ''
+), marked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_i) AS rn
+  FROM hashed
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_frac
+FROM marked GROUP BY doc_id
+ORDER BY doc_id
+""",
+        "q67_cluster_representatives": f"""
+WITH clusters AS (
+{_clusters_oracle_sql(3, 16, 8, 0.5).replace("ORDER BY doc_id", "")}
+), j AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+), r AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM j
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       cluster_size::BIGINT AS cluster_size, n_chars AS rep_n_chars
+FROM r WHERE rn = 1
+ORDER BY cluster_id
 """,
     }

@@ -934,3 +934,49 @@ def boilerplate_removal(
             F.array_join("__kept", sep).alias("cleaned_text"),
         )
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the document to KEEP from each near-duplicate cluster — the
+    policy step between clustering and the rewrite/drop pass. The naive
+    rule (keep min doc_id) throws away the best copy whenever a truncated
+    or boilerplate-padded variant happens to have the smaller id; the
+    standard recipe keeps the highest-quality member (longest, or best
+    quality_score) with id ascending as the deterministic tie-break.
+
+    Input: ``clusters`` = (doc_id, cluster_id) as produced by
+    near_dup_clusters_sql / cc.connected_components; ``docs`` carries the
+    quality column. Output: one row per cluster —
+    (cluster_id, rep_doc_id, cluster_size, rep_<quality_col>).
+
+    Scale: the join ships only (doc_id, quality) against the cluster map
+    — text is never touched — and the window partitions by cluster_id;
+    near-dup clusters are small by construction (verified pairs), so no
+    skew handling is needed beyond what AQE provides. One shuffle on
+    cluster_id, map-side-combinable size aggregate folded into the same
+    window pass.
+    """
+    q = docs.select(F.col(id_col), F.col(quality_col))
+    joined = clusters.join(q, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("rep_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col(quality_col).alias(f"rep_{quality_col}"),
+        )
+    )

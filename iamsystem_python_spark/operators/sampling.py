@@ -156,3 +156,54 @@ def token_mixture_sample(
         )
     )
     return tie_cache(out, ranged)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per stratum
+    (Efraimidis-Spirakis 2006 A-ES): each row draws a deterministic
+    uniform u from the portable sha256 hash and is ranked by
+    ``ln(u) / weight`` descending — the classic exp-key trick that makes
+    weighted reservoir sampling a plain top-k. Heavier rows (more
+    chars/tokens/quality) are proportionally likelier to be picked, but
+    the selection is still exactly reproducible on any engine and any
+    partitioning — unlike rand()-based sampling, a retry or a
+    repartition never changes the training set.
+
+    Scale: one shuffle on the strata columns, one row_number window —
+    identical shape to stratified_sample. For k ≪ stratum size on a
+    skewed stratum, the same hash-prefix prefilter note applies. The
+    key u is 60 hash bits mapped to (0, 1]; ties are impossible in
+    practice and broken by id for full determinism anyway.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)), 256
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60 — never 0, so ln(u) is finite
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(
+        *[F.col(c) for c in strata_cols] if strata_cols else [F.lit(1)]
+    ).orderBy(F.desc(key), F.asc(id_col))
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .withColumn("sample_rank", F.col("_rank").cast("integer"))
+        .drop("_rank")
+    )

@@ -285,3 +285,225 @@ def tfidf_top_terms(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.9,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """KenLM-style fluency proxy one order up from :func:`unigram_logprob`:
+    per-doc mean bits per bigram position under a Jelinek-Mercer
+    interpolated bigram model trained on the corpus itself,
+    ``p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N``.
+    Repetitive boilerplate scores very low (its bigrams dominate the
+    corpus); token-soup scores high even when every unigram is common —
+    the signal unigram scoring structurally misses.
+
+    Plan shape: bigrams are built ROW-LOCALLY (one ``transform`` over the
+    token array — no self-join of an exploded token table, which at 100 TB
+    would shuffle the whole corpus twice on a skewed position key), then
+    exploded once. Three aggregates (bigram counts, unigram counts, corpus
+    N) are all map-side combined; both count tables are Heaps-law-bounded
+    and broadcast back (``broadcast_counts=False`` shuffles on the token
+    keys instead — leave AQE skew-join on for head tokens). Corpus N
+    arrives via crossJoin(broadcast); nothing collects and text never
+    crosses a shuffle. Docs with <2 tokens have no bigram positions and
+    are absent from the output (same as the SQL oracle's inner joins).
+    """
+    t = F.col(text_col)
+    arr = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != F.lit(""))
+    # guard: Spark's sequence(1, 0) DESCENDS — a 1-token doc would emit
+    # bogus positions, so filter before building the position sequence
+    big = df.where(F.size(arr) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("w1"),
+                    F.element_at(arr, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.lower(t), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    total = uni.agg(F.sum("c1").alias("n_corpus"))
+    u = F.broadcast(uni) if broadcast_counts else uni
+    b = F.broadcast(bi) if broadcast_counts else bi
+    scored = (
+        big.join(b, ["w1", "w2"])
+        .join(u.withColumnRenamed("tok", "w1"), "w1")
+        .join(
+            u.withColumnRenamed("tok", "w2").withColumnRenamed("c1", "c2"),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * F.col(
+        "c2"
+    ) / F.col("n_corpus")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 5).alias("bits_per_bigram"),
+        )
+        .select("doc_id", "n_bigrams", "bits_per_bigram")
+    )
+
+
+# HyperLogLog: p register-index bits off a portable 60-bit sha-prefix hash.
+# Spark has approx_count_distinct (also HLL) but its sketch is not
+# reproducible outside the JVM; this one is built from engine-portable
+# expressions so the DuckDB oracle replays every register exactly.
+HLL_P = 7  # m = 128 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard constant for m >= 128
+_HLL_W_BITS = 60 - HLL_P  # hash bits left after the register index
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Distinct-token cardinality per group via an explicit HyperLogLog
+    sketch (Flajolet et al. 2007): h = 60-bit sha256 prefix, register
+    j = h mod m, rank = leading-zero count of the remaining 53 bits + 1,
+    register value = max rank, estimate = alpha * m^2 / sum(2^-M_j) with
+    the small-range linear-counting correction. Exact distinct is emitted
+    alongside so the estimate is auditable per group.
+
+    Why not ``approx_count_distinct``: same algorithm, but Spark's binary
+    sketch can't be replayed by another engine — this formulation is pure
+    codegen expressions, so the DuckDB oracle reproduces every register
+    and the final estimate bit-for-bit. The 100-TB story is the usual HLL
+    one: the shuffle after the map-side partial max carries at most
+    m = 128 narrow rows per group regardless of input size, and sketches
+    merge by register-max (set ``groupBy`` finer, then re-max, for
+    rollups). Rank uses length(bin(w)) — integer string length, no
+    floating log2 — so both engines agree exactly.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    j = h % F.lit(HLL_M)
+    # h >> p — NOT h/m: long/int division routes through double, and a
+    # 60-bit value does not fit a 53-bit mantissa (low bits would be lost)
+    w = F.shiftright(h, HLL_P)
+    rank = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        toks.select(F.col("grp"), j.alias("j"), rank.alias("rank"))
+        .groupBy("grp", "j")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    # materialize all m registers per group (unseen registers count as 0)
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    full = (
+        groups.crossJoin(
+            F.broadcast(
+                df.sparkSession.range(HLL_M).select(F.col("id").alias("j"))
+            )
+        )
+        .join(regs, ["grp", "j"], "left")
+        .select("grp", "j", F.coalesce("m_j", F.lit(0)).alias("m_j"))
+    )
+    # exact-integer register sum: Σ 2^-M_j is computed as the INTEGER
+    # Σ 2^(54-M_j) (max 128·2^54 < 2^62, fits long) so the sum is
+    # order-independent — a float Σ of 128 powers of two needs >53
+    # mantissa bits and would differ between engines/partitionings in the
+    # last ulp. One exact long → double conversion, then one division.
+    s_int = F.sum(F.expr(f"shiftleft(1L, {_HLL_W_BITS + 1} - m_j)"))
+    est = full.groupBy("grp").agg(
+        (
+            F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_W_BITS + 1)))
+            / s_int.cast("double")
+        ).alias("e_raw"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    exact = toks.groupBy("grp").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.round(corrected, 4).alias("hll_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+    )
+
+
+def dup_fraction(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-text fraction (the RefinedWeb/Gopher-style
+    quality signal): chunk each doc into fixed ``chunk_tokens``-token
+    windows, mark every chunk whose content (60-bit sha prefix) already
+    occurred earlier in global (doc_id, chunk_i) order, and report
+    ``n_dup_chunks / n_chunks`` per doc. Docs scoring high are mostly
+    boilerplate someone else already contributed — downweight or drop
+    them without rebuilding text (contrast chunk_dedup, which rewrites).
+
+    Plan shape (same discipline as chunk_dedup, dedup_text.py:769):
+    chunking is row-local; the ONLY shuffle carries narrow
+    (hash60, doc_id, chunk_i) rows for the first-occurrence window; text
+    never leaves its scan. Degenerate mega-chunks (the same license
+    paragraph a billion times) concentrate narrow rows only.
+    """
+    t = F.col(text_col)
+    arr = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != F.lit(""))
+    n_chunks = F.ceil(F.size(arr) / F.lit(chunk_tokens)).cast("long")
+    # guard: sequence(0, -1) would DESCEND on an empty token array
+    chunks = df.where(F.size(arr) >= 1).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(arr, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_i", "chunk"),
+    ).where(F.col("chunk") != "")
+    h = F.conv(F.substring(F.sha2(F.col("chunk"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("h").orderBy("_id", "chunk_i")
+    marked = chunks.select("_id", "chunk_i", h.alias("h")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_chunks"),
+            F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

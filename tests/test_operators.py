@@ -2119,3 +2119,218 @@ def test_mixture_state_fn_crossing_and_restore():
     got2 = run([("d3", "a", 1)])
     assert got2 == {"d3": (12, False)}
     assert st.get[0] == 12
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob — Jelinek-Mercer interpolated bigram LM (q63)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_hand_oracle(spark):
+    """Corpus doc1 'a b a b', doc2 'b a', doc3 'z': unigrams a=3 b=3 z=1
+    N=7; bigrams (a,b)=2 (b,a)=2; every bigram position
+    p = 0.9*2/3 + 0.1*3/7 = 0.6428571 → bits = -log2(p) = 0.63743. The
+    1-token doc contributes to N but has no bigram positions and is
+    absent from the output. Count joins must broadcast (no SortMergeJoin)."""
+    from iamsystem_python_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "z")], ["doc_id", "text"]
+    )
+    out = bigram_logprob(df)
+    rows = {r.doc_id: (r.n_bigrams, r.bits_per_bigram) for r in out.collect()}
+    assert rows == {1: (3, 0.63743), 2: (1, 0.63743)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_logprob_flags_token_soup(spark):
+    """The signal unigram scoring misses: two docs over the SAME unigram
+    multiset, one fluent (its bigrams repeat across the corpus), one
+    shuffled soup — the soup's unseen-bigram positions fall back to the
+    0.1*unigram term and score strictly higher."""
+    from iamsystem_python_spark.operators.textstats import bigram_logprob
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(1, 6)]
+    rows.append((6, "mat the on sat cat the"))  # same words, scrambled
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.bits_per_bigram for r in bigram_logprob(df).collect()}
+    assert out[6] > out[1] + 1.0
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct — explicit portable HyperLogLog sketch (q64)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_tracks_exact(spark):
+    """m=128 → standard error ~1.04/sqrt(128) = 9.2%; assert the estimate
+    lands within 25% (>2.5 sigma) of exact for a ~600-distinct-token
+    group, and that the exact column is exact."""
+    from iamsystem_python_spark.operators.textstats import hll_distinct
+
+    text = " ".join(f"tok{i}" for i in range(600))
+    df = spark.createDataFrame([(1, text, "en")], ["doc_id", "text", "lang"])
+    r = hll_distinct(df).collect()[0]
+    assert r.exact_distinct == 600
+    assert abs(r.hll_distinct - 600) / 600 < 0.25
+
+
+def test_hll_small_range_linear_counting(spark):
+    """3 distinct tokens: V = 125 empty registers → linear counting
+    m*ln(m/V) = 128*ln(128/125) = 3.0362 — the correction path."""
+    from iamsystem_python_spark.operators.textstats import hll_distinct
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y z", "en")], ["doc_id", "text", "lang"]
+    )
+    r = hll_distinct(df).collect()[0]
+    assert r.exact_distinct == 3
+    assert abs(r.hll_distinct - 3.0) < 0.25
+
+
+def test_hll_partition_invariant(spark):
+    """The register sum is an exact integer, so the estimate cannot drift
+    with partitioning (a float sum of 128 powers of two would)."""
+    from iamsystem_python_spark.operators.textstats import hll_distinct
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)), "en") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    a = hll_distinct(df).collect()[0]
+    b = hll_distinct(df.repartition(7)).collect()[0]
+    assert a.hll_distinct == b.hll_distinct == pytest.approx(a.hll_distinct)
+    assert a.exact_distinct == b.exact_distinct
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — Efraimidis-Spirakis without replacement (q65)
+# ---------------------------------------------------------------------------
+
+
+def _es_expected(rows, k, salt="s1"):
+    import hashlib
+    import math as _math
+
+    keyed = []
+    for doc_id, lang, w in rows:
+        h = int(hashlib.sha256(f"{doc_id}|{salt}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        keyed.append((lang, _math.log(u) / w, doc_id))
+    out = {}
+    for lang in {r[0] for r in keyed}:
+        grp = sorted(
+            [t for t in keyed if t[0] == lang], key=lambda t: (-t[1], t[2])
+        )
+        out[lang] = [t[2] for t in grp[:k]]
+    return out
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """Exact selection AND order must equal a from-scratch Python replay
+    of the exp-key rule — on any partitioning."""
+    from iamsystem_python_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "en" if i % 2 else "fr", 10 + (i * 37) % 90) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    expected = _es_expected(rows, k=3)
+    for frame in (df, df.repartition(11)):
+        got = {}
+        res = weighted_sample(
+            frame, k=3, weight_col="n_chars", strata_cols=("lang",)
+        ).collect()
+        for r in sorted(res, key=lambda r: (r.lang, r.sample_rank)):
+            got.setdefault(r.lang, []).append(r.doc_id)
+        assert got == expected
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """One row with 10000x the weight of 99 others is selected at k=1
+    with probability 10000/(10000+99) — deterministic here, so assert it."""
+    from iamsystem_python_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "en", 1) for i in range(1, 100)] + [(999, "en", 10000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    got = weighted_sample(df, k=1, weight_col="n_chars", strata_cols=("lang",))
+    assert [r.doc_id for r in got.collect()] == [999]
+
+
+def test_weighted_sample_bad_k_raises(spark):
+    from iamsystem_python_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, "en", 5)], ["doc_id", "lang", "n_chars"])
+    with pytest.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# dup_fraction — per-doc duplicate-chunk fraction (q66)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_fraction_hand_example(spark):
+    """doc1 = A+B (two 10-token chunks), doc2 = A+C: doc2's copy of A is
+    the later occurrence → doc1 frac 0, doc2 frac 0.5. Short doc3 (3
+    tokens) is one sub-size chunk; empty doc absent."""
+    from iamsystem_python_spark.operators.textstats import dup_fraction
+
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, "x y z"), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_frac) for r in dup_fraction(df).collect()}
+    assert rows == {1: (2, 0, 0.0), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_dup_fraction_matches_brute_force(spark):
+    """Random corpus with planted repetition vs a from-scratch Python
+    replay of chunking + global first-occurrence ownership."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.textstats import dup_fraction
+
+    rng = _random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(1, 25):
+        n = rng.randint(1, 45)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks) for r in dup_fraction(df).collect()}
+
+    seen, expected = set(), {}
+    for doc_id, text in docs:  # already in (doc_id, chunk_i) global order
+        toks = text.lower().split()
+        chunks = [" ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)]
+        dup = sum(1 for ch in chunks if ch in seen or seen.add(ch))
+        expected[doc_id] = (len(chunks), dup)
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives — keep-best policy per near-dup cluster (q67)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_representatives_policy(spark):
+    """Highest quality wins; equal quality falls back to min doc_id;
+    singleton clusters keep their only member."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        cluster_representatives,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)], ["doc_id", "cluster_id"]
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (4, 6), (5, 6)], ["doc_id", "n_chars"]
+    )
+    out = {
+        r.cluster_id: (r.rep_doc_id, r.cluster_size, r.rep_n_chars)
+        for r in cluster_representatives(clusters, docs).collect()
+    }
+    assert out == {1: (2, 2, 9), 3: (3, 1, 7), 4: (4, 2, 6)}
