@@ -1145,6 +1145,22 @@ def q67_cluster_representatives(spark, sf_dir):
     return tie_cache(reps.orderBy("cluster_id"), clusters)
 
 
+def q68_winnowing_pairs(spark, sf_dir):
+    """MOSS-style winnowing clone pairs (operators/dedup_text.
+    winnowing_pairs_sql, Schleimer/Wilkerson/Aiken SIGMOD'03): char-7-gram
+    60-bit hashes, window-5 minima, distinct fingerprints; candidate join
+    is a narrow (id,int64) equi self-join on fp — never all-pairs; sim =
+    |∩| / min(|A|,|B|) (containment form, catches file-inside-file). Text
+    never crosses a shuffle. Oracle replays grams/hash/window/minima in
+    DuckDB exactly (max_fp_docs=None keeps it ANSI-replayable)."""
+    from iamsystem_python_spark.operators.dedup_text import winnowing_pairs_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_pairs_sql(docs, k=7, w=5, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1210,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_weighted_sample": q65_weighted_sample,
         "q66_dup_fraction": q66_dup_fraction,
         "q67_cluster_representatives": q67_cluster_representatives,
+        "q68_winnowing_pairs": q68_winnowing_pairs,
     }
 
 
@@ -2502,5 +2519,46 @@ SELECT cluster_id, doc_id AS rep_doc_id,
        cluster_size::BIGINT AS cluster_size, n_chars AS rep_n_chars
 FROM r WHERE rn = 1
 ORDER BY cluster_id
+""",
+        "q68_winnowing_pairs": """
+WITH norm AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(
+      CASE WHEN length(t) >= 7
+        THEN list_transform(generate_series(1, length(t) - 6),
+                            i -> substring(t, i, 7))
+        ELSE [t] END,
+      g -> (('0x' || substring(sha256(g), 1, 15))::UBIGINT)::BIGINT
+             % 2147483647
+    ) AS hs
+  FROM norm
+), sk AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(hs) >= 5
+        THEN list_transform(generate_series(1, len(hs) - 4),
+                            j -> list_min(list_slice(hs, j, j + 4)))
+        ELSE [list_min(hs)] END
+    ) AS fps
+  FROM hashed
+), fp AS (
+  SELECT doc_id, unnest(fps) AS fp FROM sk
+), nfp AS (
+  SELECT doc_id, len(fps)::BIGINT AS n_fp FROM sk
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_fp
+  FROM fp a JOIN fp b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp,
+       round(p.shared_fp::DOUBLE / least(na.n_fp, nb.n_fp), 6) AS sim
+FROM pairs p
+JOIN nfp na ON na.doc_id = p.doc_a
+JOIN nfp nb ON nb.doc_id = p.doc_b
+WHERE p.shared_fp::DOUBLE / least(na.n_fp, nb.n_fp) >= 0.5
+ORDER BY doc_a, doc_b
 """,
     }

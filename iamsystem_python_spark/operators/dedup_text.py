@@ -936,6 +936,159 @@ def boilerplate_removal(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 7,
+    w: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp) — winnowing fingerprints, one narrow row per distinct
+    selected hash (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+    algorithm, public).
+
+    Pipeline per row: lowercase → character ``k``-grams → portable 60-bit
+    sha hash mod P (the same cross-engine hash the MinHash SQL path uses,
+    functions/sqlhash.py) → in every window of ``w`` consecutive gram
+    hashes keep the minimum → distinct selected hashes. The winnowing
+    guarantee: any shared substring of length ≥ w + k - 1 contributes at
+    least one shared fingerprint; expected density is 2/(w+1), so the
+    sketch is ~2m/(w+1) int64s for an m-gram document. This is the
+    persistable sketch table for MOSS-style code-clone search; text is
+    read once and never crosses a shuffle — only (id, int64) rows do.
+
+    The classic rightmost-tie rule only affects which *position* is
+    recorded; this engine keeps hash values only (positions dropped before
+    the join), so ties are value-identical either way. Documents shorter
+    than k chars hash as one whole-string gram; fewer than w grams yield
+    the single global minimum — every row gets ≥1 fingerprint.
+
+    Plan shape: the gram/hash/window arrays are STAGED as separate
+    projections on purpose. Folded into one nested expression, Catalyst
+    inlines the gram-hash array into every window lambda and the row cost
+    goes O(m·w·sha2) → measured 457 s for 500 small docs; staged, each
+    array is evaluated once per row (CollapseProject keeps non-cheap
+    producers out of lambda consumers) and the same input runs in ~1 s.
+    Small-input guard: winnowing is CPU-heavy row-local work, so when the
+    incoming frame has fewer partitions than the session's default
+    parallelism (tiny file counts — the test/bench shape) we repartition
+    by id first; at real scale the scan already yields >= one partition
+    per core and no extra shuffle happens.
+    """
+    from iamsystem_python_spark.functions.sqlhash import P
+
+    # Null text can't fingerprint; filtering here (cheap, pushed to the
+    # scan) lets the final explode be explode_outer — see below.
+    df = df.where(F.col(text_col).isNotNull())
+    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+
+    norm = F.lower(F.col(text_col))
+    n = F.length(norm)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k) + F.lit(1)),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        ),
+    ).otherwise(F.array(norm))
+    staged = df.select(F.col(id_col), grams.alias("_grams"))
+
+    hs = F.transform(
+        F.col("_grams"),
+        lambda g: F.conv(F.substring(F.sha2(g, 256), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % F.lit(P),
+    )
+    staged = staged.select(id_col, hs.alias("_hs"))
+
+    m = F.size(F.col("_hs"))
+    wins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(w) + F.lit(1)),
+            lambda j: F.array_min(F.slice(F.col("_hs"), j, F.lit(w))),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("_hs"))))
+    staged = staged.select(id_col, F.array_distinct(wins).alias("_fps"))
+
+    # explode_outer, NOT explode: a plain explode makes Catalyst infer a
+    # `size(_fps) > 0 AND isnotnull(_fps)` filter from the Generate, and
+    # filter pushdown then drags the WHOLE fingerprint expression below
+    # the repartition exchange, fully re-inlined, onto the (possibly
+    # single-partition) scan side — measured 235 s vs ~2 s for 500 docs.
+    # Every non-null text yields >= 1 fingerprint, so outer is identical.
+    return staged.select(
+        F.col(id_col), F.explode_outer(F.col("_fps")).alias("fp")
+    )
+
+
+def winnowing_pairs_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 7,
+    w: int = 5,
+    threshold: float = 0.5,
+    max_fp_docs=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style fingerprint-overlap pairs: (doc_a, doc_b, shared_fp, sim)
+    with sim = |FP(a) ∩ FP(b)| / min(|FP(a)|, |FP(b)|) — the containment
+    form, so a small file winnow-pasted into a big one still scores high.
+
+    Plan shape (the 100-TB lens): fingerprints are exploded to narrow
+    (id, int64) rows, the candidate join is a plain equi self-join on fp —
+    never all-pairs — and the pair aggregate is one map-side-combinable
+    groupBy. Per-doc sketch sizes join back via two broadcast-size-agnostic
+    equi-joins on id. ``max_fp_docs`` drops fingerprints present in more
+    than that many documents (shared license headers / generated preambles
+    — the code-corpus hot keys) before the self-join, with the drop count
+    surfaced as an observe metric; denominators stay the FULL sketch sizes
+    so capping only lowers scores, never inflates them. With
+    ``max_fp_docs=None`` the computation is exactly replayable in ANSI SQL
+    (the q68 DuckDB oracle).
+    """
+    # fps feeds the sketch-size aggregate, (optionally) the hot-fp count,
+    # and both sides of the self-join — persist it once, scoped to the
+    # returned frame (same tie_cache pattern as the LSH bands frame).
+    fps = winnow_fingerprints(df, text_col, k, w, id_col).persist()
+    nfp = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    joinable = fps
+    if max_fp_docs is not None:
+        doc_freq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+        hot = doc_freq.where(F.col("_df") > max_fp_docs).select("fp")
+        hot = hot.observe(
+            "winnow_hot_fp", F.count(F.lit(1)).alias("winnow_hot_fp_dropped")
+        )
+        joinable = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = joinable.select(F.col(id_col).alias("doc_a"), "fp")
+    b = joinable.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fp"))
+    )
+    na = nfp.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("_na"))
+    nb = nfp.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("_nb"))
+    sim = F.col("shared_fp") / F.least(F.col("_na"), F.col("_nb"))
+    out = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(sim >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+    return tie_cache(out, fps)
+
+
 def cluster_representatives(
     clusters: DataFrame,
     docs: DataFrame,

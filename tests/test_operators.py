@@ -2334,3 +2334,117 @@ def test_cluster_representatives_policy(spark):
         for r in cluster_representatives(clusters, docs).collect()
     }
     assert out == {1: (2, 2, 9), 3: (3, 1, 7), 4: (4, 2, 6)}
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints — MOSS-style code-clone sketch (q68)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text, k, w):
+    """From-scratch Python replay of the winnowing sketch (value set)."""
+    import hashlib
+
+    P = 2147483647
+    t = text.lower()
+    grams = [t[i : i + k] for i in range(len(t) - k + 1)] if len(t) >= k else [t]
+    hs = [
+        int(hashlib.sha256(g.encode("utf-8")).hexdigest()[:15], 16) % P
+        for g in grams
+    ]
+    wins = (
+        [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+        if len(hs) >= w
+        else [min(hs)]
+    )
+    return set(wins)
+
+
+def test_winnow_fingerprints_matches_brute_force(spark):
+    """Random texts (incl. shorter-than-k and shorter-than-w edge rows) vs
+    the from-scratch Python winnow — fingerprint SETS must be identical."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.dedup_text import winnow_fingerprints
+
+    rng = _random.Random(11)
+    docs = [(1, "ab"), (2, "abcdefg"), (3, "abcdefgh")]  # <k, ==k, k+1 grams
+    for i in range(4, 20):
+        n = rng.randint(5, 120)
+        docs.append((i, "".join(rng.choice("abcdef ") for _ in range(n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, k=7, w=5).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    expected = {doc_id: _winnow_py(t, 7, 5) for doc_id, t in docs}
+    assert got == expected
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """SWA guarantee: two docs sharing a substring of length >= w+k-1
+    share at least one fingerprint, regardless of surrounding text."""
+    from iamsystem_python_spark.operators.dedup_text import winnow_fingerprints
+
+    core = "the quick brown fox jumps over the lazy dog once"  # 49 >= 5+7-1
+    df = spark.createDataFrame(
+        [(1, f"PREFIX AAA {core} suffix one"), (2, f"zz {core} other tail qq")],
+        ["doc_id", "text"],
+    )
+    fps = {}
+    for r in winnow_fingerprints(df, k=7, w=5).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+
+
+def test_winnowing_pairs_planted_clones(spark):
+    """Planted clone pair scores high and survives the threshold; the
+    unrelated doc pairs score below it; sim values match a from-scratch
+    containment computation on the Python sketches."""
+    from iamsystem_python_spark.operators.dedup_text import winnowing_pairs_sql
+
+    base = (
+        "def load_table(spark, path):\n"
+        "    df = spark.read.parquet(path)\n"
+        "    return df.select('a', 'b').where(df.a > 0)\n"
+    )
+    clone = base.replace("load_table", "read_table")  # near-identical
+    other = "SELECT count(*) FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag"
+    docs = [(1, base), (2, clone), (3, other)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.doc_a, r.doc_b): (r.shared_fp, r.sim)
+        for r in winnowing_pairs_sql(df, k=7, w=5, threshold=0.5).collect()
+    }
+    assert set(out) == {(1, 2)}
+    sk = {d: _winnow_py(t, 7, 5) for d, t in docs}
+    exp_shared = len(sk[1] & sk[2])
+    exp_sim = round(exp_shared / min(len(sk[1]), len(sk[2])), 6)
+    assert out[(1, 2)] == (exp_shared, exp_sim)
+
+
+def test_winnowing_pairs_hot_fp_cap_only_lowers(spark):
+    """max_fp_docs drops corpus-hot fingerprints before the self-join:
+    shared counts can only shrink and denominators stay full-sketch, so
+    no score may rise; the boilerplate-driven pair disappears."""
+    from iamsystem_python_spark.operators.dedup_text import winnowing_pairs_sql
+
+    header = "# Licensed under the Apache License, Version 2.0 (the 'License')\n"
+    docs = [
+        (i, header + f"unique body {i} " + "x" * i + f" tail{i*7}")
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = {
+        (r.doc_a, r.doc_b): r.sim
+        for r in winnowing_pairs_sql(df, k=7, w=5, threshold=0.05).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.sim
+        for r in winnowing_pairs_sql(
+            df, k=7, w=5, threshold=0.05, max_fp_docs=3
+        ).collect()
+    }
+    assert uncapped  # the shared header creates pairs
+    for pair, sim in capped.items():
+        assert sim <= uncapped[pair] + 1e-9
+    assert set(capped) <= set(uncapped)
