@@ -1161,6 +1161,55 @@ def q68_winnowing_pairs(spark, sf_dir):
     )
 
 
+def q69_template_clones(spark, sf_dir):
+    """Type-2 clone / template groups (operators/dedup_text.
+    template_fingerprints): blind-consistent identifier renaming — every
+    token matching ^[a-z][a-z0-9_]*$ becomes I<first-occurrence index>,
+    everything else stays verbatim — then sha256 of the renamed stream.
+    Catches renamed code clones and MadLibs-template spam. Renaming is
+    row-local (array_position against the row's own token array); the
+    only shuffle is the window on tpl_sha. Oracle replays the renaming
+    with list_position/list_transform in DuckDB exactly."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        template_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return template_fingerprints(docs).orderBy("doc_id")
+
+
+def q70_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (operators/textstats.
+    cms_heavy_hitters): depth=4 × width=256 CMS over whitespace tokens,
+    audited against exact counts for the exact top-20 terms. Sketch
+    build shuffles ≤ depth·width narrow rows per task (map-side partial
+    agg — the CMS merge property); estimate join broadcasts the ≤1024-row
+    sketch. est_cnt ≥ exact_cnt always (one-sided guarantee). Oracle
+    replays every cell via the portable sha256 hash."""
+    from iamsystem_python_spark.operators.textstats import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, depth=4, width=256, top_n=20).orderBy(
+        F.desc("exact_cnt"), "term"
+    )
+
+
+def q71_overlap_matrix(spark, sf_dir):
+    """Exact pairwise source-overlap matrix (operators/decontaminate.
+    overlap_matrix): distinct 5-token shingle hashes per source, equi
+    self-join on h60 (never all-pairs), map-side-combined pair counts,
+    broadcast size re-attach; jaccard + containment per source pair.
+    The exact counterpart of q53's merged-MinHash estimate — the
+    train/test contamination and dump-overlap audit. Oracle replays
+    shingles + hashes + the pair aggregation in DuckDB exactly."""
+    from iamsystem_python_spark.operators.decontaminate import overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    return overlap_matrix(docs, k=5, group_col="source").orderBy(
+        "group_a", "group_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1227,6 +1276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_dup_fraction": q66_dup_fraction,
         "q67_cluster_representatives": q67_cluster_representatives,
         "q68_winnowing_pairs": q68_winnowing_pairs,
+        "q69_template_clones": q69_template_clones,
+        "q70_cms_heavy_hitters": q70_cms_heavy_hitters,
+        "q71_overlap_matrix": q71_overlap_matrix,
     }
 
 
@@ -2560,5 +2612,80 @@ JOIN nfp na ON na.doc_id = p.doc_a
 JOIN nfp nb ON nb.doc_id = p.doc_b
 WHERE p.shared_fp::DOUBLE / least(na.n_fp, nb.n_fp) >= 0.5
 ORDER BY doc_a, doc_b
+""",
+        "q69_template_clones": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), tpl AS (
+  SELECT doc_id,
+         sha256(array_to_string(
+           list_transform(tk, t ->
+             CASE WHEN regexp_matches(t, '^[a-z][a-z0-9_]*$')
+                  THEN 'I' || list_position(tk, t)::VARCHAR
+                  ELSE t END), ' ')) AS tpl_sha
+  FROM toks
+), sized AS (
+  SELECT doc_id, tpl_sha,
+         count(*) OVER (PARTITION BY tpl_sha) AS tpl_size
+  FROM tpl
+)
+SELECT doc_id, tpl_sha, tpl_size::BIGINT AS tpl_size
+FROM sized WHERE tpl_size >= 2
+ORDER BY doc_id
+""",
+        "q70_cms_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), cells AS (
+  SELECT j,
+         (('0x' || substring(sha256(j::VARCHAR || ':' || tok), 1, 15))
+           ::UBIGINT)::BIGINT % 256 AS bkt
+  FROM toks, unnest([0, 1, 2, 3]) AS u(j)
+), sketch AS (
+  SELECT j, bkt, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2
+), exact AS (
+  SELECT tok, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20
+), probes AS (
+  SELECT tok, exact_cnt, j,
+         (('0x' || substring(sha256(j::VARCHAR || ':' || tok), 1, 15))
+           ::UBIGINT)::BIGINT % 256 AS bkt
+  FROM top, unnest([0, 1, 2, 3]) AS u(j)
+)
+SELECT p.tok AS term, p.exact_cnt, min(s.cnt)::BIGINT AS est_cnt
+FROM probes p JOIN sketch s USING (j, bkt)
+GROUP BY 1, 2
+ORDER BY exact_cnt DESC, term
+""",
+        "q71_overlap_matrix": f"""
+WITH base AS (
+  SELECT source, {_shingle_sql(5)} AS shl FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         (('0x' || substring(sha256(u.s), 1, 15))::UBIGINT)::BIGINT AS h60
+  FROM base, unnest(shl) AS u(s)
+), n AS (
+  SELECT source, count(*)::BIGINT AS n_grams FROM g GROUP BY source
+), p AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         count(*)::BIGINT AS shared_ngrams
+  FROM g a JOIN g b ON a.h60 = b.h60 AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.group_a, p.group_b, p.shared_ngrams,
+       round(p.shared_ngrams::DOUBLE
+             / (na.n_grams + nb.n_grams - p.shared_ngrams), 6) AS jaccard,
+       round(p.shared_ngrams::DOUBLE / least(na.n_grams, nb.n_grams), 6)
+         AS containment
+FROM p
+JOIN n na ON na.source = p.group_a
+JOIN n nb ON nb.source = p.group_b
+ORDER BY group_a, group_b
 """,
     }

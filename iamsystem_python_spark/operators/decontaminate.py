@@ -155,3 +155,79 @@ def decontaminate(
     # `bad` does not extend that scope (scoped_cache docstring), so without
     # this the grams cache is released before the anti-join materializes
     return tie_cache(corpus.join(bad, id_col, "left_anti"), scores)
+
+
+def overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 5,
+    max_groups_per_hash=None,
+) -> DataFrame:
+    """Exact pairwise n-gram overlap matrix between corpus groups
+    (sources / splits / dumps): (group_a, group_b, shared_ngrams,
+    jaccard, containment) over distinct k-token shingle hashes. This is
+    the train/test-contamination and dump-overlap audit — the exact
+    counterpart of the q53 merged-MinHash estimate, and the matrix form
+    of pairwise `contamination_scores`.
+
+    Plan shape: one shingle pass over the corpus (text never crosses a
+    shuffle — only (group, h60) rows do), distinct per group, then an
+    equi self-join on h60 with group_a < group_b and a map-side-combined
+    pair count. Group sizes (a tiny #groups-row aggregate) re-attach by
+    broadcast. At web scale the hot keys are grams present in MANY
+    groups (boilerplate n-grams): ``max_groups_per_hash`` drops grams
+    above that group-count before the self-join (a gram in G groups
+    yields O(G²) pair rows), surfaced via an observe metric; denominators
+    stay the FULL per-group gram counts, so capping only lowers scores.
+    With the default None the computation is exactly replayable in ANSI
+    SQL (the q71 DuckDB oracle).
+    """
+    grams = (
+        shingle_hash_rows(df, text_col, k, distinct=True, carry_cols=(group_col,))
+        .select(F.col(group_col).alias("grp"), "h60")
+        .distinct()
+        .persist()
+    )
+    sizes = grams.groupBy("grp").agg(F.count("*").alias("n_grams"))
+    joinable = grams
+    if max_groups_per_hash is not None:
+        hot = (
+            grams.groupBy("h60")
+            .agg(F.count("*").alias("_ng"))
+            .where(F.col("_ng") > max_groups_per_hash)
+            .select("h60")
+        )
+        hot = hot.observe(
+            "overlap_hot_gram",
+            F.count(F.lit(1)).alias("overlap_hot_grams_dropped"),
+        )
+        joinable = grams.join(F.broadcast(hot), "h60", "left_anti")
+    a = joinable.select(F.col("grp").alias("group_a"), "h60")
+    b = joinable.select(F.col("grp").alias("group_b"), "h60")
+    pairs = (
+        a.join(b, "h60")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    na = sizes.select(F.col("grp").alias("group_a"), F.col("n_grams").alias("_na"))
+    nb = sizes.select(F.col("grp").alias("group_b"), F.col("n_grams").alias("_nb"))
+    out = (
+        pairs.join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "shared_ngrams",
+            F.round(
+                F.col("shared_ngrams")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_ngrams")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shared_ngrams") / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("containment"),
+        )
+    )
+    return tie_cache(out, grams)

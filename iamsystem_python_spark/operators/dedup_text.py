@@ -1133,3 +1133,61 @@ def cluster_representatives(
             F.col(quality_col).alias(f"rep_{quality_col}"),
         )
     )
+
+
+def template_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ident_pattern: str = "^[a-z][a-z0-9_]*$",
+    min_group: int = 2,
+) -> DataFrame:
+    """Type-2 clone / template groups via blind-consistent identifier
+    renaming (the classic code-clone normalization — CCFinder/NiCad
+    family, public literature): every token matching ``ident_pattern``
+    is replaced by ``I<first-occurrence index in the token stream>``, all
+    other tokens (numbers, punctuation-bearing words, symbols) stay
+    verbatim, and the renamed stream is sha256-fingerprinted. Two
+    documents collide iff they share the exact token structure up to a
+    consistent renaming of identifier-ish tokens — renamed code clones,
+    or template-generated web pages differing only in substituted words
+    (the MadLibs-spam shape).
+
+    Returns (id, tpl_sha, tpl_size) for documents in groups of at least
+    ``min_group`` members.
+
+    Plan shape: tokenization, classification, first-occurrence renaming
+    (array_position against the row's own token array — row-local, no
+    join) and hashing are all per-row projections; the only shuffle is
+    the window over tpl_sha (64-hex-char key, narrow rows). Text never
+    crosses a shuffle. Arrays are STAGED as separate projections — same
+    Catalyst re-inlining hazard as winnow_fingerprints (see that
+    docstring): folded into one expression, the token array would be
+    recomputed for every array_position probe.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    renamed = F.transform(
+        F.col("_toks"),
+        lambda t: F.when(
+            t.rlike(ident_pattern),
+            F.concat(
+                F.lit("I"),
+                F.array_position(F.col("_toks"), t).cast("string"),
+            ),
+        ).otherwise(t),
+    )
+    staged = staged.select(
+        id_col, F.sha2(F.array_join(renamed, " "), 256).alias("tpl_sha")
+    )
+    win = Window.partitionBy("tpl_sha")
+    return (
+        staged.withColumn("tpl_size", F.count("*").over(win))
+        .where(F.col("tpl_size") >= min_group)
+        .select(id_col, "tpl_sha", "tpl_size")
+    )

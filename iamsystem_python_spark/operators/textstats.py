@@ -507,3 +507,86 @@ def dup_fraction(
             ),
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min sketch term frequencies (Cormode & Muthukrishnan 2005),
+    audited against exact counts: (term, exact_cnt, est_cnt) for the
+    exact top-``top_n`` terms, est from a depth×width CMS.
+
+    The sketch build is the 100-TB face: bucket each token occurrence
+    into ``depth`` rows ((j, bucket_j(tok))) and groupBy-count — Spark's
+    map-side partial aggregation means every task emits at most
+    depth·width narrow rows into the shuffle no matter how many tokens
+    it saw, and sketches merge by plain addition (the CMS property).
+    Contrast the exact wordcount, whose shuffle is proportional to the
+    per-partition distinct-token count. The estimate join broadcasts the
+    ≤ depth·width-row sketch onto the candidates and takes min_j — with
+    the one-sided CMS guarantee est_cnt ≥ exact_cnt always, and
+    E[overcount] ≤ (2/width)·total_tokens per row.
+
+    Candidate enumeration is the exact top-n (CMS alone cannot enumerate
+    keys); this operator's purpose is the auditable sketch: the same
+    (j, bucket) table serves streaming admission or cross-day merges
+    where exact counts are unaffordable. Hash j is the portable
+    sha256(f"{j}:{tok}") 60-bit prefix, so the DuckDB oracle reproduces
+    every cell."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    def _bkt(j, tok):
+        h = F.conv(
+            F.substring(F.sha2(F.concat(F.lit(f"{j}:"), tok), 256), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return h % F.lit(width)
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bkt(j, F.col("tok")).alias("bkt"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.j", "c.bkt")
+    sketch = cells.groupBy("j", "bkt").agg(F.count("*").alias("cnt"))
+
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(top_n)
+
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bkt(j, F.col("tok")).alias("bkt"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "exact_cnt", "c.j", "c.bkt")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bkt"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            F.col("tok").alias("term"), "exact_cnt", "est_cnt"
+        )
+    )

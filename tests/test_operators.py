@@ -2448,3 +2448,195 @@ def test_winnowing_pairs_hot_fp_cap_only_lowers(spark):
     for pair, sim in capped.items():
         assert sim <= uncapped[pair] + 1e-9
     assert set(capped) <= set(uncapped)
+
+
+# ---------------------------------------------------------------------------
+# template_fingerprints — type-2 clone / template groups (q69)
+# ---------------------------------------------------------------------------
+
+
+def _template_sha_py(text, ident="^[a-z][a-z0-9_]*$"):
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.lower()) if t != ""]
+    pat = re.compile(ident)
+    out = []
+    for t in toks:
+        if pat.search(t):
+            out.append(f"I{toks.index(t) + 1}")
+        else:
+            out.append(t)
+    return hashlib.sha256(" ".join(out).encode("utf-8")).hexdigest()
+
+
+def test_template_fingerprints_clone_groups(spark):
+    """Consistently renamed clones collide; structure changes don't.
+    doc1/doc2: same code modulo identifier names -> one group. doc3 has
+    an extra token -> no group. doc4/doc5: template sentences differing
+    only in substituted words -> one group. Non-identifier tokens
+    (numbers, punctuation-bearing) must match verbatim (doc6 vs doc4)."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        template_fingerprints,
+    )
+
+    docs = [
+        (1, "def foo ( a b ) : return a + b"),
+        (2, "def bar ( x y ) : return x + y"),
+        (3, "def baz ( x y ) : return x + y ;"),
+        (4, "buy cheap watches at example dot com today 99"),
+        (5, "buy fancy handbags at shop dot net today 99"),
+        (6, "buy fancy handbags at shop dot net today 42"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.doc_id: (r.tpl_sha, r.tpl_size) for r in template_fingerprints(df).collect()}
+    assert set(rows) == {1, 2, 4, 5}
+    assert rows[1][0] == rows[2][0] and rows[1][1] == 2
+    assert rows[4][0] == rows[5][0] and rows[4][1] == 2
+    assert rows[1][0] != rows[4][0]
+    # repeated identifiers must map to the SAME placeholder both times
+    assert rows[1][0] == _template_sha_py(docs[0][1])
+
+
+def test_template_fingerprints_matches_brute_force(spark):
+    """Random word docs vs the from-scratch Python replay of renaming."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.dedup_text import (
+        template_fingerprints,
+    )
+
+    rng = _random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "7", "x1", "—", "a,b"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r.tpl_sha for r in template_fingerprints(df, min_group=1).collect()}
+    expected = {i: _template_sha_py(t) for i, t in docs}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters — count-min sketch with exact audit (q70)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_heavy_hitters_guarantee_and_values(spark):
+    """est_cnt >= exact_cnt for every term (one-sided CMS guarantee) and
+    both columns match a from-scratch Python CMS replay."""
+    import hashlib
+    from collections import Counter
+
+    from iamsystem_python_spark.operators.textstats import cms_heavy_hitters
+
+    docs = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "the dog ate the cat food"),
+        (3, "mat mat mat dog"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    depth, width = 4, 8  # tiny width forces real collisions
+    got = {
+        r.term: (r.exact_cnt, r.est_cnt)
+        for r in cms_heavy_hitters(df, depth=depth, width=width, top_n=5).collect()
+    }
+
+    toks = [t for _, x in docs for t in x.lower().split() if t]
+    exact = Counter(toks)
+
+    def bkt(j, tok):
+        return int(hashlib.sha256(f"{j}:{tok}".encode()).hexdigest()[:15], 16) % width
+
+    cms = Counter()
+    for t in toks:
+        for j in range(depth):
+            cms[(j, bkt(j, t))] += 1
+    top5 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    expected = {
+        t: (c, min(cms[(j, bkt(j, t))] for j in range(depth)))
+        for t, c in top5
+    }
+    assert got == expected
+    for t, (ex, est) in got.items():
+        assert est >= ex
+
+
+# ---------------------------------------------------------------------------
+# overlap_matrix — exact pairwise group n-gram overlap (q71)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_set_py(text, k):
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_overlap_matrix_matches_brute_force(spark):
+    """Three groups with planted overlap vs a from-scratch Python replay
+    of distinct-shingle jaccard/containment."""
+    from iamsystem_python_spark.operators.decontaminate import overlap_matrix
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, f"{shared} one extra words here", "train"),
+        (2, "totally different content in this row", "train"),
+        (3, f"{shared} and some more", "test"),
+        (4, "nothing in common at all truly", "val"),
+        (5, "totally different content in this row", "val"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {
+        (r.group_a, r.group_b): (r.shared_ngrams, r.jaccard, r.containment)
+        for r in overlap_matrix(df, k=3, group_col="source").collect()
+    }
+
+    groups = {}
+    for _, text, src in docs:
+        groups.setdefault(src, set()).update(_shingle_set_py(text, 3))
+    expected = {}
+    for ga in sorted(groups):
+        for gb in sorted(groups):
+            if ga < gb:
+                inter = len(groups[ga] & groups[gb])
+                if inter:
+                    expected[(ga, gb)] = (
+                        inter,
+                        round(inter / len(groups[ga] | groups[gb]), 6),
+                        round(inter / min(len(groups[ga]), len(groups[gb])), 6),
+                    )
+    assert got == expected
+    assert ("test", "train") in got  # the planted contamination pair
+
+
+def test_overlap_matrix_hot_gram_cap_only_lowers(spark):
+    """A gram present in every group is dropped by the cap; scores only
+    decrease and denominators stay full."""
+    from iamsystem_python_spark.operators.decontaminate import overlap_matrix
+
+    boiler = "this line is in every single split"
+    docs = [
+        (1, boiler + " aaa bbb ccc", "a"),
+        (2, boiler + " ddd eee fff", "b"),
+        (3, boiler + " ggg hhh iii", "c"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    full = {
+        (r.group_a, r.group_b): r.containment
+        for r in overlap_matrix(df, k=3, group_col="source").collect()
+    }
+    capped = {
+        (r.group_a, r.group_b): r.containment
+        for r in overlap_matrix(
+            df, k=3, group_col="source", max_groups_per_hash=2
+        ).collect()
+    }
+    assert full
+    for pair, c in capped.items():
+        assert c <= full[pair] + 1e-9
+    assert set(capped) <= set(full)
