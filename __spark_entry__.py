@@ -1210,6 +1210,54 @@ def q71_overlap_matrix(spark, sf_dir):
     )
 
 
+def q72_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules (operators/textstats.gopher_rules, Rae
+    et al. 2021): per-doc rule inputs (word count, mean word length,
+    '#'-symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, common-stopword hits) plus the 0/1 keep flag. Entirely
+    row-local — a map-only pass, zero shuffles. Oracle replays every
+    rule with list ops in DuckDB."""
+    from iamsystem_python_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs).orderBy("doc_id")
+
+
+def q73_oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate vs the corpus top-100 vocabulary
+    (operators/textstats.oov_rate): map-side-combined wordcount with a
+    deterministic top-N cut, then the vocab BROADCAST onto the exploded
+    tokens and one per-doc aggregate — text never crosses a shuffle."""
+    from iamsystem_python_spark.operators.textstats import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=100).orderBy("doc_id")
+
+
+def q74_zipf_slope(spark, sf_dir):
+    """Zipf's-law OLS slope per language (operators/textstats.
+    zipf_slope): ln(freq) on ln(rank) over each lang's top-50 words,
+    deterministic (count desc, word asc) ranks, explicit OLS sums —
+    computed identically in the DuckDB oracle (no engine regr_*).
+    Narrow-row shuffles only (wordcount, rank window, final agg)."""
+    from iamsystem_python_spark.operators.textstats import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, group_col="lang", top_n=50).orderBy("grp")
+
+
+def q75_token_entropy(spark, sf_dir):
+    """Per-doc unigram token entropy in bits (operators/textstats.
+    token_entropy): −Σ(c/n)·log2(c/n) over the doc's token counts —
+    the repetition/gibberish quality signal. One narrow (doc_id, token)
+    shuffle; per-doc reduce map-side combined; −0.0 canonicalized so
+    both engines hash identically."""
+    from iamsystem_python_spark.operators.textstats import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1279,6 +1327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_template_clones": q69_template_clones,
         "q70_cms_heavy_hitters": q70_cms_heavy_hitters,
         "q71_overlap_matrix": q71_overlap_matrix,
+        "q72_gopher_rules": q72_gopher_rules,
+        "q73_oov_rate": q73_oov_rate,
+        "q74_zipf_slope": q74_zipf_slope,
+        "q75_token_entropy": q75_token_entropy,
     }
 
 
@@ -2687,5 +2739,107 @@ FROM p
 JOIN n na ON na.source = p.group_a
 JOIN n nb ON nb.source = p.group_b
 ORDER BY group_a, group_b
+""",
+        "q72_gopher_rules": """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     l -> trim(l) <> '') AS ln
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+    len(tk)::INTEGER AS n_words,
+    round(list_aggregate(list_transform(tk, t -> length(t)), 'sum')::DOUBLE
+          / len(tk), 6) AS mean_word_len,
+    round(len(list_filter(tk, t -> regexp_matches(t, '^[a-z]+$')))::DOUBLE
+          / len(tk), 6) AS frac_alpha,
+    len(list_filter(tk, t -> t IN ('the','be','to','of','and','that',
+                                   'have','with')))::BIGINT AS stop_hits,
+    round((length(text) - length(replace(text, '#', '')))::DOUBLE
+          / len(tk), 6) AS symbol_ratio,
+    round(CASE WHEN len(ln) > 0 THEN
+      len(list_filter(ln, l -> starts_with(trim(l), '-')
+                               OR starts_with(trim(l), '*')))::DOUBLE / len(ln)
+      ELSE 0.0 END, 6) AS bullet_frac,
+    round(CASE WHEN len(ln) > 0 THEN
+      len(list_filter(ln, l -> ends_with(trim(l), '...')))::DOUBLE / len(ln)
+      ELSE 0.0 END, 6) AS ellipsis_frac
+  FROM base WHERE len(tk) > 0
+)
+SELECT *, (CASE WHEN n_words BETWEEN 10 AND 100000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_ratio <= 0.1
+                 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3
+                 AND frac_alpha >= 0.8
+                 AND stop_hits >= 2
+            THEN 1 ELSE 0 END)::INTEGER AS keep_flag
+FROM m ORDER BY doc_id
+""",
+        "q73_oov_rate": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 100
+  )
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+ORDER BY doc_id
+""",
+        "q74_zipf_slope": """
+WITH words AS (
+  SELECT lang AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT grp, tok, count(*)::BIGINT AS cnt FROM words GROUP BY 1, 2
+), ranked AS (
+  SELECT grp, cnt, rnk FROM (
+    SELECT grp, cnt,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY cnt DESC, tok) AS rnk
+    FROM counts
+  ) WHERE rnk <= 50
+), agg AS (
+  SELECT grp, count(*)::BIGINT AS n_ranks,
+         sum(ln(rnk)) AS sx, sum(ln(cnt)) AS sy,
+         sum(ln(rnk) * ln(cnt)) AS sxy, sum(ln(rnk) * ln(rnk)) AS sxx
+  FROM ranked GROUP BY grp
+)
+SELECT grp, n_ranks,
+       round((sxy - sx * sy / n_ranks) / (sxx - sx * sx / n_ranks), 6)
+         AS zipf_slope
+FROM agg WHERE n_ranks >= 3
+ORDER BY grp
+""",
+        "q75_token_entropy": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), pern AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+)
+SELECT doc_id, n::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+       round(sum(-(c::DOUBLE / n) * log2(c::DOUBLE / n)) + 0.0, 6)
+         AS entropy_bits
+FROM pern GROUP BY doc_id, n
+ORDER BY doc_id
 """,
     }

@@ -590,3 +590,195 @@ def cms_heavy_hitters(
             F.col("tok").alias("term"), "exact_cnt", "est_cnt"
         )
     )
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_frac_alpha: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    per-document rule inputs plus the final 0/1 keep flag. Entirely
+    row-local — a single projection pipeline, NO shuffle at all; at
+    100 TB this is a map-only pass that AQE fuses into the scan.
+
+    Rule inputs: word count bounds, mean word length bounds, '#'-symbol
+    to word ratio, fraction of lines starting with a bullet ('-'/'*'),
+    fraction of lines ending in '...', fraction of purely alphabetic
+    words, and a ≥min_stop_hits common-stopword requirement. Arrays are
+    staged as separate projections (the q68/q69 Catalyst re-inlining
+    lesson)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        F.col(text_col).alias("_txt"),
+        toks.alias("_toks"),
+        lines.alias("_lines"),
+    )
+    n_words = F.size("_toks")
+    n_lines = F.size("_lines")
+    sum_len = F.aggregate(
+        F.transform("_toks", F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_alpha = F.size(F.filter("_toks", lambda t: t.rlike("^[a-z]+$")))
+    stop_hits = F.size(
+        F.filter(
+            "_toks", lambda t: t.isin(*[F.lit(s) for s in GOPHER_STOPS])
+        )
+    )
+    n_hash = F.length("_txt") - F.length(F.replace("_txt", F.lit("#"), F.lit("")))
+    n_bullet = F.size(
+        F.filter(
+            "_lines",
+            lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*"),
+        )
+    )
+    n_ellipsis = F.size(F.filter("_lines", lambda l: F.trim(l).endswith("...")))
+    m = staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len / n_words, 6).alias("mean_word_len"),
+        F.round(n_alpha / n_words, 6).alias("frac_alpha"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.round(n_hash / n_words, 6).alias("symbol_ratio"),
+        F.round(
+            F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0)), 6
+        ).alias("bullet_frac"),
+        F.round(
+            F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(F.lit(0.0)), 6
+        ).alias("ellipsis_frac"),
+    ).where(F.col("n_words") > 0)
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("frac_alpha") >= min_frac_alpha)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return m.withColumn("keep_flag", keep.cast("int"))
+
+
+def oov_rate(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 100
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-N
+    vocabulary: (doc_id, n_tokens, n_oov, oov_rate). The tokenizer-fit
+    audit — docs with high OOV against the corpus head are gibberish,
+    boilerplate code, or wrong-language rows.
+
+    Two codegen passes (unigram_logprob shape): a map-side-combined
+    wordcount with a deterministic (count desc, word asc) top-N cut,
+    then the Heaps-law-bounded vocab BROADCAST-joined onto the exploded
+    tokens and one per-doc aggregate. Text never crosses a shuffle —
+    only (doc_id, token) rows do."""
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_n: int = 50,
+) -> DataFrame:
+    """Zipf's-law fit per group: OLS slope of ln(freq) on ln(rank) over
+    the top-``top_n`` words — natural corpora sit near −1; template spam
+    and gibberish deviate hard. (group, n_ranks, zipf_slope).
+
+    Ranks use row_number over (count desc, word asc) so the fit set is
+    deterministic; the slope is the explicit OLS ratio
+    (Σxy − ΣxΣy/n) / (Σx² − (Σx)²/n), computed identically in the DuckDB
+    oracle — no reliance on engine-specific regr_* aggregates. Shuffles:
+    the wordcount groupBy, the per-group rank window (top_n rows per
+    group), and a per-group final aggregate — all narrow rows."""
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = words.groupBy("grp", "tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), "tok")
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= top_n
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").alias("n_ranks"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    slope = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("n_ranks")) / (
+        F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("n_ranks")
+    )
+    return agg.select(
+        F.col("grp"), "n_ranks", F.round(slope, 6).alias("zipf_slope")
+    ).where(F.col("n_ranks") >= 3)
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram token entropy in bits: (doc_id, n_tokens,
+    n_distinct, entropy_bits) with entropy = −Σ (c/n)·log2(c/n) over the
+    doc's token counts. Low entropy at high length = repetition loops;
+    entropy ≈ log2(n) = all-distinct gibberish. One narrow shuffle on
+    (doc_id, token); the per-doc reduce is map-side combined."""
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(n)
+    per = counts.select(
+        "doc_id",
+        F.sum("c").over(n).alias("n_tokens"),
+        (-p * F.log2(p)).alias("_term"),
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (a constant doc yields -1·log2(1)·1 =
+    # -0.0) so both engines and the driver's value-hash agree on +0.0
+    return per.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("n_distinct"),
+        F.round(F.sum("_term") + F.lit(0.0), 6).alias("entropy_bits"),
+    )

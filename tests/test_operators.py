@@ -2640,3 +2640,113 @@ def test_overlap_matrix_hot_gram_cap_only_lowers(spark):
     for pair, c in capped.items():
         assert c <= full[pair] + 1e-9
     assert set(capped) <= set(full)
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules / oov_rate / zipf_slope / token_entropy (q72-q75)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_hand_example(spark):
+    """One clean doc passes every rule; a symbol-heavy doc, a bullet-list
+    doc and a too-short doc each fail exactly the expected rule."""
+    from iamsystem_python_spark.operators.textstats import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and that dog have "
+        "seen many things with patience and grace over many long years"
+    )
+    docs = [
+        (1, clean),
+        (2, "# " * 30 + "the and that have with code code code"),
+        (3, "- item one\n- item two\n- item three"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert rows[1].keep_flag == 1
+    assert rows[2].keep_flag == 0 and rows[2].symbol_ratio > 0.1
+    assert rows[3].keep_flag == 0 and rows[3].bullet_frac == 1.0
+    assert rows[4].keep_flag == 0 and rows[4].n_words == 2
+    toks = clean.lower().split()
+    assert rows[1].n_words == len(toks)
+    assert rows[1].mean_word_len == round(sum(map(len, toks)) / len(toks), 6)
+    assert rows[1].frac_alpha == 1.0
+    assert rows[1].stop_hits == sum(
+        1 for t in toks if t in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+
+
+def test_oov_rate_hand_example(spark):
+    """Vocab of size 2 (deterministic tie-break) -> per-doc OOV checked
+    by hand."""
+    from iamsystem_python_spark.operators.textstats import oov_rate
+
+    docs = [
+        (1, "aa aa bb"),     # aa:2 bb:1
+        (2, "aa bb cc dd"),  # cc/dd OOV
+        (3, "zz zz zz"),     # all OOV (zz:3 ties aa? no: zz count 3...)
+    ]
+    # counts: aa=3, zz=3, bb=2, cc=1, dd=1 -> top2 by (cnt desc, word asc) = aa, zz
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_rate(df, vocab_size=2).collect()
+    }
+    assert got == {
+        1: (3, 1, round(1 / 3, 6)),
+        2: (4, 3, 0.75),
+        3: (3, 0, 0.0),
+    }
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """A corpus constructed with count(rank r) = 12/r for ranks 1..4
+    fits ln-ln slope exactly -1; OLS formula cross-checked in Python."""
+    import math
+
+    from iamsystem_python_spark.operators.textstats import zipf_slope
+
+    words = []
+    for i, c in enumerate([12, 6, 4, 3]):  # 12/rank at ranks 1,2,3,4
+        words += [f"w{i:02d}"] * c
+    df = spark.createDataFrame([(1, " ".join(words), "en")], ["doc_id", "text", "lang"])
+    row = zipf_slope(df, top_n=50).collect()[0]
+    assert row.grp == "en" and row.n_ranks == 4
+    assert abs(row.zipf_slope - (-1.0)) < 1e-6
+
+    # python OLS replay on the ranked (cnt desc, word asc) head
+    freqs = [12, 6, 4, 3]
+    xs = [math.log(i + 1) for i in range(len(freqs))]
+    ys = [math.log(c) for c in freqs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    exp = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert abs(row.zipf_slope - round(exp, 6)) < 1e-9
+
+
+def test_token_entropy_hand_values(spark):
+    """Uniform doc -> log2(k) bits; constant doc -> 0; mixed checked by
+    hand formula."""
+    import math
+
+    from iamsystem_python_spark.operators.textstats import token_entropy
+
+    docs = [
+        (1, "a b c d"),        # uniform over 4 -> 2 bits
+        (2, "x x x x x"),      # constant -> 0
+        (3, "a a b"),          # -2/3 log2 2/3 - 1/3 log2 1/3
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy_bits)
+        for r in token_entropy(df).collect()
+    }
+    h3 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert got == {
+        1: (4, 4, 2.0),
+        2: (5, 1, -0.0),
+        3: (3, 2, round(h3, 6)),
+    }
