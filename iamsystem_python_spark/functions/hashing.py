@@ -315,3 +315,31 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
         return 1.0
     inter = len(np.intersect1d(ua, ub, assume_unique=True))
     return inter / (len(ua) + len(ub) - inter)
+
+
+def winnow_fingerprints_np(text: str, k: int, w: int) -> np.ndarray:
+    """Vectorized winnowing fingerprint set (Schleimer/Wilkerson/Aiken
+    2003) of one text: lowercase → char k-gram rolling polynomial hashes
+    (splitmix64-finalized, same family as shingle_hashes) → sliding
+    window-w minima → unique values. uint64 array, ≥1 entry for any
+    text (empty text hashes a zero sentinel).
+
+    Same VALUE SEMANTICS as operators/dedup_text.winnow_fingerprints
+    (identical gram/window/distinct structure, the ≥w+k−1
+    shared-substring guarantee, ~2/(w+1) density) but a different hash
+    family — the SQL path's sha256-mod-P is cross-engine replayable for
+    the DuckDB oracle; this kernel is the throughput path (no per-gram
+    sha256, no interpreted higher-order functions). Codepoints come from
+    utf-32-le frombuffer (C speed), so unicode matches Python/Spark
+    character semantics exactly."""
+    cps = np.frombuffer(
+        text.lower().encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    if len(cps) == 0:
+        cps = np.zeros(1, dtype=np.uint64)
+    hs = shingle_hashes(cps, k)
+    if len(hs) >= w:
+        wins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+    else:
+        wins = hs.min(keepdims=True)
+    return np.unique(wins)

@@ -1026,6 +1026,56 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_kernel(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 7,
+    w: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp) winnowing fingerprints via the vectorized numpy kernel
+    (functions/hashing.winnow_fingerprints_np) — the throughput twin of
+    `winnow_fingerprints`. Identical gram/window/distinct STRUCTURE and
+    guarantees, different hash family (splitmix64 rolling polynomial vs
+    the SQL path's cross-engine sha256-mod-P), so fingerprint VALUES
+    differ — use the SQL path wherever a DuckDB replay must hold, this
+    one for real corpora. Measured: parity at ~300-char docs (both
+    overhead-bound), ~85× at 15 KB docs (500-doc sample: 0.73 s vs
+    62 s — the interpreted higher-order-function path is O(m·w) per doc
+    and CPU-bound at seconds/doc once m reaches ~15k grams; see
+    BENCH/PLANS.md). mapInPandas with Arrow batches; output rows are
+    narrow (id, int64) — text still never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from iamsystem_python_spark.functions.hashing import (
+        winnow_fingerprints_np,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
+                if t is None:
+                    continue
+                u = winnow_fingerprints_np(t, k, w)
+                # uint64 → int64 view: two's-complement wrap; downstream
+                # uses equality only, so the reinterpretation is lossless
+                fps.append(u.view(np.int64))
+                ids.append(np.full(len(u), i, dtype=np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "fp": np.concatenate(fps),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, fp long"
+    )
+
+
 def winnowing_pairs_sql(
     df: DataFrame,
     text_col: str = "text",
@@ -1034,6 +1084,7 @@ def winnowing_pairs_sql(
     threshold: float = 0.5,
     max_fp_docs=None,
     id_col: str = "doc_id",
+    impl: str = "sql",
 ) -> DataFrame:
     """MOSS-style fingerprint-overlap pairs: (doc_a, doc_b, shared_fp, sim)
     with sim = |FP(a) ∩ FP(b)| / min(|FP(a)|, |FP(b)|) — the containment
@@ -1050,11 +1101,25 @@ def winnowing_pairs_sql(
     so capping only lowers scores, never inflates them. With
     ``max_fp_docs=None`` the computation is exactly replayable in ANSI SQL
     (the q68 DuckDB oracle).
+
+    ``impl``: "sql" (default) uses the cross-engine sha256 fingerprints
+    (oracle-replayable); "kernel" swaps in the vectorized numpy sketch
+    (winnow_fingerprints_kernel) — same structure and guarantees, a
+    different hash family, ~85× faster on 15 KB documents (the SQL
+    expression path is O(m·w) interpreted per doc — fine at oracle
+    scale, not at corpus doc sizes). Everything downstream of the
+    sketch is identical.
     """
+    if impl == "kernel":
+        sketch = winnow_fingerprints_kernel(df, text_col, k, w, id_col)
+    elif impl == "sql":
+        sketch = winnow_fingerprints(df, text_col, k, w, id_col)
+    else:
+        raise KeyError(f"unknown winnowing impl: {impl!r}")
     # fps feeds the sketch-size aggregate, (optionally) the hot-fp count,
     # and both sides of the self-join — persist it once, scoped to the
     # returned frame (same tie_cache pattern as the LSH bands frame).
-    fps = winnow_fingerprints(df, text_col, k, w, id_col).persist()
+    fps = sketch.persist()
     nfp = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     joinable = fps
     if max_fp_docs is not None:

@@ -2750,3 +2750,89 @@ def test_token_entropy_hand_values(spark):
         2: (5, 1, -0.0),
         3: (3, 2, round(h3, 6)),
     }
+
+
+# ---------------------------------------------------------------------------
+# winnowing kernel fast path — value-semantics twin of the SQL sketch
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_kernel_guarantee_and_partition_invariance(spark):
+    """Kernel sketch keeps the SWA guarantee (shared substring >= w+k-1
+    -> shared fingerprint) and is invariant to input partitioning."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        winnow_fingerprints_kernel,
+    )
+
+    core = "the quick brown fox jumps over the lazy dog once"
+    docs = [
+        (1, f"PREFIX AAA {core} suffix one"),
+        (2, f"zz {core} other tail qq"),
+        (3, "completely unrelated content right here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {}
+    for r in winnow_fingerprints_kernel(df, k=7, w=5).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    assert len(fps[4]) == 1  # empty text still yields a sentinel fp
+
+    again = {}
+    for r in winnow_fingerprints_kernel(df.repartition(7), k=7, w=5).collect():
+        again.setdefault(r.doc_id, set()).add(r.fp)
+    assert again == fps
+
+
+def test_winnow_kernel_matches_numpy_replay(spark):
+    """Kernel DataFrame output equals a direct driver-side numpy replay
+    of winnow_fingerprints_np for every row."""
+    import random as _random
+
+    from iamsystem_python_spark.functions.hashing import winnow_fingerprints_np
+    from iamsystem_python_spark.operators.dedup_text import (
+        winnow_fingerprints_kernel,
+    )
+
+    rng = _random.Random(5)
+    docs = [(1, "ab"), (2, "abcdefg")]
+    for i in range(3, 25):
+        docs.append((i, "".join(rng.choice("abcdé f") for _ in range(rng.randint(3, 90)))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints_kernel(df, k=7, w=5).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    import numpy as np
+
+    expected = {
+        i: set(winnow_fingerprints_np(t, 7, 5).view(np.int64).tolist())
+        for i, t in docs
+    }
+    assert got == expected
+
+
+def test_winnowing_pairs_kernel_impl_planted_clones(spark):
+    """impl='kernel' finds the planted clone pair like the SQL impl, and
+    unknown impl raises."""
+    import pytest as _pytest
+
+    from iamsystem_python_spark.operators.dedup_text import winnowing_pairs_sql
+
+    base = (
+        "def load_table(spark, path):\n"
+        "    df = spark.read.parquet(path)\n"
+        "    return df.select('a', 'b').where(df.a > 0)\n"
+    )
+    clone = base.replace("load_table", "read_table")
+    other = "SELECT count(*) FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag"
+    df = spark.createDataFrame(
+        [(1, base), (2, clone), (3, other)], ["doc_id", "text"]
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.sim
+        for r in winnowing_pairs_sql(df, k=7, w=5, threshold=0.5, impl="kernel").collect()
+    }
+    assert set(out) == {(1, 2)} and out[(1, 2)] >= 0.5
+    with _pytest.raises(KeyError):
+        winnowing_pairs_sql(df, impl="turbo")
