@@ -1258,6 +1258,23 @@ def q75_token_entropy(spark, sf_dir):
     return token_entropy(docs).orderBy("doc_id")
 
 
+def q76_fuzzy_name_join(spark, sf_dir):
+    """Fuzzy self-join of the distinct part-name dictionary at
+    Levenshtein ≤ 2 (operators/fuzzyjoin.fuzzy_join): FastSS
+    deletion-neighborhood blocking — narrow (val, xxhash64 key) variant
+    rows, plain equi-join candidates, exact JVM levenshtein verify; no
+    cross product anywhere. Blocking is provably complete, so the oracle
+    is DuckDB's brute-force cross join + levenshtein — semantics, not
+    mechanism."""
+    from iamsystem_python_spark.operators.fuzzyjoin import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    out = fuzzy_join(part, part, "p_name", "p_name", max_dist=2)
+    return out.where(F.col("left_val") < F.col("right_val")).orderBy(
+        "left_val", "right_val"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1331,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_oov_rate": q73_oov_rate,
         "q74_zipf_slope": q74_zipf_slope,
         "q75_token_entropy": q75_token_entropy,
+        "q76_fuzzy_name_join": q76_fuzzy_name_join,
     }
 
 
@@ -2841,5 +2859,15 @@ SELECT doc_id, n::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
          AS entropy_bits
 FROM pern GROUP BY doc_id, n
 ORDER BY doc_id
+""",
+        "q76_fuzzy_name_join": """
+WITH n AS (
+  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL
+)
+SELECT a.p_name AS left_val, b.p_name AS right_val,
+       levenshtein(a.p_name, b.p_name)::INTEGER AS dist
+FROM n a, n b
+WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY left_val, right_val
 """,
     }

@@ -1,0 +1,102 @@
+"""Relational fuzzy string join — the cross-table face of the engine's
+string-distance stack (core/fuzzy.py gives per-token dictionary matching;
+this joins two DataFrames on approximate string equality).
+
+Algorithm: FastSS deletion-neighborhood blocking (Bocek et al. 2007,
+public): two strings within Levenshtein distance d share at least one
+common variant reachable by ≤ d single-character deletions from each
+(substitution = delete the differing char from both; insertion = delete
+the inserted char from the longer). Candidates therefore come from a
+plain EQUI-join on variant keys — never a cross product — and the final
+filter is the exact JVM `levenshtein`, so blocking can only add work,
+never wrong results. The DuckDB oracle replays the SEMANTICS (brute-force
+cross join + levenshtein ≤ d), not the blocking, which is what makes the
+value-check exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _del1(col):
+    """Array of every single-character deletion of ``col`` (length n → n
+    variants); empty/1-char strings yield ['']-style shorter variants via
+    the guard below."""
+    n = F.length(col)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(col, F.lit(1), i - F.lit(1)),
+                F.substring(col, i + F.lit(1), n),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _variant_rows(df: DataFrame, col: str, max_dist: int) -> DataFrame:
+    """(val, key) — one narrow row per distinct deletion variant of each
+    distinct value of ``col``; key = xxhash64(variant). Hash collisions
+    only ADD candidates (the exact verify filters them), so the JVM-only
+    xxhash64 is safe here even though no oracle can replay it. Arrays are
+    staged as separate projections (the Catalyst re-inlining hazard —
+    see dedup_text.winnow_fingerprints)."""
+    vals = df.select(F.col(col).alias("val")).where(
+        F.col("val").isNotNull()
+    ).distinct()
+    staged = vals.select(
+        "val", F.array_union(F.array(F.col("val")), _del1(F.col("val"))).alias("_v1")
+    )
+    if max_dist == 1:
+        staged = staged.select("val", F.col("_v1").alias("_vars"))
+    elif max_dist == 2:
+        v2 = F.flatten(F.transform(F.col("_v1"), lambda v: _del1(v)))
+        staged = staged.select(
+            "val",
+            F.array_distinct(F.array_union(F.col("_v1"), v2)).alias("_vars"),
+        )
+    else:
+        raise ValueError(
+            f"max_dist must be 1 or 2 (variant count grows O(len^d)); got {max_dist}"
+        )
+    return staged.select(
+        "val", F.explode(F.col("_vars")).alias("_var")
+    ).select("val", F.xxhash64(F.col("_var")).alias("key")).distinct()
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Approximate string join: (left_val, right_val, dist) for every
+    distinct value pair with Levenshtein(left_val, right_val) ≤ max_dist.
+    Join back onto the full tables by equi-joining these value pairs —
+    keeping the fuzzy surface on the DISTINCT dictionaries means the
+    expensive part scales with vocabulary, not row count.
+
+    Plan shape (100-TB lens): each side explodes its distinct values to
+    narrow (val, int64 key) variant rows — O(len) per value at d=1,
+    O(len²/2) at d=2 — the candidate join is a plain equi-join on the
+    variant key, candidates dedup via one groupBy, and the exact
+    `levenshtein` verify is row-local JVM codegen. No cross product at
+    any point; text columns never carry through a shuffle wider than the
+    value strings themselves. Skewy hot variants (very short strings)
+    surface as big candidate groups — filter degenerate keys upstream if
+    the dictionary contains 1-2 char tokens."""
+    a = _variant_rows(left, left_col, max_dist).select(
+        F.col("val").alias("left_val"), "key"
+    )
+    b = _variant_rows(right, right_col, max_dist).select(
+        F.col("val").alias("right_val"), "key"
+    )
+    cand = a.join(b, "key").select("left_val", "right_val").distinct()
+    dist = F.levenshtein(F.col("left_val"), F.col("right_val"))
+    return cand.select(
+        "left_val", "right_val", dist.alias("dist")
+    ).where(F.col("dist") <= max_dist)

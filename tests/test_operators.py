@@ -2836,3 +2836,79 @@ def test_winnowing_pairs_kernel_impl_planted_clones(spark):
     assert set(out) == {(1, 2)} and out[(1, 2)] >= 0.5
     with _pytest.raises(KeyError):
         winnowing_pairs_sql(df, impl="turbo")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join — FastSS deletion-neighborhood Levenshtein join (q76)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_edit_kinds_d1(spark):
+    """Substitution, deletion, insertion and equality all pair at d=1;
+    distance-2 strings do not."""
+    from iamsystem_python_spark.operators.fuzzyjoin import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("cold bolt",), ("red ring",), ("zzz",)], ["name"]
+    )
+    right = spark.createDataFrame(
+        [("old bolt",), ("cold bolts",), ("cold bolt",), ("red rung",), ("rad rung",)],
+        ["name"],
+    )
+    got = {
+        (r.left_val, r.right_val): r.dist
+        for r in fuzzy_join(left, right, "name", "name", max_dist=1).collect()
+    }
+    assert got == {
+        ("cold bolt", "old bolt"): 1,     # deletion
+        ("cold bolt", "cold bolts"): 1,   # insertion
+        ("cold bolt", "cold bolt"): 0,    # equality
+        ("red ring", "red rung"): 1,      # substitution
+    }
+
+
+def test_fuzzy_join_completeness_vs_bruteforce(spark):
+    """Random short strings: the blocked join finds EXACTLY the brute
+    force Levenshtein pairs at d=1 and d=2 (FastSS completeness)."""
+    import itertools
+    import random as _random
+
+    from iamsystem_python_spark.operators.fuzzyjoin import fuzzy_join
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    rng = _random.Random(13)
+    vocab = sorted({
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    })
+    df = spark.createDataFrame([(v,) for v in vocab], ["name"])
+    for d in (1, 2):
+        got = {
+            (r.left_val, r.right_val): r.dist
+            for r in fuzzy_join(df, df, "name", "name", max_dist=d).collect()
+        }
+        expected = {
+            (a, b): lev(a, b)
+            for a, b in itertools.product(vocab, vocab)
+            if lev(a, b) <= d
+        }
+        assert got == expected, f"d={d}"
+
+
+def test_fuzzy_join_rejects_bad_dist(spark):
+    from iamsystem_python_spark.operators.fuzzyjoin import fuzzy_join
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("x",)], ["name"])
+    with _pytest.raises(ValueError):
+        fuzzy_join(df, df, "name", "name", max_dist=3).collect()
