@@ -1275,6 +1275,66 @@ def q76_fuzzy_name_join(spark, sf_dir):
     )
 
 
+def q77_duplicate_subtrees(spark, sf_dir):
+    """Merkle-style duplicated-directory detection (operators/treedup):
+    each file row explodes to its directory-prefix ancestors carrying
+    its RELATIVE path; subtree hash = sha256 over the relpath-sorted
+    (relpath:sha) entries — one explode + one aggregation, no recursion,
+    text never enters the operator. Maximal-prune drops dirs implied by
+    an equally-shared parent. The input (repo, path, sha) table is
+    derived deterministically from documents (q50 precedent): 6 repos
+    keyed on doc_id%6 with content-addressed src/ files, every repo
+    vendors docs 0-4 under vendor/pkg/, repos r0-r2 share docs 5-6
+    under shared/. Expect the maximal dirs: 'vendor' ×6, 'shared' ×3."""
+    from iamsystem_python_spark.operators.treedup import duplicate_subtrees
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    own = docs.select(
+        F.concat(F.lit("r"), did % 6).alias("repo"),
+        F.concat(F.lit("src/f"), did, F.lit(".txt")).alias("path"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+    vendor = (
+        docs.where(did < 5)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("r"),
+            did.alias("doc_id"),
+            "text",
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("r")).alias("repo"),
+            F.concat(
+                F.lit("vendor/pkg/f"), F.col("doc_id"), F.lit(".txt")
+            ).alias("path"),
+            F.sha2(F.col("text"), 256).alias("sha"),
+        )
+    )
+    shared = (
+        docs.where((did >= 5) & (did < 7))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"),
+            did.alias("doc_id"),
+            "text",
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("r")).alias("repo"),
+            F.concat(F.lit("shared/u"), F.col("doc_id"), F.lit(".txt")).alias(
+                "path"
+            ),
+            F.sha2(F.col("text"), 256).alias("sha"),
+        )
+    )
+    files = own.unionByName(vendor).unionByName(shared)
+    out = duplicate_subtrees(files, min_files=2)
+    return out.select(
+        "subtree_sha",
+        "n_files",
+        "n_copies",
+        F.array_join(F.col("locations"), "|").alias("locations"),
+    ).orderBy("subtree_sha")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1349,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_zipf_slope": q74_zipf_slope,
         "q75_token_entropy": q75_token_entropy,
         "q76_fuzzy_name_join": q76_fuzzy_name_join,
+        "q77_duplicate_subtrees": q77_duplicate_subtrees,
     }
 
 
@@ -2869,5 +2930,71 @@ SELECT a.p_name AS left_val, b.p_name AS right_val,
 FROM n a, n b
 WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
 ORDER BY left_val, right_val
+""",
+        "q77_duplicate_subtrees": """
+WITH files AS (
+  SELECT 'r' || (doc_id % 6)::VARCHAR AS repo,
+         'src/f' || doc_id::VARCHAR || '.txt' AS path,
+         sha256(text) AS sha
+  FROM documents
+  UNION ALL
+  SELECT 'r' || r::VARCHAR, 'vendor/pkg/f' || doc_id::VARCHAR || '.txt',
+         sha256(text)
+  FROM documents, range(6) t(r) WHERE doc_id < 5
+  UNION ALL
+  SELECT 'r' || r::VARCHAR, 'shared/u' || doc_id::VARCHAR || '.txt',
+         sha256(text)
+  FROM documents, range(3) t(r) WHERE doc_id >= 5 AND doc_id < 7
+),
+parted AS (
+  SELECT repo, path, sha, string_split(path, '/') AS parts FROM files
+),
+exploded0 AS (
+  SELECT repo, path, sha,
+         CASE WHEN i = 0 THEN ''
+              ELSE array_to_string(parts[1:i::INT], '/') END AS dir
+  FROM parted, LATERAL unnest(range(0, len(parts))) AS u(i)
+),
+exploded AS (
+  SELECT repo, dir,
+         CASE WHEN dir = '' THEN path
+              ELSE substring(path, length(dir) + 2) END AS relpath,
+         sha
+  FROM exploded0
+),
+trees AS (
+  SELECT repo, dir, count(*)::BIGINT AS n_files,
+         sha256(string_agg(relpath || ':' || sha, chr(10)
+                           ORDER BY relpath, sha)) AS subtree_sha
+  FROM exploded GROUP BY repo, dir
+),
+grps AS (
+  SELECT subtree_sha, n_files, count(*)::BIGINT AS n_copies
+  FROM trees WHERE n_files >= 2
+  GROUP BY subtree_sha, n_files HAVING count(*) >= 2
+),
+locs AS (
+  SELECT g.subtree_sha, g.n_files, g.n_copies, t.repo, t.dir
+  FROM grps g JOIN trees t
+    ON t.subtree_sha = g.subtree_sha AND t.n_files = g.n_files
+),
+withp AS (
+  SELECT *, CASE WHEN dir = '' THEN NULL
+                 WHEN strpos(dir, '/') = 0 THEN ''
+                 ELSE regexp_replace(dir, '/[^/]*$', '') END AS parent_dir
+  FROM locs
+),
+kept AS (
+  SELECT w.subtree_sha, w.n_files, w.n_copies, w.repo, w.dir
+  FROM withp w
+  LEFT JOIN locs p ON w.repo = p.repo AND w.parent_dir = p.dir
+                  AND w.n_copies = p.n_copies
+  WHERE p.repo IS NULL
+)
+SELECT subtree_sha, n_files, n_copies,
+       string_agg(repo || '::' || dir, '|'
+                  ORDER BY repo || '::' || dir) AS locations
+FROM kept GROUP BY subtree_sha, n_files, n_copies
+ORDER BY subtree_sha
 """,
     }

@@ -2912,3 +2912,80 @@ def test_fuzzy_join_rejects_bad_dist(spark):
     df = spark.createDataFrame([("x",)], ["name"])
     with _pytest.raises(ValueError):
         fuzzy_join(df, df, "name", "name", max_dist=3).collect()
+
+
+# ---------------------------------------------------------------------------
+# treedup — Merkle-style directory-subtree dedup (q77)
+# ---------------------------------------------------------------------------
+
+
+def _tree_rows():
+    # repoA and repoB share an identical vendored subtree lib/x (2 files);
+    # repoC is a byte-identical fork of repoA (so their roots collide);
+    # repoD shares lib/x's layout but one file's sha differs.
+    return [
+        ("repoA", "lib/x/a.py", "s1"),
+        ("repoA", "lib/x/sub/b.py", "s2"),
+        ("repoA", "main.py", "s3"),
+        ("repoB", "vendor/lib/x/a.py", "s1"),
+        ("repoB", "vendor/lib/x/sub/b.py", "s2"),
+        ("repoB", "app.py", "s4"),
+        ("repoC", "lib/x/a.py", "s1"),
+        ("repoC", "lib/x/sub/b.py", "s2"),
+        ("repoC", "main.py", "s3"),
+        ("repoD", "lib/x/a.py", "s1"),
+        ("repoD", "lib/x/sub/b.py", "sDIFF"),
+    ]
+
+
+def test_subtree_hashes_merkle_semantics(spark):
+    from iamsystem_python_spark.operators.treedup import subtree_hashes
+
+    df = spark.createDataFrame(_tree_rows(), ["repo", "path", "sha"])
+    got = {
+        (r.repo, r.dir): (r.n_files, r.subtree_sha)
+        for r in subtree_hashes(df).collect()
+    }
+    # every directory of repoA appears, with recursive file counts
+    assert got[("repoA", "")][0] == 3
+    assert got[("repoA", "lib")][0] == 2
+    assert got[("repoA", "lib/x")][0] == 2
+    assert got[("repoA", "lib/x/sub")][0] == 1
+    # identical subtrees hash equal regardless of WHERE they sit
+    assert got[("repoA", "lib/x")][1] == got[("repoB", "vendor/lib/x")][1]
+    # byte-identical fork: whole-repo (root) hashes equal
+    assert got[("repoA", "")][1] == got[("repoC", "")][1]
+    # one differing file sha breaks the subtree hash
+    assert got[("repoA", "lib/x")][1] != got[("repoD", "lib/x")][1]
+    # ...but the subdirectory holding only identical files still matches
+    assert got[("repoA", "lib/x/sub")][1] != got[("repoD", "lib/x/sub")][1]
+
+
+def test_duplicate_subtrees_maximal_prune(spark):
+    from iamsystem_python_spark.operators.treedup import duplicate_subtrees
+
+    df = spark.createDataFrame(_tree_rows(), ["repo", "path", "sha"])
+    out = {
+        tuple(r.locations): (r.n_files, r.n_copies)
+        for r in duplicate_subtrees(df, min_files=1).collect()
+    }
+    # the fork shows up as duplicated ROOTS (maximal)...
+    assert out[("repoA::", "repoC::")] == (3, 2)
+    # ...and the vendored subtree surfaces at its MAXIMAL shared dir —
+    # 'lib' (repoB vendors the whole lib/ dir), shared 3 ways (wider than
+    # the fork's 2-way roots, so it survives the prune)
+    assert out[("repoA::lib", "repoB::vendor/lib", "repoC::lib")] == (2, 3)
+    # everything below lib (lib/x, lib/x/sub) is implied at the same copy
+    # count and pruned
+    assert len(out) == 2
+
+
+def test_duplicate_subtrees_no_prune_keeps_nested(spark):
+    from iamsystem_python_spark.operators.treedup import duplicate_subtrees
+
+    df = spark.createDataFrame(_tree_rows(), ["repo", "path", "sha"])
+    out = {
+        tuple(r.locations)
+        for r in duplicate_subtrees(df, min_files=1, prune_nested=False).collect()
+    }
+    assert ("repoA::lib/x/sub", "repoB::vendor/lib/x/sub", "repoC::lib/x/sub") in out
