@@ -1,0 +1,58 @@
+"""Secret / credential scanning over a code corpus.
+
+A 100-TB source-code pipeline must quarantine leaked credentials before
+training or redistribution. This is the detector stage: per-document
+match counts for a small battery of secret shapes, the matched strings
+(for audit queues), and a sha256 of the redacted text (the integrity
+column a downstream rewrite stage must reproduce — same contract as
+textstats.redact_patterns, which is the generic single-pattern face).
+
+Entirely row-local — a map-only pass, zero shuffles; every expression is
+JVM codegen (regexp_extract_all / regexp_replace / sha2). Patterns are
+deliberately written in the common Java-regex ∩ RE2 dialect (no
+backreferences, no lookaround) so a DuckDB oracle can replay every
+match list and the redacted sha byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# name -> regex, in the dialect subset shared by java.util.regex (Spark)
+# and RE2 (DuckDB). ORDER MATTERS for redaction: patterns are replaced
+# sequentially, so earlier patterns consume text before later ones see it.
+SECRET_PATTERNS: "list[tuple[str, str]]" = [
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("private_key", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"),
+    ("hex40", r"\b[0-9a-f]{40}\b"),
+    ("kv_secret", r"(?i)(?:api_key|secret|token|password)\s*[=:]\s*\S{8,}"),
+]
+
+
+def secret_scan(
+    df: DataFrame,
+    col: str = "text",
+    patterns: "list[tuple[str, str]] | None" = None,
+    replacement: str = "[SECRET]",
+) -> DataFrame:
+    """Adds, per pattern ``name``: ``n_<name>`` (match count) and
+    ``<name>_hits`` (sorted comma-joined matches), plus ``n_secrets``
+    (total) and ``redacted_sha`` (sha256 of the text after replacing
+    every match of every pattern, applied in battery order). Rows with
+    ``n_secrets`` > 0 are the quarantine set; the caller filters."""
+    patterns = SECRET_PATTERNS if patterns is None else patterns
+    c = F.col(col)
+    out = df
+    total = F.lit(0)
+    red = c
+    for name, pat in patterns:
+        hits = F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+        out = out.withColumn(f"n_{name}", F.size(hits)).withColumn(
+            f"{name}_hits", F.array_join(F.sort_array(hits), ",")
+        )
+        total = total + F.col(f"n_{name}")
+        red = F.regexp_replace(red, pat, replacement)
+    return out.withColumn("n_secrets", total).withColumn(
+        "redacted_sha", F.sha2(red, 256)
+    )
