@@ -1387,6 +1387,57 @@ def q78_secret_scan(spark, sf_dir):
     )
 
 
+def q79_license_tag(spark, sf_dir):
+    """License detection (operators/licenses.license_tag): exact
+    SPDX-License-Identifier header extraction + case-insensitive
+    license-text phrase heuristic in fixed priority order; resolved
+    license prefers SPDX, plus has_license/permissive policy flags.
+    Row-local map-only codegen, zero shuffles. Headers/phrases are
+    planted deterministically from doc_id (q50 precedent)."""
+    from iamsystem_python_spark.operators.licenses import license_tag
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    header = (
+        F.when(did % 7 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(did % 7 == 1, F.lit("# SPDX-License-Identifier: Apache-2.0\n"))
+        .when(
+            did % 7 == 2,
+            F.lit("/* SPDX-License-Identifier: GPL-3.0-only */\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    phrase = (
+        F.when(
+            did % 5 == 0,
+            F.lit(
+                "Permission is hereby granted, free of charge, "
+                "to any person\n"
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.lit("Licensed under the Apache License, Version 2.0\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(header, phrase, F.col("text")).alias("text")
+    )
+    return (
+        license_tag(planted)
+        .select(
+            "doc_id",
+            "spdx_id",
+            "phrase_guess",
+            "license",
+            "has_license",
+            "permissive",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1463,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_fuzzy_name_join": q76_fuzzy_name_join,
         "q77_duplicate_subtrees": q77_duplicate_subtrees,
         "q78_secret_scan": q78_secret_scan,
+        "q79_license_tag": q79_license_tag,
     }
 
 
@@ -3097,5 +3149,50 @@ SELECT doc_id,
       '[SECRET]', 'g')
   ) AS redacted_sha
 FROM scanned ORDER BY doc_id
+""",
+        "q79_license_tag": """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN '// SPDX-License-Identifier: MIT' || chr(10)
+         WHEN doc_id % 7 = 1
+         THEN '# SPDX-License-Identifier: Apache-2.0' || chr(10)
+         WHEN doc_id % 7 = 2
+         THEN '/* SPDX-License-Identifier: GPL-3.0-only */' || chr(10)
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN 'Permission is hereby granted, free of charge, '
+              || 'to any person' || chr(10)
+         WHEN doc_id % 5 = 1
+         THEN 'Licensed under the Apache License, Version 2.0' || chr(10)
+         ELSE '' END || text AS text
+  FROM documents
+),
+tagged AS (
+  SELECT doc_id,
+    coalesce(regexp_extract(text,
+      'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '') AS spdx_id,
+    CASE WHEN strpos(lower(text),
+           'permission is hereby granted, free of charge') > 0 THEN 'MIT'
+         WHEN strpos(lower(text),
+           'licensed under the apache license') > 0 THEN 'Apache-2.0'
+         WHEN strpos(lower(text),
+           'gnu general public license') > 0 THEN 'GPL'
+         WHEN strpos(lower(text),
+           'redistribution and use in source and binary forms') > 0
+           THEN 'BSD'
+         ELSE '' END AS phrase_guess
+  FROM planted
+),
+resolved AS (
+  SELECT doc_id, spdx_id, phrase_guess,
+    CASE WHEN spdx_id != '' THEN spdx_id ELSE phrase_guess END AS license
+  FROM tagged
+)
+SELECT doc_id, spdx_id, phrase_guess, license,
+  license != '' AS has_license,
+  license IN ('MIT','Apache-2.0','BSD','BSD-2-Clause','BSD-3-Clause',
+              'ISC','Unlicense') AS permissive
+FROM resolved ORDER BY doc_id
 """,
     }

@@ -3042,3 +3042,36 @@ def test_secret_scan_redaction_order_is_battery_order(spark):
     assert r.n_aws_key == 1 and r.n_kv_secret == 1
     expect = "secret=[SECRET]".replace("secret=[SECRET]", "[SECRET]")
     assert r.redacted_sha == hashlib.sha256(expect.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# license_tag — SPDX + phrase license detection (q79)
+# ---------------------------------------------------------------------------
+
+
+def test_license_tag_spdx_and_phrases(spark):
+    from iamsystem_python_spark.operators.licenses import license_tag
+
+    rows = [
+        (0, "// SPDX-License-Identifier: MIT\nint main() {}"),
+        (1, "# SPDX-License-Identifier: GPL-3.0-only\nx = 1"),
+        (2, "Permission is hereby granted, free of charge, to any person"),
+        (3, "Licensed under the Apache License, Version 2.0"),
+        (4, "This program is free software: GNU General Public License v3"),
+        (5, "Redistribution and use in source and binary forms"),
+        (6, "no license here"),
+        # SPDX beats phrase; priority order MIT > Apache when both phrases hit
+        (7, "SPDX-License-Identifier: BSD-3-Clause\nlicensed under the apache license"),
+        (8, "permission is hereby granted, free of charge AND licensed under the apache license"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in license_tag(df).collect()}
+    assert got[0].license == "MIT" and got[0].permissive
+    assert got[1].spdx_id == "GPL-3.0-only" and not got[1].permissive
+    assert got[2].license == "MIT" and got[2].phrase_guess == "MIT"
+    assert got[3].license == "Apache-2.0"
+    assert got[4].license == "GPL" and not got[4].permissive
+    assert got[5].license == "BSD" and got[5].permissive
+    assert got[6].license == "" and not got[6].has_license
+    assert got[7].license == "BSD-3-Clause" and got[7].phrase_guess == "Apache-2.0"
+    assert got[8].license == "MIT"  # MIT outranks Apache in priority order
