@@ -1438,6 +1438,26 @@ def q79_license_tag(spark, sf_dir):
     )
 
 
+def q80_novel_docs(spark, sf_dir):
+    """Cross-corpus admission verdicts (dedup_text.novel_docs_verdicts):
+    the nightly-ingest composition — batch docs (doc_id % 3 == 0) judged
+    against the historical corpus via the content-sha set (exact_dup)
+    and the incremental MinHash-LSH store (near_dup, jaccard ≥ 0.5,
+    history-wins / smaller-id-wins greedy rules), else novel; dup_of =
+    smallest triggering partner (-1 for novel). Same split/config as
+    q52, so the oracle reuses its full-corpus LSH replay."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        novel_docs_verdicts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    hist = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    return novel_docs_verdicts(
+        batch, hist, k=3, num_perm=16, num_bands=8, threshold=0.5
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1515,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_duplicate_subtrees": q77_duplicate_subtrees,
         "q78_secret_scan": q78_secret_scan,
         "q79_license_tag": q79_license_tag,
+        "q80_novel_docs": q80_novel_docs,
     }
 
 
@@ -1700,6 +1721,54 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 WHERE len(list_intersect(sa.h, sb.h))::DOUBLE
       / len(list_distinct(list_concat(sa.h, sb.h))) >= {threshold}
 ORDER BY doc_a, doc_b
+"""
+
+
+def _novel_docs_oracle_sql(
+    k: int, num_perm: int, num_bands: int, threshold: float, new_mod: int
+) -> str:
+    """q80 oracle: per-batch-doc admission verdicts. Reuses the q52
+    full-corpus MinHash-LSH replay (pairs touching the batch) as a CTE,
+    adds the content-sha exact check and the deterministic smaller-id /
+    history-wins rejection rules — all replayed relationally."""
+    pairs_sql = _incremental_minhash_oracle_sql(
+        k, num_perm, num_bands, threshold, new_mod
+    )
+    # swap the trailing SELECT into a CTE body: strip the ORDER BY and
+    # re-wrap (textual, but anchored on the known builder output)
+    body = pairs_sql.strip()
+    assert body.endswith("ORDER BY doc_a, doc_b")
+    body = body[: -len("ORDER BY doc_a, doc_b")]
+    head, select = body.split("\n)\nSELECT", 1)
+    return f"""{head}
+), pairs AS (
+SELECT{select}
+), shas AS (
+  SELECT doc_id, sha256(text) AS sha FROM documents
+), exact_min AS (
+  SELECT n.doc_id, min(o.doc_id) AS exact_dup_of
+  FROM shas n JOIN shas o ON o.sha = n.sha AND o.doc_id != n.doc_id
+  WHERE n.doc_id % {new_mod} = 0
+    AND (o.doc_id % {new_mod} != 0 OR o.doc_id < n.doc_id)
+  GROUP BY n.doc_id
+), near0 AS (
+  SELECT CASE WHEN pair_side = 'new-new' THEN doc_b
+              WHEN doc_a % {new_mod} = 0 THEN doc_a ELSE doc_b END AS doc_id,
+         CASE WHEN pair_side = 'new-new' THEN doc_a
+              WHEN doc_a % {new_mod} = 0 THEN doc_b ELSE doc_a END AS dup_of
+  FROM pairs
+), near_min AS (
+  SELECT doc_id, min(dup_of) AS near_dup_of FROM near0 GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+       WHEN nm.near_dup_of IS NOT NULL THEN 'near_dup'
+       ELSE 'novel' END AS verdict,
+  coalesce(e.exact_dup_of, nm.near_dup_of, -1) AS dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id % {new_mod} = 0) b
+LEFT JOIN exact_min e USING (doc_id)
+LEFT JOIN near_min nm USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -3195,4 +3264,5 @@ SELECT doc_id, spdx_id, phrase_guess, license,
               'ISC','Unlicense') AS permissive
 FROM resolved ORDER BY doc_id
 """,
+        "q80_novel_docs": _novel_docs_oracle_sql(3, 16, 8, 0.5, 3),
     }

@@ -1256,3 +1256,116 @@ def template_fingerprints(
         .where(F.col("tpl_size") >= min_group)
         .select(id_col, "tpl_sha", "tpl_size")
     )
+
+
+def novel_docs_verdicts(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Admission verdict for every doc of a NEW ingest batch against the
+    historical corpus — the user-facing composition of the two dedup
+    indexes a production ingest keeps (content-sha set + MinHash
+    signature store): (doc_id, verdict, dup_of) with verdict ∈
+    {'exact_dup', 'near_dup', 'novel'}.
+
+    Rules (deterministic, order-free):
+    - ``exact_dup``: sha256(text) matches any history doc, or a
+      smaller-id batch doc (within-batch keep-first).
+    - ``near_dup``: else, the doc has an LSH-verified pair (jaccard ≥
+      threshold) against history, or against a smaller-id batch doc
+      (smaller id wins — greedy, not transitive: a doc rejected by an
+      already-rejected smaller partner stays rejected; conservative and
+      replayable without iteration).
+    - ``novel`` otherwise. ``dup_of`` = smallest triggering partner id
+      (-1 for novel).
+
+    Plan shape: shas shuffle as (doc_id, 64-char sha) — text never
+    crosses; near-dup pairs come from ``incremental_lsh_pairs_sql``
+    (batch side broadcast, store streamed once, no old-old pairs); the
+    final assembly is two left joins of per-doc minima onto the batch
+    id list. At 10^12 files both indexes are persisted parquet and this
+    runs per nightly batch."""
+    sha = F.sha2(F.col(text_col), 256)
+    new_sha = new_df.select(F.col("doc_id"), sha.alias("sha"))
+    hist_sha = history_df.select(
+        F.col("doc_id").alias("o_id"), sha.alias("sha"), F.lit(False).alias("o_new")
+    )
+    batch_sha_o = new_sha.select(
+        F.col("doc_id").alias("o_id"), "sha", F.lit(True).alias("o_new")
+    )
+    others = hist_sha.unionByName(batch_sha_o)
+    exact_min = (
+        new_sha.join(others, "sha")
+        .where(
+            (F.col("o_id") != F.col("doc_id"))
+            & (~F.col("o_new") | (F.col("o_id") < F.col("doc_id")))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("o_id").alias("exact_dup_of"))
+    )
+
+    index = build_minhash_index(history_df, text_col, k, num_perm, seed)
+    pairs = incremental_lsh_pairs_sql(
+        new_df, index, text_col, k, num_perm, num_bands, threshold, seed
+    )
+    nn = pairs.where(F.col("pair_side") == "new-new").select(
+        F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("dup_of")
+    )
+    new_ids = new_df.select(F.col("doc_id").alias("nid"))
+    no = (
+        pairs.where(F.col("pair_side") == "new-old")
+        .join(
+            new_ids.withColumn("a_new", F.lit(True)),
+            F.col("doc_a") == F.col("nid"),
+            "left",
+        )
+        .select(
+            F.when(F.col("a_new"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id"),
+            F.when(F.col("a_new"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("dup_of"),
+        )
+    )
+    near_min = (
+        nn.unionByName(no).groupBy("doc_id").agg(F.min("dup_of").alias("near_dup_of"))
+    )
+
+    out = (
+        new_df.select("doc_id")
+        .join(exact_min, "doc_id", "left")
+        .join(near_min, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("exact_dup_of", "near_dup_of", F.lit(-1)).alias(
+                "dup_of"
+            ),
+        )
+    )
+    return out
+
+
+def novel_docs_filter(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The admitted subset of ``new_df``: rows whose
+    ``novel_docs_verdicts`` verdict is 'novel' (semi-join on doc_id —
+    batch text columns pass through untouched)."""
+    keep = novel_docs_verdicts(new_df, history_df, text_col, **kwargs).where(
+        F.col("verdict") == "novel"
+    )
+    return new_df.join(keep.select("doc_id"), "doc_id", "left_semi")

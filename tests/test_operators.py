@@ -3075,3 +3075,64 @@ def test_license_tag_spdx_and_phrases(spark):
     assert got[6].license == "" and not got[6].has_license
     assert got[7].license == "BSD-3-Clause" and got[7].phrase_guess == "Apache-2.0"
     assert got[8].license == "MIT"  # MIT outranks Apache in priority order
+
+
+# ---------------------------------------------------------------------------
+# novel_docs_verdicts / novel_docs_filter — cross-corpus admission (q80)
+# ---------------------------------------------------------------------------
+
+
+def test_novel_docs_verdicts_planted(spark):
+    from iamsystem_python_spark.operators.dedup_text import (
+        novel_docs_filter,
+        novel_docs_verdicts,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "totally different words one two three four five")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # exact dup of history 1
+            (11, near),                                   # near dup of history 1
+            (12, "unique brand new content nothing shared here at all"),
+            (13, "unique brand new content nothing shared here at all"),
+            # ^ exact dup of batch 12 (keep-first: 12 stays novel... unless
+            #   12 is itself rejected — greedy rule keeps 13 rejected anyway)
+            (14, "completely unrelated fresh sentence with original words"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in novel_docs_verdicts(batch, hist).collect()
+    }
+    assert got[10] == ("exact_dup", 1)
+    assert got[11][0] == "near_dup" and got[11][1] == 1
+    assert got[12] == ("novel", -1)
+    assert got[13] == ("exact_dup", 12)
+    assert got[14] == ("novel", -1)
+    kept = sorted(
+        r.doc_id for r in novel_docs_filter(batch, hist).collect()
+    )
+    assert kept == [12, 14]
+
+
+def test_novel_docs_near_dup_within_batch_smaller_id_wins(spark):
+    from iamsystem_python_spark.operators.dedup_text import novel_docs_verdicts
+
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine ELEVEN"
+    hist = spark.createDataFrame(
+        [(1, "zz yy xx ww vv uu tt ss rr qq")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame([(20, a), (21, b)], ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in novel_docs_verdicts(batch, hist).collect()
+    }
+    assert got[20] == ("novel", -1)
+    assert got[21] == ("near_dup", 20)
