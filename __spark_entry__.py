@@ -1458,6 +1458,20 @@ def q80_novel_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q81_lsh_plan(spark, sf_dir):
+    """LSH banding parameter planner (operators/lshplan.lsh_plan_table):
+    the closed-form S-curve facts for every divisor split of num_perm=16
+    at threshold 0.5 (the pipeline's own config) — candidate probability
+    at/below/above threshold, curve midpoint s50 = (1/b)^(1/r), and
+    integrated fp/fn areas on a 20-point grid, with the min(fp+fn)
+    split flagged. Pure arithmetic on a divisor-count-sized frame (no
+    table read); the DuckDB oracle replays every number from the same
+    grid. The only intentionally driver-sized query in the contract."""
+    from iamsystem_python_spark.operators.lshplan import lsh_plan_table
+
+    return lsh_plan_table(spark, 16, 0.5).orderBy("num_bands")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1536,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_secret_scan": q78_secret_scan,
         "q79_license_tag": q79_license_tag,
         "q80_novel_docs": q80_novel_docs,
+        "q81_lsh_plan": q81_lsh_plan,
     }
 
 
@@ -3265,4 +3280,40 @@ SELECT doc_id, spdx_id, phrase_guess, license,
 FROM resolved ORDER BY doc_id
 """,
         "q80_novel_docs": _novel_docs_oracle_sql(3, 16, 8, 0.5, 3),
+        "q81_lsh_plan": """
+WITH splits AS (
+  SELECT b::BIGINT AS num_bands, (16 // b)::BIGINT AS rows_per_band
+  FROM generate_series(1, 16) t(b) WHERE 16 % b = 0
+),
+grid AS (
+  SELECT (i + 0.5) / 20.0 AS s FROM generate_series(0, 19) g(i)
+),
+areas AS (
+  SELECT num_bands, rows_per_band,
+    sum(CASE WHEN s < 0.5
+        THEN 1 - pow(1 - pow(s, rows_per_band), num_bands)
+        ELSE 0 END) / 20.0 AS fp,
+    sum(CASE WHEN s >= 0.5
+        THEN pow(1 - pow(s, rows_per_band), num_bands)
+        ELSE 0 END) / 20.0 AS fn
+  FROM splits, grid GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.num_bands, s.rows_per_band,
+    round(1 - pow(1 - pow(0.5, s.rows_per_band), s.num_bands), 6)
+      AS p_at_threshold,
+    round(1 - pow(1 - pow(0.25, s.rows_per_band), s.num_bands), 6)
+      AS p_below,
+    round(1 - pow(1 - pow(0.625, s.rows_per_band), s.num_bands), 6)
+      AS p_above,
+    round(pow(1.0 / s.num_bands, 1.0 / s.rows_per_band), 6) AS s50,
+    round(a.fp, 6) AS fp_area, round(a.fn, 6) AS fn_area
+  FROM splits s JOIN areas a USING (num_bands, rows_per_band)
+)
+SELECT num_bands, rows_per_band, p_at_threshold, p_below, p_above, s50,
+  fp_area, fn_area,
+  (row_number() OVER (ORDER BY fp_area + fn_area ASC, num_bands DESC)) = 1
+    AS recommended
+FROM scored ORDER BY num_bands
+""",
     }

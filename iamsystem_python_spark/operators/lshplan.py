@@ -1,0 +1,107 @@
+"""LSH banding parameter planner — the S-curve math that picks
+(num_bands, rows_per_band) before a 100-TB dedup run.
+
+For MinHash-LSH with b bands of r rows, a pair with true Jaccard s
+becomes a candidate with probability  p(s) = 1 - (1 - s^r)^b  (the
+classic banding S-curve, Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3 — public). Choosing (b, r) IS the recall/cost trade:
+steeper curves near the target threshold mean fewer false candidates
+(shuffle rows) and fewer missed pairs. At 10^12 files a mis-tuned b
+multiplies the band-join shuffle by integer factors, so the planner is
+part of the engine, not a notebook afterthought.
+
+Everything here is closed-form arithmetic on a tiny config grid —
+computed AS A DATAFRAME (one row per valid (b, r) split, probabilities
+via pow) so it is engine-portable and oracle-replayable; there is
+deliberately no float iteration a SQL replay couldn't reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def lsh_plan_table(
+    spark: SparkSession,
+    num_perm: int,
+    threshold: float,
+    grid_points: int = 20,
+) -> DataFrame:
+    """One row per divisor split num_perm = b·r: the S-curve facts a
+    planner needs —
+
+    - ``p_at_threshold``: candidate probability for a pair exactly at
+      the target Jaccard (want: high → recall),
+    - ``p_below``: at 0.5·threshold (want: low → shuffle cost),
+    - ``p_above``: at min(1, 1.25·threshold) (sanity: ≈1),
+    - ``s50``: the curve's midpoint (1/b)^(1/r) — where candidate
+      probability crosses 1/2... the effective threshold the split
+      actually implements,
+    - ``fp_area`` / ``fn_area``: Riemann sums of p(s) below the
+      threshold and of 1-p(s) above it on a ``grid_points`` uniform
+      s-grid — the integrated false-positive shuffle cost and the
+      integrated recall loss,
+    - ``recommended``: the split minimizing fp_area + fn_area
+      (ties → larger b, i.e. recall-leaning).
+
+    All closed-form; the DuckDB oracle replays every number from the
+    same grid."""
+    if num_perm < 1:
+        raise ValueError("num_perm must be >= 1")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    splits = [
+        (b, num_perm // b) for b in range(1, num_perm + 1) if num_perm % b == 0
+    ]
+    base = spark.createDataFrame(splits, ["num_bands", "rows_per_band"])
+    b, r = F.col("num_bands"), F.col("rows_per_band")
+    t = F.lit(float(threshold))
+
+    def p_cand(s):
+        return 1.0 - F.pow(1.0 - F.pow(s, r), b)
+
+    # uniform s-grid midpoints (i+0.5)/grid_points, i = 0..grid_points-1;
+    # fp integrates p(s) where s < t, fn integrates 1-p(s) where s >= t
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(grid_points - 1)),
+        lambda i: (i.cast("double") + F.lit(0.5)) / F.lit(float(grid_points)),
+    )
+    fp = F.aggregate(
+        grid,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.when(s < t, p_cand(s)).otherwise(F.lit(0.0))
+        / F.lit(float(grid_points)),
+    )
+    fn = F.aggregate(
+        grid,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.when(s >= t, 1.0 - p_cand(s)).otherwise(F.lit(0.0))
+        / F.lit(float(grid_points)),
+    )
+    scored = base.select(
+        "num_bands",
+        "rows_per_band",
+        F.round(p_cand(t), 6).alias("p_at_threshold"),
+        F.round(p_cand(t * 0.5), 6).alias("p_below"),
+        F.round(p_cand(F.least(F.lit(1.0), t * 1.25)), 6).alias("p_above"),
+        F.round(F.pow(1.0 / b.cast("double"), 1.0 / r.cast("double")), 6).alias(
+            "s50"
+        ),
+        F.round(fp, 6).alias("fp_area"),
+        F.round(fn, 6).alias("fn_area"),
+    )
+    # recommended: min (fp+fn), ties to larger num_bands — a tiny frame
+    # (≤ d(num_perm) rows), so a window over an unpartitioned sort is fine
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        (F.col("fp_area") + F.col("fn_area")).asc(), F.col("num_bands").desc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("recommended", F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -3136,3 +3136,46 @@ def test_novel_docs_near_dup_within_batch_smaller_id_wins(spark):
     }
     assert got[20] == ("novel", -1)
     assert got[21] == ("near_dup", 20)
+
+
+# ---------------------------------------------------------------------------
+# lsh_plan_table — banding parameter planner (q81)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_plan_table_matches_closed_form(spark):
+    import math
+
+    from iamsystem_python_spark.operators.lshplan import lsh_plan_table
+
+    out = {r.num_bands: r for r in lsh_plan_table(spark, 16, 0.5).collect()}
+    # every divisor split of 16 present
+    assert sorted(out) == [1, 2, 4, 8, 16]
+    for b, row in out.items():
+        r = 16 // b
+        assert row.rows_per_band == r
+        p = lambda s: 1 - (1 - s**r) ** b
+        assert abs(row.p_at_threshold - round(p(0.5), 6)) < 1e-9
+        assert abs(row.s50 - round((1 / b) ** (1 / r), 6)) < 1e-9
+        fp = sum(p((i + 0.5) / 20) for i in range(20) if (i + 0.5) / 20 < 0.5) / 20
+        fn = sum(1 - p((i + 0.5) / 20) for i in range(20) if (i + 0.5) / 20 >= 0.5) / 20
+        assert abs(row.fp_area - round(fp, 6)) < 1e-9
+        assert abs(row.fn_area - round(fn, 6)) < 1e-9
+    # exactly one recommendation; it minimizes fp+fn
+    recs = [b for b, row in out.items() if row.recommended]
+    assert len(recs) == 1
+    best = min(out.values(), key=lambda r: (r.fp_area + r.fn_area, -r.num_bands))
+    assert recs[0] == best.num_bands
+    # b=16,r=1 is the recall-max/cost-max extreme: everything pairs
+    assert out[16].p_below > out[1].p_below
+
+
+def test_lsh_plan_table_validation(spark):
+    import pytest as _pytest
+
+    from iamsystem_python_spark.operators.lshplan import lsh_plan_table
+
+    with _pytest.raises(ValueError):
+        lsh_plan_table(spark, 0, 0.5)
+    with _pytest.raises(ValueError):
+        lsh_plan_table(spark, 16, 1.0)
