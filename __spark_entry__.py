@@ -1472,6 +1472,21 @@ def q81_lsh_plan(spark, sf_dir):
     return lsh_plan_table(spark, 16, 0.5).orderBy("num_bands")
 
 
+def q82_dedup_audit(spark, sf_dir):
+    """Near-dup cluster-size audit (dedup_text.near_dup_audit): the
+    pre-deletion report — per observed cluster size, how many clusters,
+    how many docs, what corpus fraction, and how many rows a
+    keep-one-representative policy removes. Rides on q27's clustering
+    (same config); adds two narrow aggregations + a broadcast single-row
+    total. Mega-cluster rows are the skew early-warning at 10^12 files."""
+    from iamsystem_python_spark.operators.dedup_text import near_dup_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_audit(
+        docs, k=3, num_perm=16, num_bands=8, threshold=0.5
+    ).orderBy("cluster_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1551,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_license_tag": q79_license_tag,
         "q80_novel_docs": q80_novel_docs,
         "q81_lsh_plan": q81_lsh_plan,
+        "q82_dedup_audit": q82_dedup_audit,
     }
 
 
@@ -3315,5 +3331,26 @@ SELECT num_bands, rows_per_band, p_at_threshold, p_below, p_above, s50,
   (row_number() OVER (ORDER BY fp_area + fn_area ASC, num_bands DESC)) = 1
     AS recommended
 FROM scored ORDER BY num_bands
+""",
+        "q82_dedup_audit": f"""
+WITH clus AS (
+  SELECT * FROM (
+    {_clusters_oracle_sql(3, 16, 8, 0.5).replace("ORDER BY doc_id", "")}
+  )
+),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM clus GROUP BY cluster_id
+),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+SELECT cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       sum(cluster_size)::BIGINT AS n_docs,
+       round(sum(cluster_size)::DOUBLE / any_value(t.n_total), 6)
+         AS frac_of_corpus,
+       (sum(cluster_size) - count(*))::BIGINT AS removable
+FROM sizes, tot t
+GROUP BY cluster_size
+ORDER BY cluster_size
 """,
     }

@@ -1369,3 +1369,43 @@ def novel_docs_filter(
         F.col("verdict") == "novel"
     )
     return new_df.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+
+def near_dup_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-size audit of a near-dup run — the report a 100-TB dedup
+    job publishes before anyone deletes anything: one row per observed
+    cluster size with (n_clusters, n_docs, frac_of_corpus, removable),
+    where removable = n_docs − n_clusters (keep one representative per
+    cluster). Mega-cluster rows at the tail are the skew early-warning:
+    a cluster of 10^6 boilerplate files shows up here as one row long
+    before it melts a verification join downstream.
+
+    Plan shape: rides on ``near_dup_clusters_sql`` (banded LSH, never
+    all-pairs); the audit itself adds two narrow aggregations
+    (cluster_id → size, size → histogram) and one crossJoin(broadcast)
+    single-row total — no collect, no extra text scan."""
+    clusters = near_dup_clusters_sql(
+        df, text_col, k, num_perm, num_bands, threshold
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    total = df.select(F.count("*").alias("n_total"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    return hist.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("frac_of_corpus"),
+        (F.col("n_docs") - F.col("n_clusters")).alias("removable"),
+    )

@@ -3179,3 +3179,29 @@ def test_lsh_plan_table_validation(spark):
         lsh_plan_table(spark, 0, 0.5)
     with _pytest.raises(ValueError):
         lsh_plan_table(spark, 16, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# near_dup_audit — cluster-size histogram report (q82)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_audit_planted(spark):
+    from iamsystem_python_spark.operators.dedup_text import near_dup_audit
+
+    a = "one two three four five six seven eight nine ten"
+    a2 = "one two three four five six seven eight nine ELEVEN"
+    a3 = "one two three four five six seven eight nine TWELVE"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b2 = "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"
+    rows = [(1, a), (2, a2), (3, a3), (4, b), (5, b2),
+            (6, "totally unrelated text with completely fresh words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.cluster_size: r for r in near_dup_audit(df).collect()}
+    # one 3-cluster {1,2,3} and one 2-cluster {4,5}; doc 6 unclustered
+    assert got[3].n_clusters == 1 and got[3].n_docs == 3
+    assert got[3].removable == 2
+    assert got[2].n_clusters == 1 and got[2].removable == 1
+    assert abs(got[3].frac_of_corpus - round(3 / 6, 6)) < 1e-9
+    assert abs(got[2].frac_of_corpus - round(2 / 6, 6)) < 1e-9
+    assert sorted(got) == [2, 3]
