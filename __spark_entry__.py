@@ -1487,6 +1487,64 @@ def q82_dedup_audit(spark, sf_dir):
     ).orderBy("cluster_size")
 
 
+def q83_repo_manifest(spark, sf_dir):
+    """Per-repo catalog cards (operators/treedup.repo_manifest): file and
+    language counts, total chars, modal extension, and cross-repo
+    content-reuse fraction (files whose sha appears in another repo).
+    Content hashes to sha immediately — it never crosses a shuffle; the
+    sharing mark is one narrow (sha, repo) aggregation. Uses the q77
+    deterministic (repo, path, lang, content) derivation, whose vendored
+    files make reuse_frac non-trivial."""
+    from iamsystem_python_spark.operators.treedup import repo_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    own = docs.select(
+        F.concat(F.lit("r"), did % 6).alias("repo"),
+        F.concat(F.lit("src/f"), did, F.lit("."), F.col("lang")).alias(
+            "path"
+        ),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    vendor = (
+        docs.where(did < 5)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("r"),
+            did.alias("doc_id"),
+            "lang",
+            "text",
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("r")).alias("repo"),
+            F.concat(
+                F.lit("vendor/pkg/f"), F.col("doc_id"), F.lit("."), F.col("lang")
+            ).alias("path"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+    )
+    shared = (
+        docs.where((did >= 5) & (did < 7))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"),
+            did.alias("doc_id"),
+            "lang",
+            "text",
+        )
+        .select(
+            F.concat(F.lit("r"), F.col("r")).alias("repo"),
+            F.concat(
+                F.lit("shared/u"), F.col("doc_id"), F.lit("."), F.col("lang")
+            ).alias("path"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+    )
+    files = own.unionByName(vendor).unionByName(shared)
+    return repo_manifest(files).orderBy("repo")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1567,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_novel_docs": q80_novel_docs,
         "q81_lsh_plan": q81_lsh_plan,
         "q82_dedup_audit": q82_dedup_audit,
+        "q83_repo_manifest": q83_repo_manifest,
     }
 
 
@@ -3352,5 +3411,52 @@ SELECT cluster_size,
 FROM sizes, tot t
 GROUP BY cluster_size
 ORDER BY cluster_size
+""",
+        "q83_repo_manifest": """
+WITH files AS (
+  SELECT 'r' || (doc_id % 6)::VARCHAR AS repo,
+         'src/f' || doc_id::VARCHAR || '.' || lang AS path,
+         lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'r' || r::VARCHAR,
+         'vendor/pkg/f' || doc_id::VARCHAR || '.' || lang, lang, text
+  FROM documents, range(6) t(r) WHERE doc_id < 5
+  UNION ALL
+  SELECT 'r' || r::VARCHAR,
+         'shared/u' || doc_id::VARCHAR || '.' || lang, lang, text
+  FROM documents, range(3) t(r) WHERE doc_id >= 5 AND doc_id < 7
+),
+hashed AS (
+  SELECT repo, path, lang, sha256(content) AS sha,
+         length(content) AS n_chars,
+         coalesce(regexp_extract(path, '\\.([A-Za-z0-9_]+)$', 1), '')
+           AS ext
+  FROM files
+),
+sha_repos AS (
+  SELECT sha, count(DISTINCT repo) AS nr FROM hashed GROUP BY sha
+),
+per_repo AS (
+  SELECT h.repo, count(*)::BIGINT AS n_files,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         sum(n_chars)::BIGINT AS total_chars,
+         sum(CASE WHEN s.nr > 1 THEN 1 ELSE 0 END)::BIGINT AS shared_files
+  FROM hashed h JOIN sha_repos s USING (sha) GROUP BY h.repo
+),
+ext_counts AS (
+  SELECT repo, ext, count(*) AS n FROM hashed GROUP BY repo, ext
+),
+tops AS (
+  SELECT repo, ext AS top_ext FROM (
+    SELECT repo, ext,
+           row_number() OVER (PARTITION BY repo ORDER BY n DESC, ext ASC)
+             AS rk
+    FROM ext_counts) WHERE rk = 1
+)
+SELECT p.repo, p.n_files, p.n_langs, p.total_chars, t.top_ext,
+       p.shared_files,
+       round(p.shared_files::DOUBLE / p.n_files, 6) AS reuse_frac
+FROM per_repo p JOIN tops t USING (repo) ORDER BY repo
 """,
     }

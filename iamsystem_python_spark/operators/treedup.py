@@ -26,7 +26,7 @@ exceeds a cap in a cheap preceding groupBy) before running this.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -181,4 +181,68 @@ def duplicate_subtrees(
         F.sort_array(
             F.collect_list(F.concat_ws("::", "repo", "dir"))
         ).alias("locations")
+    )
+
+
+def repo_manifest(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-repo manifest card — the corpus-catalog report a code-table
+    ingest publishes: (repo, n_files, n_langs, total_chars, top_ext,
+    shared_files, reuse_frac) where ``shared_files`` counts files whose
+    content sha also appears in ANOTHER repo (vendored/forked content)
+    and ``reuse_frac`` = shared_files / n_files.
+
+    top_ext is the modal filename extension (most files; ties break to
+    the lexicographically smallest extension — deterministic), '' when a
+    path has no dot-extension.
+
+    Plan shape: content hashes to a 64-char sha immediately — content
+    never crosses a shuffle. Three narrow aggregations: (sha →
+    n_repos) for the sharing mark, (repo, ext) counts + one row_number
+    window for the mode, and the final per-repo rollup. The sha
+    re-attach is an equi-join on the 64-char key; a hot sha (the empty
+    file, a ubiquitous LICENSE) concentrates only narrow rows."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    files = df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.col(lang_col).alias("lang"),
+        F.sha2(F.col(content_col), 256).alias("sha"),
+        F.length(F.col(content_col)).alias("n_chars"),
+        F.regexp_extract(path, r"\.([A-Za-z0-9_]+)$", 1).alias("ext"),
+    )
+    sha_repos = files.groupBy("sha").agg(
+        F.countDistinct("repo").alias("n_repos_with_sha")
+    )
+    marked = files.join(sha_repos, "sha")
+    per_repo = marked.groupBy("repo").agg(
+        F.count("*").alias("n_files"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.when(F.col("n_repos_with_sha") > 1, 1).otherwise(0)
+        ).alias("shared_files"),
+    )
+    ext_counts = files.groupBy("repo", "ext").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("repo").orderBy(F.desc("_n"), F.asc("ext"))
+    top_ext = (
+        ext_counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("repo", F.col("ext").alias("top_ext"))
+    )
+    return per_repo.join(top_ext, "repo").select(
+        "repo",
+        "n_files",
+        "n_langs",
+        "total_chars",
+        "top_ext",
+        "shared_files",
+        F.round(F.col("shared_files") / F.col("n_files"), 6).alias(
+            "reuse_frac"
+        ),
     )

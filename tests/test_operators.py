@@ -3205,3 +3205,33 @@ def test_near_dup_audit_planted(spark):
     assert abs(got[3].frac_of_corpus - round(3 / 6, 6)) < 1e-9
     assert abs(got[2].frac_of_corpus - round(2 / 6, 6)) < 1e-9
     assert sorted(got) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# repo_manifest — per-repo catalog card (q83)
+# ---------------------------------------------------------------------------
+
+
+def test_repo_manifest_planted(spark):
+    from iamsystem_python_spark.operators.treedup import repo_manifest
+
+    rows = [
+        # repoA: 3 files, 2 langs, shares LICENSE content with repoB
+        ("repoA", "LICENSE", "txt", "mit license body"),
+        ("repoA", "src/a.py", "py", "print(1)"),
+        ("repoA", "src/b.py", "py", "print(2)"),
+        # repoB: 2 files; LICENSE identical to repoA's
+        ("repoB", "docs/LICENSE", "txt", "mit license body"),
+        ("repoB", "main.js", "js", "console.log(1)"),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "lang", "content"])
+    got = {r.repo: r for r in repo_manifest(df).collect()}
+    a, b = got["repoA"], got["repoB"]
+    assert a.n_files == 3 and a.n_langs == 2
+    assert a.total_chars == len("mit license body") + len("print(1)") * 2
+    assert a.top_ext == "py"
+    assert a.shared_files == 1 and abs(a.reuse_frac - round(1 / 3, 6)) < 1e-9
+    assert b.n_files == 2 and b.shared_files == 1
+    # b's exts: '' (LICENSE has no dot-ext) and 'js' — one file each,
+    # tie breaks to the lexicographically smaller, the empty string
+    assert b.top_ext == ""
