@@ -1545,6 +1545,34 @@ def q83_repo_manifest(spark, sf_dir):
     return repo_manifest(files).orderBy("repo")
 
 
+def q84_dependency_stats(spark, sf_dir):
+    """Dependency-frequency audit (operators/deps.dependency_stats):
+    python-style `import a.b` / `from a.b import c` extraction to root
+    packages, then (module, n_docs, n_uses). Extraction is row-local
+    multiline-regex codegen; the one shuffle aggregates narrow
+    (module, doc_id) rows. Import lines are planted deterministically
+    from doc_id (q50 precedent)."""
+    from iamsystem_python_spark.operators.deps import dependency_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    plant = F.concat(
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("import pkg"), did % 10, F.lit(".sub\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(F.lit("from lib"), did % 5, F.lit(" import thing\n")),
+        ).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("  import extra\n")).otherwise(F.lit("")),
+    )
+    planted = docs.select(
+        "doc_id", F.concat(plant, F.col("text")).alias("text")
+    )
+    return dependency_stats(planted).orderBy("module")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1626,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_lsh_plan": q81_lsh_plan,
         "q82_dedup_audit": q82_dedup_audit,
         "q83_repo_manifest": q83_repo_manifest,
+        "q84_dependency_stats": q84_dependency_stats,
     }
 
 
@@ -3458,5 +3487,34 @@ SELECT p.repo, p.n_files, p.n_langs, p.total_chars, t.top_ext,
        p.shared_files,
        round(p.shared_files::DOUBLE / p.n_files, 6) AS reuse_frac
 FROM per_repo p JOIN tops t USING (repo) ORDER BY repo
+""",
+        "q84_dependency_stats": """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+         THEN 'import pkg' || (doc_id % 10)::VARCHAR || '.sub' || chr(10)
+         ELSE '' END ||
+    CASE WHEN doc_id % 4 = 1
+         THEN 'from lib' || (doc_id % 5)::VARCHAR || ' import thing'
+              || chr(10)
+         ELSE '' END ||
+    CASE WHEN doc_id % 6 = 0 THEN '  import extra' || chr(10)
+         ELSE '' END || text AS text
+  FROM documents
+),
+mods AS (
+  SELECT doc_id, unnest(
+    list_concat(
+      regexp_extract_all(text,
+        '(?m)^\\s*from\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+import', 1),
+      regexp_extract_all(text,
+        '(?m)^\\s*import\\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+    )) AS mod
+  FROM planted
+)
+SELECT split_part(mod, '.', 1) AS module,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_uses
+FROM mods GROUP BY 1 ORDER BY module
 """,
     }

@@ -1,0 +1,44 @@
+"""Import / dependency extraction over a code corpus.
+
+The dependency-frequency audit of a source-code table: which packages
+does the corpus import, in how many files, how often — the input to
+popularity-weighted sampling, supply-chain audits (does anything import
+a known-bad package?), and language/ecosystem drift reports.
+
+Python-style import syntax only (`import a.b`, `from a.b import c`),
+specified exactly so the extraction is replayable: both patterns are
+multiline-anchored regexes in the Java-regex ∩ RE2 dialect, module
+roots are the first dot-segment. Extraction is row-local codegen; the
+only shuffle aggregates narrow (root, doc_id) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FROM_RE = r"(?m)^\s*from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import"
+IMPORT_RE = r"(?m)^\s*import\s+([A-Za-z_][A-Za-z0-9_.]*)"
+
+
+def dependency_stats(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """(module, n_docs, n_uses) per imported root package: n_uses counts
+    every import statement, n_docs the distinct docs importing it.
+    Expects a ``doc_id`` column. Map-side extraction, one aggregation
+    over narrow rows."""
+    c = F.col(content_col)
+    mods = F.concat(
+        F.regexp_extract_all(c, F.lit(FROM_RE), F.lit(1)),
+        F.regexp_extract_all(c, F.lit(IMPORT_RE), F.lit(1)),
+    )
+    exploded = (
+        df.select("doc_id", mods.alias("_mods"))
+        .select("doc_id", F.explode("_mods").alias("_mod"))
+        .select(
+            "doc_id", F.split_part(F.col("_mod"), F.lit("."), F.lit(1)).alias("module")
+        )
+    )
+    return exploded.groupBy("module").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_uses"),
+    )

@@ -3235,3 +3235,30 @@ def test_repo_manifest_planted(spark):
     # b's exts: '' (LICENSE has no dot-ext) and 'js' — one file each,
     # tie breaks to the lexicographically smaller, the empty string
     assert b.top_ext == ""
+
+
+# ---------------------------------------------------------------------------
+# dependency_stats — import extraction (q84)
+# ---------------------------------------------------------------------------
+
+
+def test_dependency_stats_import_kinds(spark):
+    from iamsystem_python_spark.operators.deps import dependency_stats
+
+    rows = [
+        (0, "import os\nimport numpy.linalg\nfrom os.path import join\nx=1"),
+        (1, "  import os\nprint('import banana')\n# import within comment line"),
+        (2, "from collections import Counter\nimport os, sys"),
+        (3, "no imports at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.module: (r.n_docs, r.n_uses) for r in dependency_stats(df).collect()}
+    # doc0: os (import), numpy (dotted root), os (from os.path) -> os twice
+    # doc1: leading-whitespace import counts; quoted 'import banana' does
+    #       NOT (not line-anchored); '# import' does NOT
+    # doc2: collections + os ('import os, sys' captures the first module)
+    assert got["os"] == (3, 4)
+    assert got["numpy"] == (1, 1)
+    assert got["collections"] == (1, 1)
+    assert "sys" not in got  # documented limit: first module per statement
+    assert "banana" not in got
