@@ -1573,6 +1573,32 @@ def q84_dependency_stats(spark, sf_dir):
     return dependency_stats(planted).orderBy("module")
 
 
+def q85_type1_clones(spark, sf_dir):
+    """Type-1 clone groups (dedup_text.type1_clone_groups): identical
+    code modulo comments and layout — strip /* */ and // / # comments,
+    collapse whitespace, sha256 the normal form, group ≥2. Completes
+    the clone-level ladder (type-1 here, type-2 renaming q69, near-miss
+    winnowing q68). Row-local normalization; only the 64-char norm_sha
+    crosses the group-size window shuffle. Clone variants are planted
+    deterministically (comment wrap + doubled spaces on docs 0-49)."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        type1_clone_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    variants = docs.where(did < 50).select(
+        (did + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("/* auto generated */\n  "),
+            F.regexp_replace(F.col("text"), " ", "  "),
+            F.lit("\n// end"),
+        ).alias("text"),
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(variants)
+    return type1_clone_groups(all_docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1655,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_dedup_audit": q82_dedup_audit,
         "q83_repo_manifest": q83_repo_manifest,
         "q84_dependency_stats": q84_dependency_stats,
+        "q85_type1_clones": q85_type1_clones,
     }
 
 
@@ -3516,5 +3543,30 @@ SELECT split_part(mod, '.', 1) AS module,
        count(DISTINCT doc_id)::BIGINT AS n_docs,
        count(*)::BIGINT AS n_uses
 FROM mods GROUP BY 1 ORDER BY module
+""",
+        "q85_type1_clones": """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         '/* auto generated */' || chr(10) || '  ' ||
+         replace(text, ' ', '  ') || chr(10) || '// end'
+  FROM documents WHERE doc_id < 50
+),
+norm AS (
+  SELECT doc_id, sha256(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '(?s)/\\*.*?\\*/', ' ', 'g'),
+        '(//|#)[^\\n]*', ' ', 'g'),
+      '\\s+', ' ', 'g'))) AS norm_sha
+  FROM all_docs
+),
+sized AS (
+  SELECT norm_sha, count(*)::BIGINT AS group_size
+  FROM norm GROUP BY norm_sha
+)
+SELECT n.doc_id, n.norm_sha, s.group_size
+FROM norm n JOIN sized s USING (norm_sha)
+WHERE s.group_size >= 2 ORDER BY doc_id
 """,
     }

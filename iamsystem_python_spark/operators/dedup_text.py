@@ -1409,3 +1409,44 @@ def near_dup_audit(
         F.round(F.col("n_docs") / F.col("n_total"), 6).alias("frac_of_corpus"),
         (F.col("n_docs") - F.col("n_clusters")).alias("removable"),
     )
+
+
+def type1_clone_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_group: int = 2,
+) -> DataFrame:
+    """Type-1 clone groups — identical code modulo comments and layout
+    (the first level of the classic clone taxonomy; type-2, consistent
+    renaming, is ``template_fingerprints``; near-miss similarity is the
+    winnowing/MinHash family). Normalization, in order:
+
+    1. strip ``/* ... */`` block comments (non-greedy, across lines),
+    2. strip ``//`` and ``#`` line comments (to end of line),
+    3. collapse every whitespace run to one space, trim.
+
+    The normalized form is sha256-fingerprinted; docs sharing a
+    fingerprint in groups of ≥ ``min_group`` are type-1 clones. Regex
+    normalization is the documented heuristic (a comment marker inside
+    a string literal is treated as a comment — the standard trade of
+    lexer-free clone detectors); all three patterns live in the
+    Java-regex ∩ RE2 dialect so an oracle replays them byte-for-byte.
+
+    Returns (id, norm_sha, group_size) for clone-group members.
+    Plan shape: normalization is row-local codegen; the only shuffle is
+    the group-size window over the 64-char norm_sha — text never
+    crosses it."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(c, r"(?s)/\*.*?\*/", " ")
+    norm = F.regexp_replace(norm, r"(//|#)[^\n]*", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    fp = df.where(c.isNotNull()).select(
+        F.col(id_col), F.sha2(norm, 256).alias("norm_sha")
+    )
+    w = Window.partitionBy("norm_sha")
+    return (
+        fp.withColumn("group_size", F.count("*").over(w))
+        .where(F.col("group_size") >= min_group)
+        .select(id_col, "norm_sha", "group_size")
+    )

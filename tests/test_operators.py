@@ -3262,3 +3262,30 @@ def test_dependency_stats_import_kinds(spark):
     assert got["collections"] == (1, 1)
     assert "sys" not in got  # documented limit: first module per statement
     assert "banana" not in got
+
+
+# ---------------------------------------------------------------------------
+# type1_clone_groups — comment/layout-insensitive exact clones (q85)
+# ---------------------------------------------------------------------------
+
+
+def test_type1_clone_groups_normalization(spark):
+    from iamsystem_python_spark.operators.dedup_text import type1_clone_groups
+
+    rows = [
+        (1, "int main() { return 0; }"),
+        (2, "int main()  {\n\treturn 0;\n}"),                 # layout only
+        (3, "int main() { /* entry\npoint */ return 0; }"),   # block comment
+        (4, "int main() { // comment\nreturn 0; }"),          # line comment
+        (5, "int main() { return 1; }"),                      # different code
+        (6, "x = 1 # set x\ny = 2"),
+        (7, "x = 1\ny = 2"),
+        (8, "unique snowflake"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.norm_sha, r.group_size) for r in type1_clone_groups(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 6, 7}
+    assert got[1][0] == got[2][0] == got[3][0] == got[4][0]
+    assert got[1][1] == 4
+    assert got[6][0] == got[7][0] and got[6][1] == 2
+    assert 5 not in got and 8 not in got
