@@ -508,3 +508,28 @@ def streaming_token_mixture(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_compliance_scan(
+    stream_df: DataFrame,
+    content_col: str = "content",
+) -> DataFrame:
+    """Stateless compliance gate on an ingest stream: the batch
+    secret-scan battery (operators/secrets.secret_scan) plus license
+    tagging (operators/licenses.license_tag) applied per micro-batch —
+    both are row-local codegen, so Spark plans them with no state store
+    and the stream inherits their exact batch semantics (same columns,
+    same redacted_sha contract; a batch replay of the same rows is
+    bit-identical). Route on ``quarantine`` = has secrets OR a
+    non-permissive license."""
+    from iamsystem_python_spark.operators.licenses import license_tag
+    from iamsystem_python_spark.operators.secrets import secret_scan
+
+    scanned = license_tag(
+        secret_scan(stream_df, col=content_col), col=content_col
+    )
+    return scanned.withColumn(
+        "quarantine",
+        (F.col("n_secrets") > 0)
+        | (F.col("has_license") & ~F.col("permissive")),
+    )

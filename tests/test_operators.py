@@ -3289,3 +3289,55 @@ def test_type1_clone_groups_normalization(spark):
     assert got[1][1] == 4
     assert got[6][0] == got[7][0] and got[6][1] == 2
     assert 5 not in got and 8 not in got
+
+
+def test_streaming_compliance_scan_matches_batch(spark, tmp_path):
+    from iamsystem_python_spark.operators.licenses import license_tag
+    from iamsystem_python_spark.operators.secrets import secret_scan
+    from iamsystem_python_spark.streaming.stream_ops import (
+        streaming_compliance_scan,
+    )
+
+    # file source so the exact same rows can be replayed in batch
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    rows = [
+        (0, "clean file"),
+        (1, "password = hunter2hunter2"),
+        (2, "# SPDX-License-Identifier: GPL-3.0-only\nx=1"),
+        (3, "// SPDX-License-Identifier: MIT\nAKIAABCDEFGHIJKLMNOP"),
+    ]
+    batch_df = spark.createDataFrame(rows, ["doc_id", "content"])
+    batch_df.coalesce(1).write.parquet(str(src_dir / "part"))
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src_dir / "part"))
+    out = streaming_compliance_scan(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("compliance_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.quarantine, r.n_secrets, r.license, r.redacted_sha)
+        for r in spark.sql("SELECT * FROM compliance_test").collect()
+    }
+    batch = license_tag(secret_scan(batch_df, col="content"), col="content")
+    expected = {
+        r.doc_id: (
+            (r.n_secrets > 0) or (r.has_license and not r.permissive),
+            r.n_secrets,
+            r.license,
+            r.redacted_sha,
+        )
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert got[0][0] is False and got[1][0] is True
+    assert got[2][0] is True          # GPL = non-permissive license
+    assert got[3][0] is True and got[3][2] == "MIT"  # secret despite MIT
