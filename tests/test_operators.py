@@ -3341,3 +3341,58 @@ def test_streaming_compliance_scan_matches_batch(spark, tmp_path):
     assert got[0][0] is False and got[1][0] is True
     assert got[2][0] is True          # GPL = non-permissive license
     assert got[3][0] is True and got[3][2] == "MIT"  # secret despite MIT
+
+
+# ---------------------------------------------------------------------------
+# property tests for the round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def test_subtree_hashes_invariant_to_row_order_and_mount_point(spark):
+    """Merkle property: input row order never matters, and relocating a
+    whole subtree under a different parent preserves the hashes of every
+    directory INSIDE the subtree."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.treedup import subtree_hashes
+
+    rng = _random.Random(7)
+    files = [(f"d{i%3}/e{i%2}/f{i}.py", f"sha{i%5}") for i in range(30)]
+    a = [("rA", p, s) for p, s in files]
+    shuffled = a[:]
+    rng.shuffle(shuffled)
+    # rB mounts the identical tree under vendor/lib/
+    b = [("rB", "vendor/lib/" + p, s) for p, s in files]
+    df = spark.createDataFrame(a + b, ["repo", "path", "sha"])
+    df2 = spark.createDataFrame(shuffled + b, ["repo", "path", "sha"])
+    h1 = {(r.repo, r.dir): r.subtree_sha for r in subtree_hashes(df).collect()}
+    h2 = {(r.repo, r.dir): r.subtree_sha for r in subtree_hashes(df2).collect()}
+    assert h1 == h2
+    for p in ["d0", "d1", "d2", "d0/e0", "d0/e1"]:
+        assert h1[("rA", p)] == h1[("rB", "vendor/lib/" + p)]
+    # the mounted root equals rA's root
+    assert h1[("rA", "")] == h1[("rB", "vendor/lib")]
+
+
+def test_secret_scan_no_match_is_identity_sha(spark):
+    import hashlib
+
+    from iamsystem_python_spark.operators.secrets import secret_scan
+
+    texts = ["", "plain words", "AKIA too-short", "deadbeef" * 4]  # 32 hex < 40
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for r in secret_scan(df).collect():
+        assert r.n_secrets == 0
+        assert r.redacted_sha == hashlib.sha256(texts[r.doc_id].encode()).hexdigest()
+
+
+def test_fuzzy_join_is_symmetric_in_its_sides(spark):
+    from iamsystem_python_spark.operators.fuzzyjoin import fuzzy_join
+
+    left = spark.createDataFrame([("abc",), ("xyz",)], ["v"])
+    right = spark.createDataFrame([("abd",), ("xyy",), ("qqq",)], ["v"])
+    ab = {(r.left_val, r.right_val, r.dist)
+          for r in fuzzy_join(left, right, "v", "v", max_dist=1).collect()}
+    ba = {(r.right_val, r.left_val, r.dist)
+          for r in fuzzy_join(right, left, "v", "v", max_dist=1).collect()}
+    assert ab == ba == {("abc", "abd", 1), ("xyz", "xyy", 1)}
