@@ -1599,6 +1599,19 @@ def q85_type1_clones(spark, sf_dir):
     return type1_clone_groups(all_docs).orderBy("doc_id")
 
 
+def q86_bpe_pairs(spark, sf_dir):
+    """BPE first-merge statistics (operators/textstats.bpe_pair_stats):
+    corpus-frequency-weighted adjacent character-pair counts inside
+    words — what a BPE tokenizer trainer maximizes on merge 1. Word
+    counts map-side combine; pairs explode from the DISTINCT word table
+    (vocabulary-scaled, Heaps-bounded), so text never crosses a shuffle.
+    Top 50 with deterministic tie-break."""
+    from iamsystem_python_spark.operators.textstats import bpe_pair_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_stats(docs, top_n=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1682,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_repo_manifest": q83_repo_manifest,
         "q84_dependency_stats": q84_dependency_stats,
         "q85_type1_clones": q85_type1_clones,
+        "q86_bpe_pairs": q86_bpe_pairs,
     }
 
 
@@ -3568,5 +3582,21 @@ sized AS (
 SELECT n.doc_id, n.norm_sha, s.group_size
 FROM norm n JOIN sized s USING (norm_sha)
 WHERE s.group_size >= 2 ORDER BY doc_id
+""",
+        "q86_bpe_pairs": """
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '')) AS w
+    FROM documents) GROUP BY w HAVING length(w) >= 2
+),
+pairs AS (
+  SELECT substring(w, i::INT, 1) AS left_sym,
+         substring(w, i::INT + 1, 1) AS right_sym, cnt
+  FROM words, LATERAL unnest(range(1, length(w))) AS u(i)
+)
+SELECT left_sym, right_sym, sum(cnt)::BIGINT AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
 """,
     }

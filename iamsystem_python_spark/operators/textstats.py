@@ -782,3 +782,60 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n_distinct"),
         F.round(F.sum("_term") + F.lit(0.0), 6).alias("entropy_bits"),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Byte-pair-encoding first-iteration statistics — the quantity a
+    BPE tokenizer trainer (Sennrich et al. 2016, public) maximizes on
+    its first merge: corpus-frequency-weighted counts of adjacent
+    character-symbol pairs inside words. Reported over raw character
+    symbols (no end-of-word marker — documented simplification; later
+    merge iterations need the evolving symbol table and belong in a
+    training loop, not a single relational pass).
+
+    Returns the ``top_n`` (left_sym, right_sym, pair_count) rows,
+    pair_count desc, ties by (left_sym, right_sym) asc — deterministic.
+
+    Plan shape: word counts are a map-side-combined groupBy (one narrow
+    shuffle row per distinct word per task); pairs explode from the
+    DISTINCT word table — cost scales with vocabulary × word length,
+    not corpus size (Heaps-bounded, same argument as unigram_logprob's
+    broadcast vocab); the pair aggregation is again map-side combined.
+    Text never crosses a shuffle."""
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1)),
+                lambda i: F.struct(
+                    F.substring(F.col("w"), i, F.lit(1)).alias("l"),
+                    F.substring(F.col("w"), i + F.lit(1), F.lit(1)).alias(
+                        "r"
+                    ),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.l").alias("left_sym"),
+        F.col("p.r").alias("right_sym"),
+        "cnt",
+    )
+    agg = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("cnt").alias("pair_count")
+    )
+    return agg.orderBy(
+        F.desc("pair_count"), "left_sym", "right_sym"
+    ).limit(top_n)

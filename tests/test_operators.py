@@ -3396,3 +3396,30 @@ def test_fuzzy_join_is_symmetric_in_its_sides(spark):
     ba = {(r.right_val, r.left_val, r.dist)
           for r in fuzzy_join(right, left, "v", "v", max_dist=1).collect()}
     assert ab == ba == {("abc", "abd", 1), ("xyz", "xyy", 1)}
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_stats — tokenizer-training first-merge table (q86)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_stats_hand_computed(spark):
+    from iamsystem_python_spark.operators.textstats import bpe_pair_stats
+
+    rows = [(0, "aa ab aa b"), (1, "cc aab")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.left_sym, r.right_sym): r.pair_count
+           for r in bpe_pair_stats(df).collect()}
+    # word freqs: aa:2, ab:1, aab:1, cc:1; 'b' dropped (len 1)
+    # ('a','a'): aa x2 + aab x1 = 3 ; ('a','b'): ab x1 + aab x1 = 2
+    # ('c','c'): 1
+    assert got == {("a", "a"): 3, ("a", "b"): 2, ("c", "c"): 1}
+
+
+def test_bpe_pair_stats_top_n_tie_break(spark):
+    from iamsystem_python_spark.operators.textstats import bpe_pair_stats
+
+    df = spark.createDataFrame([(0, "ab cd")], ["doc_id", "text"])
+    rows = bpe_pair_stats(df, top_n=1).collect()
+    # equal counts: ('a','b') wins the asc tie-break over ('c','d')
+    assert len(rows) == 1 and (rows[0].left_sym, rows[0].right_sym) == ("a", "b")
