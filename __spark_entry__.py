@@ -1612,6 +1612,29 @@ def q86_bpe_pairs(spark, sf_dir):
     return bpe_pair_stats(docs, top_n=50)
 
 
+def q87_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection of the embeddings table
+    (operators/similarity.jl_project): 64 → 8 dims with the portable
+    sha-derived ±1 matrix (constant-folded into codegen, zero per-row
+    hash cost) — the shuffle-payload reducer in front of the ANN stack.
+    Emitted long-form (vec_id, dim, value rounded to 4) so the DuckDB
+    oracle re-derives the matrix from the spec and replays the
+    projection."""
+    from iamsystem_python_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, out_dim=8)
+    return (
+        proj.select(
+            "vec_id", F.posexplode("proj").alias("dim", "value")
+        )
+        .select(
+            "vec_id", "dim", F.round(F.col("value"), 4).alias("value")
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1696,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_dependency_stats": q84_dependency_stats,
         "q85_type1_clones": q85_type1_clones,
         "q86_bpe_pairs": q86_bpe_pairs,
+        "q87_jl_projection": q87_jl_projection,
     }
 
 
@@ -3598,5 +3622,23 @@ pairs AS (
 SELECT left_sym, right_sym, sum(cnt)::BIGINT AS pair_count
 FROM pairs GROUP BY 1, 2
 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
+""",
+        "q87_jl_projection": """
+WITH signs AS (
+  SELECT i, j,
+    CASE WHEN ('0x' || substring(
+           sha256(i::VARCHAR || ',' || j::VARCHAR), 1, 15))::UBIGINT
+           % 2 = 0
+         THEN 1.0 ELSE -1.0 END AS s
+  FROM range(64) a(i), range(8) b(j)
+),
+el AS (
+  SELECT vec_id, i, embedding[i::INT + 1]::DOUBLE AS x
+  FROM embeddings, range(64) a(i)
+)
+SELECT e.vec_id, s.j::INT AS dim, round(sum(e.x * s.s), 4) AS value
+FROM el e JOIN signs s ON s.i = e.i
+GROUP BY e.vec_id, s.j
+ORDER BY vec_id, dim
 """,
     }

@@ -425,3 +425,49 @@ def semantic_dedup(
         )
     )
     return tie_cache(out, assigned)
+
+
+def jl_sign(i: int, j: int) -> int:
+    """±1 entry (i, j) of the portable Johnson–Lindenstrauss sign matrix:
+    +1 iff the low bit of the first 60 bits of sha256("i,j") is 0 — the
+    same sha-derived portable-hash convention as functions/sqlhash, so
+    any engine (or the DuckDB oracle) derives the identical matrix from
+    the spec alone; no RNG state to ship."""
+    import hashlib
+
+    h = int(hashlib.sha256(f"{i},{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 8,
+    in_dim: int = 64,
+) -> DataFrame:
+    """Random-sign Johnson–Lindenstrauss projection (Achlioptas 2003,
+    public): proj_j = Σ_i v_i · sign(i, j) — the dimensionality-reduction
+    stage in front of brute-force / LSH / IVF ANN when 100-TB embedding
+    tables make the full vectors the shuffle payload. ±1 signs avoid
+    multiplications entirely; distances are preserved within the JL
+    bound in expectation (unit-tested on planted geometry, not assumed).
+
+    The sign matrix is CONSTANT-FOLDED into the projection expressions
+    (jl_sign is evaluated at plan time — zero per-row hash cost, pure
+    whole-stage codegen adds/subtracts; ~in_dim·out_dim addends in the
+    expression tree, fine for out_dim ≤ ~32; beyond that use the
+    mapInPandas kernel family like operators/multimodal). Returns
+    (id, proj array<double>), elements in input-vector double precision,
+    un-rounded."""
+    v = F.col(vec_col)
+    outs = []
+    for j in range(out_dim):
+        terms = None
+        for i in range(in_dim):
+            t = F.element_at(v, i + 1).cast("double") * F.lit(
+                float(jl_sign(i, j))
+            )
+            terms = t if terms is None else terms + t
+        outs.append(terms)
+    return df.select(F.col(id_col), F.array(*outs).alias("proj"))

@@ -3423,3 +3423,33 @@ def test_bpe_pair_stats_top_n_tie_break(spark):
     rows = bpe_pair_stats(df, top_n=1).collect()
     # equal counts: ('a','b') wins the asc tie-break over ('c','d')
     assert len(rows) == 1 and (rows[0].left_sym, rows[0].right_sym) == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# jl_project — portable JL sign projection (q87)
+# ---------------------------------------------------------------------------
+
+
+def test_jl_project_matches_numpy_and_preserves_geometry(spark):
+    import numpy as np
+
+    from iamsystem_python_spark.operators.similarity import jl_project, jl_sign
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 64)).astype(np.float32)
+    # planted geometry: vec 1 = vec 0 + tiny noise; vec 2 orthogonal-ish
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: np.array(r.proj) for r in jl_project(df, out_dim=8).collect()}
+    S = np.array([[jl_sign(i, j) for j in range(8)] for i in range(64)], dtype=np.float64)
+    expect = vecs.astype(np.float64) @ S
+    for i in range(20):
+        assert np.allclose(got[i], expect[i], rtol=1e-9, atol=1e-9)
+    # JL property on the planted pair: near-dup stays far closer than
+    # the median inter-point distance in the projected space
+    d01 = np.linalg.norm(got[0] - got[1])
+    dists = [np.linalg.norm(got[0] - got[k]) for k in range(2, 20)]
+    assert d01 < 0.25 * np.median(dists)
