@@ -15,6 +15,7 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CODE_TABLE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
@@ -44,7 +45,7 @@ def iceberg_available(spark: SparkSession) -> bool:
 def read_code_table(
     spark: SparkSession, path: str, fmt: Optional[str] = None
 ) -> DataFrame:
-    """Load the source-code table. fmt: 'iceberg' | 'parquet' | None
+    """Load the source-code table. fmt: 'iceberg' | 'parquet' | 'jsonl' | None
     (auto: iceberg only when its runtime is present AND the target doesn't
     look like a filesystem path — see _looks_like_fs_path; pass fmt
     explicitly for a catalog table named like a file). Validates the
@@ -60,6 +61,21 @@ def read_code_table(
         df = spark.read.format("iceberg").load(path)
     elif fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "jsonl":
+        # the de-facto code-corpus interchange format. Explicit schema —
+        # never let Spark infer (an inference pass reads the data twice
+        # and a single odd line re-types a column corpus-wide). Corrupt
+        # lines land in _corrupt_record instead of killing a 100-TB job;
+        # the caller audits `where(col('_corrupt_record').isNotNull())`
+        # and the column is dropped from the validated output.
+        schema = ", ".join(f"{c} string" for c in CODE_TABLE_COLUMNS)
+        df = (
+            spark.read.schema(schema + ", _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+        df = df.where(F.col("_corrupt_record").isNull())
     else:
         raise ValueError(f"unsupported code-table format: {fmt!r}")
     missing = [c for c in CODE_TABLE_COLUMNS if c not in df.columns]
@@ -91,5 +107,7 @@ def write_code_table(
             df.writeTo(path).append()
     elif fmt == "parquet":
         df.write.mode(mode).parquet(path)
+    elif fmt == "jsonl":
+        df.select(*CODE_TABLE_COLUMNS).write.mode(mode).json(path)
     else:
         raise ValueError(f"unsupported code-table format: {fmt!r}")

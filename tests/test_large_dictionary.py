@@ -214,3 +214,30 @@ def test_partitioned_sink_and_pruning(spark, tmp_path):
     assert back.count() == 20
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_code_table_jsonl_roundtrip_and_corrupt_skip(spark, tmp_path):
+    from iamsystem_python_spark.sources.table import (
+        read_code_table, write_code_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1", "python", "def f(): pass"),
+            ("r2", "b.js", "c2", "js", 'console.log("x")'),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    p = str(tmp_path / "tbl_jsonl")
+    write_code_table(df, p, fmt="jsonl")
+    out = read_code_table(spark, p, fmt="jsonl")
+    assert out.columns == ["repo", "path", "commit", "lang", "content"]
+    assert {r.repo for r in out.collect()} == {"r1", "r2"}
+    # corrupt line: skipped by the PERMISSIVE read, never kills the job
+    corrupt_dir = tmp_path / "tbl_corrupt"
+    corrupt_dir.mkdir()
+    good = '{"repo":"r3","path":"c.go","commit":"c3","lang":"go","content":"x"}'
+    (corrupt_dir / "part-0.json").write_text(good + "\n{not json at all\n")
+    out2 = read_code_table(spark, str(corrupt_dir), fmt="jsonl")
+    rows = out2.collect()
+    assert len(rows) == 1 and rows[0].repo == "r3"
