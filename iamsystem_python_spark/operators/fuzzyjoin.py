@@ -88,7 +88,10 @@ def fuzzy_join(
     any point; text columns never carry through a shuffle wider than the
     value strings themselves. Skewy hot variants (very short strings)
     surface as big candidate groups — filter degenerate keys upstream if
-    the dictionary contains 1-2 char tokens."""
+    the dictionary contains 1-2 char tokens. Measured at a 200k × 25-char
+    dictionary: d=1 → 5.0M variant rows / 5.1 s; d=2 → 60.1M / 80.3 s
+    (BENCH/PLANS.md) — d=2 is for SHORT-string dictionaries (names,
+    identifiers); prefer d=1 or a length pre-filter beyond ~30 chars."""
     a = _variant_rows(left, left_col, max_dist).select(
         F.col("val").alias("left_val"), "key"
     )
