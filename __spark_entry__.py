@@ -1635,6 +1635,148 @@ def q87_jl_projection(spark, sf_dir):
     )
 
 
+def q88_ingest_admission(spark, sf_dir):
+    """Composed nightly admission decision (operators/admission.
+    ingest_admission): secret > license > quality > exact_dup >
+    near_dup > admitted, with dup_of always carried — the one-call
+    gate stack over the q80 batch/history split (doc_id % 3). Secrets
+    (doc_id % 31) and a GPL header (doc_id % 29) are planted on the
+    corpus BEFORE the split so every stage, including the LSH replay,
+    sees identical text in both engines."""
+    from iamsystem_python_spark.operators.admission import ingest_admission
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    md5 = F.md5(did.cast("string"))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 31 == 0,
+                F.concat(F.lit(" AKIA"), F.substring(F.upper(md5), 1, 16)),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 29 == 0,
+                F.lit("\n# SPDX-License-Identifier: GPL-3.0-only"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    batch = planted.where(F.pmod(did, F.lit(3)) == 0)
+    hist = planted.where(F.pmod(did, F.lit(3)) != 0)
+    return ingest_admission(
+        batch, hist, k=3, num_perm=16, num_bands=8, threshold=0.5
+    ).orderBy("doc_id")
+
+
+def _ingest_admission_oracle_sql() -> str:
+    """q88 oracle: the q80 dedup replay re-pointed at a planted-text CTE,
+    joined with relational replays of the secret battery, license policy
+    and Gopher keep flag, under the operator's decision precedence."""
+    dedup = _novel_docs_oracle_sql(3, 16, 8, 0.5, 3).strip()
+    assert dedup.endswith("ORDER BY doc_id")
+    dedup = dedup[: -len("ORDER BY doc_id")].rstrip()
+    # re-point every table read at the planted CTE
+    dedup = dedup.replace("FROM documents", "FROM planted")
+    # wrap the trailing verdict SELECT into a CTE
+    head, tail = dedup.rsplit("SELECT b.doc_id,", 1)
+    assert head.rstrip().endswith(")")
+    planted_cte = """WITH planted AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 31 = 0
+         THEN ' AKIA' || substring(upper(md5(doc_id::VARCHAR)), 1, 16)
+         ELSE '' END ||
+    CASE WHEN doc_id % 29 = 0
+         THEN chr(10) || '# SPDX-License-Identifier: GPL-3.0-only'
+         ELSE '' END AS text
+  FROM documents
+), """
+    assert head.startswith("WITH ")
+    body = planted_cte + head[len("WITH ") :]
+    return (
+        body
+        + ", dedup_v AS (\nSELECT b.doc_id,"
+        + tail
+        + """
+), sl AS (
+  SELECT doc_id,
+    (len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}'))
+     + len(regexp_extract_all(text,
+         '-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----'))
+     + len(regexp_extract_all(text, '\\b[0-9a-f]{40}\\b'))
+     + len(regexp_extract_all(text,
+         '(?i)(?:api_key|secret|token|password)\\s*[=:]\\s*\\S{8,}'))
+    ) > 0 AS is_secret,
+    CASE WHEN coalesce(regexp_extract(text,
+           'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '') != ''
+         THEN coalesce(regexp_extract(text,
+           'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '')
+         WHEN strpos(lower(text),
+           'permission is hereby granted, free of charge') > 0 THEN 'MIT'
+         WHEN strpos(lower(text),
+           'licensed under the apache license') > 0 THEN 'Apache-2.0'
+         WHEN strpos(lower(text),
+           'gnu general public license') > 0 THEN 'GPL'
+         WHEN strpos(lower(text),
+           'redistribution and use in source and binary forms') > 0
+           THEN 'BSD'
+         ELSE '' END AS lic
+  FROM planted WHERE doc_id % 3 = 0
+), gbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     l -> trim(l) <> '') AS ln,
+         text
+  FROM planted WHERE doc_id % 3 = 0 AND text IS NOT NULL
+), gm AS (
+  SELECT doc_id,
+    len(tk) AS n_words,
+    list_aggregate(list_transform(tk, t -> length(t)), 'sum')::DOUBLE
+      / len(tk) AS mean_word_len,
+    len(list_filter(tk, t -> regexp_matches(t, '^[a-z]+$')))::DOUBLE
+      / len(tk) AS frac_alpha,
+    len(list_filter(tk, t -> t IN ('the','be','to','of','and','that',
+                                   'have','with'))) AS stop_hits,
+    (length(text) - length(replace(text, '#', '')))::DOUBLE
+      / len(tk) AS symbol_ratio,
+    CASE WHEN len(ln) > 0 THEN
+      len(list_filter(ln, l -> starts_with(trim(l), '-')
+                               OR starts_with(trim(l), '*')))::DOUBLE
+        / len(ln) ELSE 0.0 END AS bullet_frac,
+    CASE WHEN len(ln) > 0 THEN
+      len(list_filter(ln, l -> ends_with(trim(l), '...')))::DOUBLE
+        / len(ln) ELSE 0.0 END AS ellipsis_frac
+  FROM gbase WHERE len(tk) > 0
+), gq AS (
+  SELECT doc_id, (CASE WHEN n_words BETWEEN 10 AND 100000
+                        AND round(mean_word_len, 6) BETWEEN 3.0 AND 10.0
+                        AND round(symbol_ratio, 6) <= 0.1
+                        AND round(bullet_frac, 6) <= 0.9
+                        AND round(ellipsis_frac, 6) <= 0.3
+                        AND round(frac_alpha, 6) >= 0.8
+                        AND stop_hits >= 2
+                   THEN 1 ELSE 0 END) AS keep_flag
+  FROM gm
+)
+SELECT d.doc_id,
+  CASE WHEN s.is_secret THEN 'secret'
+       WHEN s.lic != '' AND s.lic NOT IN
+            ('MIT','Apache-2.0','BSD','BSD-2-Clause','BSD-3-Clause',
+             'ISC','Unlicense') THEN 'license'
+       WHEN coalesce(g.keep_flag, 0) = 0 THEN 'quality'
+       WHEN d.verdict = 'exact_dup' THEN 'exact_dup'
+       WHEN d.verdict = 'near_dup' THEN 'near_dup'
+       ELSE 'admitted' END AS decision,
+  d.dup_of
+FROM dedup_v d JOIN sl s USING (doc_id) LEFT JOIN gq g USING (doc_id)
+ORDER BY doc_id
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1720,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_type1_clones": q85_type1_clones,
         "q86_bpe_pairs": q86_bpe_pairs,
         "q87_jl_projection": q87_jl_projection,
+        "q88_ingest_admission": q88_ingest_admission,
     }
 
 
@@ -3641,4 +3784,5 @@ FROM el e JOIN signs s ON s.i = e.i
 GROUP BY e.vec_id, s.j
 ORDER BY vec_id, dim
 """,
+        "q88_ingest_admission": _ingest_admission_oracle_sql(),
     }

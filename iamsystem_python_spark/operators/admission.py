@@ -1,0 +1,74 @@
+"""Nightly-ingest admission decision — the one-call composition of the
+engine's gate stack over a new batch: secrets, license policy, quality
+rules, then exact/near dedup against the historical corpus.
+
+This is the operator a production 100-TB ingest actually runs: each
+member stage already exists (and is separately oracle-checked — q78
+secrets, q79 license, q72 quality, q80 dedup verdicts); this module
+fixes the DECISION PRECEDENCE and returns one verdict row per batch
+doc. Precedence (first hit wins, deliberately cheap-to-expensive):
+
+1. ``secret``    — any credential-battery hit (row-local),
+2. ``license``   — an identified NON-permissive license (row-local),
+3. ``quality``   — Gopher rule failure, incl. empty docs (row-local),
+4. ``exact_dup`` / ``near_dup`` — the q80 sha + incremental-LSH
+   verdicts against history (the only shuffling stages),
+5. ``admitted``.
+
+``dup_of`` carries the dedup stage's smallest triggering partner
+(-1 when the doc had none) regardless of the final decision — a doc
+quarantined for secrets still reports its duplicate, so audits never
+re-run the expensive stage. On a real cluster stages 1-3 fuse into the
+batch scan; only stage 4 shuffles, and only narrow columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iamsystem_python_spark.operators.dedup_text import novel_docs_verdicts
+from iamsystem_python_spark.operators.licenses import license_tag
+from iamsystem_python_spark.operators.secrets import secret_scan
+from iamsystem_python_spark.operators.textstats import gopher_rules
+
+
+def ingest_admission(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    **dedup_kwargs,
+) -> DataFrame:
+    """(doc_id, decision, dup_of) per batch doc — see module docstring
+    for the precedence contract. ``dedup_kwargs`` pass through to
+    ``novel_docs_verdicts`` (k, num_perm, num_bands, threshold, seed)."""
+    scanned = license_tag(
+        secret_scan(new_df, col=text_col), col=text_col
+    ).select(
+        "doc_id",
+        (F.col("n_secrets") > 0).alias("_secret"),
+        (F.col("has_license") & ~F.col("permissive")).alias("_license"),
+    )
+    # gopher_rules drops zero-word docs — a left join + coalesce(0)
+    # classifies them as quality rejects, which is the right policy
+    quality = gopher_rules(new_df, text_col=text_col).select(
+        "doc_id", F.col("keep_flag").alias("_keep")
+    )
+    dedup = novel_docs_verdicts(
+        new_df, history_df, text_col, **dedup_kwargs
+    )
+    return (
+        dedup.join(scanned, "doc_id")
+        .join(quality, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_secret"), F.lit("secret"))
+            .when(F.col("_license"), F.lit("license"))
+            .when(F.coalesce(F.col("_keep"), F.lit(0)) == 0, F.lit("quality"))
+            .when(F.col("verdict") == "exact_dup", F.lit("exact_dup"))
+            .when(F.col("verdict") == "near_dup", F.lit("near_dup"))
+            .otherwise(F.lit("admitted"))
+            .alias("decision"),
+            "dup_of",
+        )
+    )

@@ -3453,3 +3453,39 @@ def test_jl_project_matches_numpy_and_preserves_geometry(spark):
     d01 = np.linalg.norm(got[0] - got[1])
     dists = [np.linalg.norm(got[0] - got[k]) for k in range(2, 20)]
     assert d01 < 0.25 * np.median(dists)
+
+
+# ---------------------------------------------------------------------------
+# ingest_admission — composed nightly admission decision (q88)
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_admission_precedence(spark):
+    from iamsystem_python_spark.operators.admission import ingest_admission
+
+    good = ("the good and long document that will pass every quality rule "
+            "because it has the common stopwords and normal words to have")
+    hist = spark.createDataFrame([(1, good)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (10, good),                                     # exact dup of history
+            (11, good + " password = hunter2hunter2"),      # secret beats near-dup
+            (12, "# SPDX-License-Identifier: GPL-3.0-only\n" + good),  # license
+            (13, "tiny"),                                   # quality (word count)
+            (14, good + " with a few extra trailing words at the end here"),
+            # ^ near dup of history 1 (and of 10/11) — not exact
+            (15, "completely different passing text with the stopwords and "
+                 "many ordinary words that have nothing shared with history "
+                 "but still read like the plain prose the rules expect to"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.decision, r.dup_of)
+           for r in ingest_admission(batch, hist).collect()}
+    assert got[10] == ("exact_dup", 1)
+    assert got[11][0] == "secret"        # precedence over its near-dup status
+    assert got[11][1] != -1              # ...but dup_of still reported
+    assert got[12][0] == "license"
+    assert got[13] == ("quality", -1)
+    assert got[14][0] == "near_dup" and got[14][1] == 1
+    assert got[15] == ("admitted", -1)
