@@ -19,9 +19,9 @@ with no iteration and no driver-side tree walk.
 never enters the operator; blow-up factor equals mean path depth
 (bounded ~5-8 on real code corpora). The single shuffle keys on
 (repo, dir). A mega-directory (one dir holding millions of files)
-concentrates its narrow rows on one reducer — pre-filter such
-degenerate layouts upstream (e.g. drop dirs whose direct file count
-exceeds a cap in a cheap preceding groupBy) before running this.
+concentrates its narrow rows on one reducer — run ``cap_mega_dirs``
+first when the corpus may contain such degenerate layouts (drops are
+surfaced via an observe metric, never silent).
 """
 
 from __future__ import annotations
@@ -246,3 +246,37 @@ def repo_manifest(
             "reuse_frac"
         ),
     )
+
+
+def cap_mega_dirs(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    max_files_per_dir: int = 100000,
+) -> DataFrame:
+    """Skew valve for degenerate layouts: drop files whose DIRECT parent
+    directory holds more than ``max_files_per_dir`` files (generated
+    bundles, data dumps checked into one folder). Subtree hashing
+    concentrates each dir's narrow rows on one reducer, so a 10M-file
+    flat dir would otherwise own a partition; dirs over the cap are
+    noise for clone detection anyway. Drops surface as an observe
+    metric (``treedup_dir_cap.rows_dropped``), never silently — same
+    contract as dedup_text._cap_blocks. Run BEFORE subtree_hashes /
+    duplicate_subtrees when the corpus may contain such layouts."""
+    parent = F.when(
+        ~F.col(path_col).contains("/"), F.lit("")
+    ).otherwise(
+        F.expr(
+            f"substring({path_col}, 1, length({path_col}) "
+            f"- length(split_part({path_col}, '/', -1)) - 1)"
+        )
+    )
+    w = Window.partitionBy(repo_col, parent)
+    sized = df.withColumn("_dir_n", F.count("*").over(w))
+    sized = sized.observe(
+        "treedup_dir_cap",
+        F.sum(
+            F.when(F.col("_dir_n") > max_files_per_dir, 1).otherwise(0)
+        ).alias("rows_dropped"),
+    )
+    return sized.where(F.col("_dir_n") <= max_files_per_dir).drop("_dir_n")

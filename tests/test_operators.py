@@ -3489,3 +3489,19 @@ def test_ingest_admission_precedence(spark):
     assert got[13] == ("quality", -1)
     assert got[14][0] == "near_dup" and got[14][1] == 1
     assert got[15] == ("admitted", -1)
+
+
+def test_cap_mega_dirs_drops_only_flat_monster(spark):
+    from iamsystem_python_spark.operators.treedup import (
+        cap_mega_dirs, subtree_hashes,
+    )
+
+    rows = [("r", f"dump/f{i}.bin", f"s{i}") for i in range(50)]
+    rows += [("r", "src/a.py", "x"), ("r", "src/sub/b.py", "y"), ("r", "top.md", "z")]
+    df = spark.createDataFrame(rows, ["repo", "path", "sha"])
+    capped = cap_mega_dirs(df, max_files_per_dir=10)
+    kept = {r.path for r in capped.collect()}
+    assert kept == {"src/a.py", "src/sub/b.py", "top.md"}
+    # composes with subtree hashing: dump/ simply vanishes
+    dirs = {r.dir for r in subtree_hashes(capped).collect()}
+    assert dirs == {"", "src", "src/sub"}
