@@ -33,7 +33,11 @@ sys.path.insert(0, REPO)
 BENCH_DIR = os.path.join(REPO, "BENCH")
 LOG = os.path.join(BENCH_DIR, "probe_log_r4.jsonl")
 OUT = os.path.join(BENCH_DIR, "bench_r4_healthy.json")
-SCALING_OUT = os.path.join(BENCH_DIR, "scaling_interleaved_r4.json")
+SCALING_OUT = os.path.join(
+    BENCH_DIR, os.environ.get("WATCH_SCALING_OUT", "scaling_interleaved_r4.json")
+)
+# WATCH_SCALING_OUT: relaunches write to a sibling file so a degraded
+# re-run can never clobber an already-committed better scaling artifact
 
 MIN_MB_S = float(os.environ.get("WATCH_MIN_MB_S", "500"))
 CONSEC = int(os.environ.get("WATCH_CONSEC", "2"))
