@@ -1777,6 +1777,37 @@ ORDER BY doc_id
     )
 
 
+def q89_snapshot_diff(spark, sf_dir):
+    """Corpus-snapshot delta report (operators/treedup.snapshot_diff):
+    added / removed / modified / unchanged per (repo, path) from one
+    full-outer join on the key with shas as the only payload — the
+    audit a nightly ingest publishes. Old snapshot = docs with
+    doc_id % 5 != 4; new snapshot drops doc_id % 5 == 0, modifies
+    % 5 == 1 (sha of text || 'v2'), and adds % 5 == 4 — all derived
+    deterministically (q50 precedent)."""
+    from iamsystem_python_spark.operators.treedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = F.concat(F.lit("src/f"), did, F.lit(".txt"))
+    repo = F.concat(F.lit("r"), did % 6)
+    old = docs.where(did % 5 != 4).select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+    new = docs.where(did % 5 != 0).select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.when(
+            did % 5 == 1, F.sha2(F.concat(F.col("text"), F.lit("v2")), 256)
+        )
+        .otherwise(F.sha2(F.col("text"), 256))
+        .alias("sha"),
+    )
+    return snapshot_diff(old, new).orderBy("repo", "path")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1863,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_bpe_pairs": q86_bpe_pairs,
         "q87_jl_projection": q87_jl_projection,
         "q88_ingest_admission": q88_ingest_admission,
+        "q89_snapshot_diff": q89_snapshot_diff,
     }
 
 
@@ -3785,4 +3817,30 @@ GROUP BY e.vec_id, s.j
 ORDER BY vec_id, dim
 """,
         "q88_ingest_admission": _ingest_admission_oracle_sql(),
+        "q89_snapshot_diff": """
+WITH old AS (
+  SELECT 'r' || (doc_id % 6)::VARCHAR AS repo,
+         'src/f' || doc_id::VARCHAR || '.txt' AS path,
+         sha256(text) AS sha
+  FROM documents WHERE doc_id % 5 != 4
+),
+new AS (
+  SELECT 'r' || (doc_id % 6)::VARCHAR AS repo,
+         'src/f' || doc_id::VARCHAR || '.txt' AS path,
+         CASE WHEN doc_id % 5 = 1 THEN sha256(text || 'v2')
+              ELSE sha256(text) END AS sha
+  FROM documents WHERE doc_id % 5 != 0
+)
+SELECT coalesce(o.repo, n.repo) AS repo,
+       coalesce(o.path, n.path) AS path,
+       CASE WHEN o.sha IS NULL THEN 'added'
+            WHEN n.sha IS NULL THEN 'removed'
+            WHEN o.sha != n.sha THEN 'modified'
+            ELSE 'unchanged' END AS status,
+       coalesce(o.sha, '') AS old_sha,
+       coalesce(n.sha, '') AS new_sha
+FROM old o FULL OUTER JOIN new n
+  ON o.repo = n.repo AND o.path = n.path
+ORDER BY repo, path
+""",
     }

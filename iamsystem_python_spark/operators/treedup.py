@@ -280,3 +280,45 @@ def cap_mega_dirs(
         ).alias("rows_dropped"),
     )
     return sized.where(F.col("_dir_n") <= max_files_per_dir).drop("_dir_n")
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    sha_col: str = "sha",
+) -> DataFrame:
+    """Corpus-snapshot delta report — what changed between two versions
+    of the code table: (repo, path, status, old_sha, new_sha) with
+    status ∈ {'added', 'removed', 'modified', 'unchanged'}. On Iceberg
+    this is snapshot time-travel + a join; this relational form works on
+    any two frames with the same key shape and is the audit a nightly
+    ingest publishes next to its admission report.
+
+    Plan shape: one full outer join on the (repo, path) key with shas as
+    the only payload — content never enters; status is a row-local CASE.
+    At 10^12 files both sides bucket by (repo, path) hash and the join
+    co-partitions."""
+    o = old_df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.col(sha_col).alias("old_sha"),
+    )
+    n = new_df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.col(sha_col).alias("new_sha"),
+    )
+    j = o.join(n, ["repo", "path"], "full_outer")
+    return j.select(
+        "repo",
+        "path",
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("removed"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce("old_sha", F.lit("")).alias("old_sha"),
+        F.coalesce("new_sha", F.lit("")).alias("new_sha"),
+    )

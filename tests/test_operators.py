@@ -3505,3 +3505,27 @@ def test_cap_mega_dirs_drops_only_flat_monster(spark):
     # composes with subtree hashing: dump/ simply vanishes
     dirs = {r.dir for r in subtree_hashes(capped).collect()}
     assert dirs == {"", "src", "src/sub"}
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — corpus-version delta report (q89)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from iamsystem_python_spark.operators.treedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("r", "keep.py", "s1"), ("r", "mod.py", "s2"), ("r", "gone.py", "s3")],
+        ["repo", "path", "sha"],
+    )
+    new = spark.createDataFrame(
+        [("r", "keep.py", "s1"), ("r", "mod.py", "s2b"), ("r", "new.py", "s4")],
+        ["repo", "path", "sha"],
+    )
+    got = {r.path: (r.status, r.old_sha, r.new_sha)
+           for r in snapshot_diff(old, new).collect()}
+    assert got["keep.py"] == ("unchanged", "s1", "s1")
+    assert got["mod.py"] == ("modified", "s2", "s2b")
+    assert got["gone.py"] == ("removed", "s3", "")
+    assert got["new.py"] == ("added", "", "s4")
