@@ -1808,6 +1808,26 @@ def q89_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new).orderBy("repo", "path")
 
 
+def q90_pair_evidence(spark, sf_dir):
+    """Pair-evidence magnifying glass (dedup_text.pair_evidence): for a
+    deterministic audit list of pairs (doc_id % 7 == 0 paired with
+    doc_id + 3 where it exists), the distinct/shared shingle counts,
+    exact Jaccard and SimHash Hamming — computed with the production
+    operators' portable spec, so these are the numbers the thresholds
+    saw. Pairs broadcast into the shingle joins."""
+    from iamsystem_python_spark.operators.dedup_text import pair_evidence
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = docs.select("doc_id")
+    pairs = (
+        docs.where(did % 7 == 0)
+        .select(did.alias("doc_a"), (did + 3).alias("doc_b"))
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    return pair_evidence(docs, pairs).orderBy("doc_a")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1895,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_jl_projection": q87_jl_projection,
         "q88_ingest_admission": q88_ingest_admission,
         "q89_snapshot_diff": q89_snapshot_diff,
+        "q90_pair_evidence": q90_pair_evidence,
     }
 
 
@@ -2254,6 +2275,56 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY doc_a, doc_b
+"""
+
+
+def _pair_evidence_oracle_sql(k: int, bits: int) -> str:
+    """q90 oracle: the q25 hash-set replay + the q28 SimHash replay joined
+    onto the deterministic audit-pair list, emitting the same evidence
+    columns as dedup_text.pair_evidence."""
+    csel = ",\n         ".join(
+        f"sum((hv >> {j}) & 1) AS c{j}" for j in range(bits)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN 2*c{j} >= n_sh THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents
+), hset AS (
+  SELECT doc_id, list_distinct(list_transform(sh, s ->
+    (('0x' || substring(sha256(s), 1, 15))::UBIGINT)::BIGINT)) AS h
+  FROM base
+), ex AS (
+  SELECT doc_id, unnest(list_transform(h, x ->
+    (x & 4294967295)::BIGINT)) AS hv
+  FROM hset
+), cnt AS (
+  SELECT doc_id, count(*) AS n_sh,
+         {csel}
+  FROM ex GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, {simexpr} AS simhash FROM cnt
+), pairsq AS (
+  SELECT a.doc_id AS doc_a, a.doc_id + 3 AS doc_b
+  FROM documents a
+  WHERE a.doc_id % 7 = 0
+    AND EXISTS (SELECT 1 FROM documents b WHERE b.doc_id = a.doc_id + 3)
+)
+SELECT p.doc_a, p.doc_b,
+  len(list_intersect(ha.h, hb.h))::BIGINT AS shared_shingles,
+  len(ha.h)::BIGINT AS n_sh_a, len(hb.h)::BIGINT AS n_sh_b,
+  round(len(list_intersect(ha.h, hb.h))::DOUBLE
+        / (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))), 6)
+    AS jaccard,
+  bit_count(xor(sa.simhash, sb.simhash))::INTEGER AS hamming
+FROM pairsq p
+JOIN hset ha ON ha.doc_id = p.doc_a
+JOIN hset hb ON hb.doc_id = p.doc_b
+JOIN sim sa ON sa.doc_id = p.doc_a
+JOIN sim sb ON sb.doc_id = p.doc_b
+ORDER BY doc_a
 """
 
 
@@ -3843,4 +3914,5 @@ FROM old o FULL OUTER JOIN new n
   ON o.repo = n.repo AND o.path = n.path
 ORDER BY repo, path
 """,
+        "q90_pair_evidence": _pair_evidence_oracle_sql(3, 32),
     }

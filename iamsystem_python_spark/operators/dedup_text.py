@@ -1450,3 +1450,74 @@ def type1_clone_groups(
         .where(F.col("group_size") >= min_group)
         .select(id_col, "norm_sha", "group_size")
     )
+
+
+def pair_evidence(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Explanation columns for an audit list of document pairs — the
+    'why were these two clustered (or not)?' debugging face of the dedup
+    stack: per (doc_a, doc_b), the distinct-shingle counts of both
+    sides, the shared-shingle count, exact Jaccard, and the SimHash
+    Hamming distance, all computed with the SAME portable shingle/hash
+    spec the production operators use, so the numbers are exactly the
+    ones the pipeline's thresholds saw.
+
+    Plan shape: sized for audit lists (the pairs frame is small and
+    broadcasts into the two shingle joins); per-doc shingles and
+    SimHashes come from the shared builders. Never feed a quadratic
+    pair list — this is a magnifying glass, not a matcher."""
+    sh = shingle_hash_rows(df, text_col, k, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = pairs.select("doc_a", "doc_b")
+    shared = (
+        pa.join(sh.select(F.col("doc_id").alias("doc_a"), "h60"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h60"), ["doc_b", "h60"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sim = simhash_sql(df, text_col, k, bits)
+    n_a, n_b = F.col("n_sh_a"), F.col("n_sh_b")
+    shared_c = F.coalesce(F.col("shared"), F.lit(0))
+    return (
+        pa.join(shared, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+            ),
+            "doc_b",
+        )
+        .join(
+            sim.select(
+                F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sim.select(
+                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            shared_c.alias("shared_shingles"),
+            "n_sh_a",
+            "n_sh_b",
+            F.round(shared_c / (n_a + n_b - shared_c), 6).alias("jaccard"),
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )

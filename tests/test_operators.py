@@ -3529,3 +3529,28 @@ def test_snapshot_diff_statuses(spark):
     assert got["mod.py"] == ("modified", "s2", "s2b")
     assert got["gone.py"] == ("removed", "s3", "")
     assert got["new.py"] == ("added", "", "s4")
+
+
+# ---------------------------------------------------------------------------
+# pair_evidence — cluster-decision magnifying glass (q90)
+# ---------------------------------------------------------------------------
+
+
+def test_pair_evidence_hand_computed(spark):
+    from iamsystem_python_spark.operators.dedup_text import pair_evidence
+
+    a = "w1 w2 w3 w4"          # shingles: {w1 w2 w3, w2 w3 w4}
+    b = "w1 w2 w3 w5"          # shingles: {w1 w2 w3, w2 w3 w5}
+    c = "x1 x2 x3 x4"          # disjoint
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    got = {(r.doc_a, r.doc_b): r for r in pair_evidence(docs, pairs).collect()}
+    e12 = got[(1, 2)]
+    assert (e12.n_sh_a, e12.n_sh_b, e12.shared_shingles) == (2, 2, 1)
+    assert abs(e12.jaccard - round(1 / 3, 6)) < 1e-9
+    e13 = got[(1, 3)]
+    assert e13.shared_shingles == 0 and e13.jaccard == 0.0
+    # identical docs ⇒ hamming 0; same-side consistency
+    pairs2 = spark.createDataFrame([(1, 1)], ["doc_a", "doc_b"])
+    same = pair_evidence(docs, pairs2).collect()[0]
+    assert same.hamming == 0 and same.jaccard == 1.0
