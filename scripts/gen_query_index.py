@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Regenerate SURVEY.md §2-D (driver-contract query index) from the query
+docstrings in __spark_entry__.py. Run after adding/removing queries."""
+
+from __future__ import annotations
+
+import inspect
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HEADER = "## §2-D. Driver-contract query index (generated from the query docstrings)"
+
+
+def build_table() -> str:
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    lines = [
+        HEADER,
+        "",
+        "| query | what it computes | correctness check |",
+        "|---|---|---|",
+    ]
+    for name, fn in q.items():
+        doc = " ".join((inspect.getdoc(fn) or "").split("\n"))
+        first = re.sub(r"\s+", " ", doc.split(". ")[0]).strip()
+        if len(first) > 110:
+            first = first[:107] + "..."
+        oracle = (
+            "exact DuckDB value oracle"
+            if name in o
+            else "rows-only (pytest value oracle)"
+        )
+        first = first.replace("|", "\\|")
+        lines.append(f"| {name} | {first} | {oracle} |")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    path = os.path.join(REPO, "SURVEY.md")
+    text = open(path).read()
+    start = text.index(HEADER)
+    # section ends at the next line that is exactly '---'
+    end = text.index("\n---", start)
+    open(path, "w").write(text[:start] + build_table() + text[end + 1 :])
+    print("§2-D regenerated")
+
+
+if __name__ == "__main__":
+    main()
