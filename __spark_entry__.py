@@ -1828,6 +1828,32 @@ def q90_pair_evidence(spark, sf_dir):
     return pair_evidence(docs, pairs).orderBy("doc_a")
 
 
+def q91_license_conflicts(spark, sf_dir):
+    """Per-repo license-compliance rollup (operators/licenses.
+    license_conflicts): licensed/permissive/copyleft counts, sorted
+    distinct license set, and the copyleft+permissive conflict flag —
+    on the q79 planted headers, grouped into repos by doc_id % 6.
+    Row-local tagging + one narrow aggregation."""
+    from iamsystem_python_spark.operators.licenses import license_conflicts
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    header = (
+        F.when(did % 7 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(did % 7 == 1, F.lit("# SPDX-License-Identifier: Apache-2.0\n"))
+        .when(
+            did % 7 == 2,
+            F.lit("/* SPDX-License-Identifier: GPL-3.0-only */\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        F.concat(F.lit("r"), did % 6).alias("repo"),
+        F.concat(header, F.col("text")).alias("text"),
+    )
+    return license_conflicts(planted).orderBy("repo")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1916,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_ingest_admission": q88_ingest_admission,
         "q89_snapshot_diff": q89_snapshot_diff,
         "q90_pair_evidence": q90_pair_evidence,
+        "q91_license_conflicts": q91_license_conflicts,
     }
 
 
@@ -3915,4 +3942,54 @@ FROM old o FULL OUTER JOIN new n
 ORDER BY repo, path
 """,
         "q90_pair_evidence": _pair_evidence_oracle_sql(3, 32),
+        "q91_license_conflicts": """
+WITH planted AS (
+  SELECT 'r' || (doc_id % 6)::VARCHAR AS repo,
+    CASE WHEN doc_id % 7 = 0
+         THEN '// SPDX-License-Identifier: MIT' || chr(10)
+         WHEN doc_id % 7 = 1
+         THEN '# SPDX-License-Identifier: Apache-2.0' || chr(10)
+         WHEN doc_id % 7 = 2
+         THEN '/* SPDX-License-Identifier: GPL-3.0-only */' || chr(10)
+         ELSE '' END || text AS text
+  FROM documents
+),
+tagged AS (
+  SELECT repo,
+    CASE WHEN coalesce(regexp_extract(text,
+           'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '') != ''
+         THEN coalesce(regexp_extract(text,
+           'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '')
+         WHEN strpos(lower(text),
+           'permission is hereby granted, free of charge') > 0 THEN 'MIT'
+         WHEN strpos(lower(text),
+           'licensed under the apache license') > 0 THEN 'Apache-2.0'
+         WHEN strpos(lower(text),
+           'gnu general public license') > 0 THEN 'GPL'
+         WHEN strpos(lower(text),
+           'redistribution and use in source and binary forms') > 0
+           THEN 'BSD'
+         ELSE '' END AS license
+  FROM planted
+),
+marked AS (
+  SELECT repo, license,
+    CASE WHEN license != '' THEN 1 ELSE 0 END AS lic,
+    CASE WHEN license IN ('MIT','Apache-2.0','BSD','BSD-2-Clause',
+                          'BSD-3-Clause','ISC','Unlicense')
+         THEN 1 ELSE 0 END AS perm,
+    CASE WHEN license LIKE 'GPL%' OR license LIKE 'AGPL%'
+           OR license LIKE 'LGPL%' THEN 1 ELSE 0 END AS cleft
+  FROM tagged
+)
+SELECT repo, count(*)::BIGINT AS n_files,
+  sum(lic)::BIGINT AS n_licensed,
+  sum(perm)::BIGINT AS n_permissive,
+  sum(cleft)::BIGINT AS n_copyleft,
+  coalesce(array_to_string(list_sort(list_distinct(
+    list(CASE WHEN license != '' THEN license END))), ','), '')
+    AS licenses,
+  (sum(cleft) > 0 AND sum(perm) > 0) AS has_conflict
+FROM marked GROUP BY repo ORDER BY repo
+""",
     }

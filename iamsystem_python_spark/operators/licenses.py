@@ -56,3 +56,52 @@ def license_tag(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("has_license", lic != "")
         .withColumn("permissive", lic.isin(*PERMISSIVE_IDS))
     )
+
+
+COPYLEFT_PREFIXES = ("GPL", "AGPL", "LGPL")
+
+
+def license_conflicts(
+    df: DataFrame,
+    repo_col: str = "repo",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-repo license-compliance rollup over ``license_tag``:
+    (repo, n_files, n_licensed, n_permissive, n_copyleft, licenses,
+    has_conflict) where ``licenses`` is the sorted comma-joined distinct
+    non-empty license set and ``has_conflict`` flags repos mixing
+    copyleft (GPL/AGPL/LGPL-prefixed ids) with permissive files — the
+    combination a redistribution policy must escalate to review (a
+    coarse screen, not legal advice: single-license copyleft repos are
+    *flagged separately* via n_copyleft, not as conflicts).
+
+    Tagging stays row-local; the rollup is one narrow aggregation —
+    text never crosses the shuffle."""
+    tagged = license_tag(df, col=text_col)
+    is_copyleft = F.lit(False)
+    for p in COPYLEFT_PREFIXES:
+        is_copyleft = is_copyleft | F.col("license").startswith(p)
+    rows = tagged.select(
+        F.col(repo_col).alias("repo"),
+        "license",
+        F.col("permissive").cast("int").alias("_perm"),
+        is_copyleft.cast("int").alias("_copyleft"),
+        F.col("has_license").cast("int").alias("_lic"),
+    )
+    return rows.groupBy("repo").agg(
+        F.count("*").alias("n_files"),
+        F.sum("_lic").alias("n_licensed"),
+        F.sum("_perm").alias("n_permissive"),
+        F.sum("_copyleft").alias("n_copyleft"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(F.when(F.col("license") != "", F.col("license")))
+                )
+            ),
+            ",",
+        ).alias("licenses"),
+        ((F.sum("_copyleft") > 0) & (F.sum("_perm") > 0)).alias(
+            "has_conflict"
+        ),
+    )

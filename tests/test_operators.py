@@ -3554,3 +3554,30 @@ def test_pair_evidence_hand_computed(spark):
     pairs2 = spark.createDataFrame([(1, 1)], ["doc_a", "doc_b"])
     same = pair_evidence(docs, pairs2).collect()[0]
     assert same.hamming == 0 and same.jaccard == 1.0
+
+
+# ---------------------------------------------------------------------------
+# license_conflicts — per-repo compliance rollup (q91)
+# ---------------------------------------------------------------------------
+
+
+def test_license_conflicts_rollup(spark):
+    from iamsystem_python_spark.operators.licenses import license_conflicts
+
+    rows = [
+        ("rA", "// SPDX-License-Identifier: MIT\nx"),
+        ("rA", "# SPDX-License-Identifier: GPL-3.0-only\ny"),
+        ("rA", "plain file"),
+        ("rB", "// SPDX-License-Identifier: MIT\nx"),
+        ("rB", "// SPDX-License-Identifier: Apache-2.0\ny"),
+        ("rC", "# SPDX-License-Identifier: GPL-3.0-only\nz"),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "text"])
+    got = {r.repo: r for r in license_conflicts(df).collect()}
+    a = got["rA"]
+    assert (a.n_files, a.n_licensed, a.n_permissive, a.n_copyleft) == (3, 2, 1, 1)
+    assert a.licenses == "GPL-3.0-only,MIT" and a.has_conflict
+    b = got["rB"]
+    assert not b.has_conflict and b.licenses == "Apache-2.0,MIT"
+    c = got["rC"]  # pure-copyleft repo: counted, NOT a conflict
+    assert c.n_copyleft == 1 and not c.has_conflict
