@@ -67,12 +67,95 @@ def _variant_rows(df: DataFrame, col: str, max_dist: int) -> DataFrame:
     ).select("val", F.xxhash64(F.col("_var")).alias("key")).distinct()
 
 
+def _seg_len_pos(l, k: int, i: int):
+    """(length, 1-based start) Catalyst expressions for segment ``i`` of a
+    ``k``-way even partition of an ``l``-length string: the last l%k
+    segments are one char longer, earlier segments take floor(l/k)."""
+    base = F.floor(l / k).cast("int")
+    rem = (l % F.lit(k)).cast("int")
+    li = base + F.when(F.lit(i) >= F.lit(k) - rem, F.lit(1)).otherwise(F.lit(0))
+    pi = F.lit(1) + F.lit(i) * base + F.greatest(
+        F.lit(0), F.lit(i) - (F.lit(k) - rem)
+    )
+    return li, pi
+
+
+def _pass_key(l, i: int, sub):
+    """Composite segment key (target length, segment index, segment text).
+    Conflation through the ':' separator or xxhash64 downstream can only
+    ADD candidates (exact verify removes them), never lose a true pair —
+    equal (l, i, sub) triples always encode equally."""
+    return F.concat_ws(":", l.cast("string"), F.lit(str(i)), sub)
+
+
+def _passjoin_index_rows(df: DataFrame, col: str, d: int) -> DataFrame:
+    """(val, key) — the d+1 even segments of each distinct value, keyed by
+    (own length, segment index, segment text). O(d) rows per value,
+    independent of string length."""
+    k = d + 1
+    vals = df.select(F.col(col).alias("val")).where(
+        F.col("val").isNotNull()
+    ).distinct()
+    l = F.length(F.col("val"))
+    keys = []
+    for i in range(k):
+        li, pi = _seg_len_pos(l, k, i)
+        keys.append(_pass_key(l, i, F.col("val").substr(pi, li)))
+    return (
+        vals.select("val", F.explode(F.array_distinct(F.array(*keys))).alias("_k"))
+        .select("val", F.xxhash64("_k").alias("key"))
+        .distinct()
+    )
+
+
+def _passjoin_probe_rows(df: DataFrame, col: str, d: int) -> DataFrame:
+    """(val, key) — every substring of each distinct value that could equal
+    a segment of a string within Levenshtein distance d: for each target
+    length l ∈ [m-d, m+d] and segment i, substrings of the segment's
+    length at start positions within ±d of the segment's start (an edit
+    script of ≤ d operations shifts an untouched segment by at most d).
+    This is PassJoin's substring selection (Li/Deng/Feng, PVLDB 2011)
+    with the simpler ±d window instead of the paper's multi-match-aware
+    tightening — a superset of its candidates, so completeness is
+    preserved and the exact verify keeps the result identical."""
+    k = d + 1
+    vals = df.select(F.col(col).alias("val")).where(
+        F.col("val").isNotNull()
+    ).distinct()
+    m = F.length(F.col("val"))
+    keys = []
+    for delta in range(-d, d + 1):
+        l = m + F.lit(delta)
+        for i in range(k):
+            li, pi = _seg_len_pos(l, k, i)
+            for off in range(-d, d + 1):
+                t = pi + F.lit(off)
+                valid = (
+                    (l >= F.lit(0))
+                    & (t >= F.lit(1))
+                    & (t <= m - li + F.lit(1))
+                )
+                keys.append(
+                    F.when(valid, _pass_key(l, i, F.col("val").substr(t, li)))
+                )
+    arr = F.array_distinct(
+        F.filter(F.array(*keys), lambda x: x.isNotNull())
+    )
+    return (
+        vals.select("val", arr.alias("_ks"))
+        .select("val", F.explode("_ks").alias("_k"))
+        .select("val", F.xxhash64("_k").alias("key"))
+        .distinct()
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
     left_col: str,
     right_col: str,
     max_dist: int = 1,
+    impl: str = "fastss",
 ) -> DataFrame:
     """Approximate string join: (left_val, right_val, dist) for every
     distinct value pair with Levenshtein(left_val, right_val) ≤ max_dist.
@@ -91,13 +174,41 @@ def fuzzy_join(
     the dictionary contains 1-2 char tokens. Measured at a 200k × 25-char
     dictionary: d=1 → 5.0M variant rows / 5.1 s; d=2 → 60.1M / 80.3 s
     (BENCH/PLANS.md) — d=2 is for SHORT-string dictionaries (names,
-    identifiers); prefer d=1 or a length pre-filter beyond ~30 chars."""
-    a = _variant_rows(left, left_col, max_dist).select(
-        F.col("val").alias("left_val"), "key"
-    )
-    b = _variant_rows(right, right_col, max_dist).select(
-        F.col("val").alias("right_val"), "key"
-    )
+    identifiers); prefer d=1 or a length pre-filter beyond ~30 chars.
+
+    ``impl='passjoin'`` switches blocking to PassJoin segment keys
+    (Li/Deng/Feng, PVLDB 2011): the right dictionary indexes its d+1 even
+    segments (O(d) keys per value, length-independent); the left probes
+    with position/length-constrained substrings (≤ (2d+1)²(d+1) keys per
+    value, length-independent beyond substring extraction). Same result
+    set — both paths end in the identical exact verify — but the key
+    volume at d=2 no longer grows O(len²): prefer passjoin for LONG
+    strings (paths, signatures, lines) and any max_dist ≥ 3, fastss for
+    short-token dictionaries where its simpler keys are cheapest.
+    Measured interleaved (same host windows) on the 200k × 25-char
+    dictionary at d=2: passjoin 40-53 s vs fastss 298-307 s (6-7×);
+    probe-side key rows 11.0M vs 57.9M variant rows (BENCH/PLANS.md),
+    and the gap widens quadratically with string length. Very
+    short values (len ≤ d) degrade to empty-segment keys that bucket by
+    length — the same hot-key caveat as fastss's 1-2 char tokens."""
+    if impl == "passjoin":
+        if max_dist < 1:
+            raise ValueError(f"max_dist must be >= 1; got {max_dist}")
+        a = _passjoin_probe_rows(left, left_col, max_dist).select(
+            F.col("val").alias("left_val"), "key"
+        )
+        b = _passjoin_index_rows(right, right_col, max_dist).select(
+            F.col("val").alias("right_val"), "key"
+        )
+    elif impl == "fastss":
+        a = _variant_rows(left, left_col, max_dist).select(
+            F.col("val").alias("left_val"), "key"
+        )
+        b = _variant_rows(right, right_col, max_dist).select(
+            F.col("val").alias("right_val"), "key"
+        )
+    else:
+        raise ValueError(f"impl must be 'fastss' or 'passjoin'; got {impl!r}")
     cand = a.join(b, "key").select("left_val", "right_val").distinct()
     dist = F.levenshtein(F.col("left_val"), F.col("right_val"))
     return cand.select(

@@ -44,6 +44,38 @@ def _stage_done(out_dir: str, stage: str) -> bool:
     return os.path.exists(_manifest_path(out_dir, stage))
 
 
+def _partition_lineage(path: str) -> Dict:
+    """Per-partition manifest block for a just-written parquet stage:
+    row count + byte size per part-file (parquet footer metadata only —
+    the data pages are never read), plus summary skew indicators. At
+    cluster scale the footer reads are O(#files) driver-side metadata
+    calls, the same cost class as the file listing the write itself did."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        f = os.path.join(path, name)
+        parts.append(
+            {
+                "file": name,
+                "rows": pq.read_metadata(f).num_rows,
+                "bytes": os.path.getsize(f),
+            }
+        )
+    rows = sorted(p["rows"] for p in parts) or [0]
+    med = rows[(len(rows) - 1) // 2]  # lower-middle: empty partitions count
+    return {
+        "n_files": len(parts),
+        "rows_max": rows[-1],
+        "rows_median": med,
+        # max/median is the straggler early-warning; 1.0 = perfectly even
+        "skew_ratio": round(rows[-1] / max(med, 1), 3),
+        "files": parts,
+    }
+
+
 def _write_stage(df: DataFrame, out_dir: str, stage: str, cfg: PipelineConfig) -> Dict:
     path = os.path.join(out_dir, stage)
     t0 = time.time()
@@ -61,6 +93,12 @@ def _write_stage(df: DataFrame, out_dir: str, stage: str, cfg: PipelineConfig) -
         "rows": n,
         "seconds": round(time.time() - t0, 3),
         "config": asdict(cfg),
+        # per-partition lineage: one entry per written part-file, rows and
+        # bytes read from the parquet FOOTERS of the files just written —
+        # no second scan of the data. This is the skew audit trail: a hot
+        # LSH band or a mega-repo shows up as one oversized partition here
+        # long before it shows up as a straggler task downstream.
+        "partitions": _partition_lineage(path),
     }
     with open(_manifest_path(out_dir, stage), "w") as f:
         json.dump(manifest, f, indent=2)

@@ -2892,10 +2892,69 @@ def test_fuzzy_join_completeness_vs_bruteforce(spark):
         for _ in range(40)
     })
     df = spark.createDataFrame([(v,) for v in vocab], ["name"])
-    for d in (1, 2):
+    for impl in ("fastss", "passjoin"):
+        for d in (1, 2):
+            got = {
+                (r.left_val, r.right_val): r.dist
+                for r in fuzzy_join(
+                    df, df, "name", "name", max_dist=d, impl=impl
+                ).collect()
+            }
+            expected = {
+                (a, b): lev(a, b)
+                for a, b in itertools.product(vocab, vocab)
+                if lev(a, b) <= d
+            }
+            assert got == expected, f"impl={impl} d={d}"
+
+
+def test_fuzzy_join_passjoin_long_strings_and_d3(spark):
+    """PassJoin blocking completeness where FastSS is impractical: long
+    strings (planted substitutions/indels at random positions) at d=2,
+    and max_dist=3 (FastSS caps at 2). Exact equality vs brute force."""
+    import itertools
+    import random as _random
+
+    from iamsystem_python_spark.operators.fuzzyjoin import fuzzy_join
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    rng = _random.Random(77)
+    base = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(20, 40)))
+        for _ in range(8)
+    ]
+    vocab = set(base)
+    for s in base:  # plant 1-3 edit variants of each long string
+        for _ in range(3):
+            t = list(s)
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice("sdi")
+                p = rng.randrange(len(t)) if t else 0
+                if op == "s" and t:
+                    t[p] = rng.choice("abcdef")
+                elif op == "d" and t:
+                    del t[p]
+                else:
+                    t.insert(p, rng.choice("abcdef"))
+            vocab.add("".join(t))
+    vocab = sorted(vocab)
+    df = spark.createDataFrame([(v,) for v in vocab], ["name"])
+    for d in (2, 3):
         got = {
             (r.left_val, r.right_val): r.dist
-            for r in fuzzy_join(df, df, "name", "name", max_dist=d).collect()
+            for r in fuzzy_join(
+                df, df, "name", "name", max_dist=d, impl="passjoin"
+            ).collect()
         }
         expected = {
             (a, b): lev(a, b)
@@ -2903,6 +2962,7 @@ def test_fuzzy_join_completeness_vs_bruteforce(spark):
             if lev(a, b) <= d
         }
         assert got == expected, f"d={d}"
+        assert any(v == d for v in got.values())  # planted edits reached d
 
 
 def test_fuzzy_join_rejects_bad_dist(spark):

@@ -309,6 +309,27 @@ def test_stage_manifest_counts_without_reread(spark, tmp_path):
     assert manifest["rows"] == 1234
     jobs = sc.statusTracker().getJobIdsForGroup("wstage_test")
     assert len(jobs) == 1, f"expected 1 job (write only), got {len(jobs)}"
+    # per-partition lineage comes from the written parquet footers, so it
+    # must reconcile exactly with the Observation row count — and no extra
+    # Spark job ran to produce it (asserted above)
+    lineage = manifest["partitions"]
+    assert lineage["n_files"] >= 1
+    assert sum(p["rows"] for p in lineage["files"]) == 1234
+    assert all(p["bytes"] > 0 for p in lineage["files"])
+    assert lineage["rows_max"] >= lineage["rows_median"] >= 0
+    assert lineage["skew_ratio"] >= 1.0
+
+
+def test_partition_lineage_flags_planted_skew(spark, tmp_path):
+    """A deliberately skewed repartition (all rows hashed to one key)
+    surfaces in the manifest's skew_ratio."""
+    from iamsystem_python_spark.plans.pipeline import _write_stage
+
+    df = spark.range(0, 5000).withColumn("k", F.lit(1)).repartition(8, "k")
+    manifest = _write_stage(df, str(tmp_path), "skewed", CFG)
+    lineage = manifest["partitions"]
+    assert lineage["rows_max"] == 5000  # everything landed in one partition
+    assert lineage["skew_ratio"] >= 100 or lineage["n_files"] == 1
 
 
 def test_band_bucket_cap_bounds_degenerate_skew(spark):
