@@ -1854,6 +1854,43 @@ def q91_license_conflicts(spark, sf_dir):
     return license_conflicts(planted).orderBy("repo")
 
 
+def q92_fuzzy_prefix_join(spark, sf_dir):
+    """PassJoin-blocked fuzzy self-join over LONG strings (operators/
+    fuzzyjoin.fuzzy_join impl='passjoin', Li/Deng/Feng PVLDB 2011): the
+    dictionary is the distinct 32-char document prefixes plus two
+    deterministic mutations of each (char 7 replaced → within d=1;
+    chars 7 and 15 replaced → within d=2), so near pairs exist by
+    construction. Blocking indexes each value's 3 even segments and
+    probes with position-windowed substrings — key volume is
+    length-independent (vs FastSS's O(len²) deletion variants at d=2,
+    measured 6-7× at 25 chars, BENCH/PLANS.md) — and the exact JVM
+    levenshtein verify makes blocking invisible to the result. Oracle:
+    DuckDB brute-force cross join + levenshtein over the same derived
+    dictionary — semantics, not mechanism (q76 precedent)."""
+    from iamsystem_python_spark.operators.fuzzyjoin import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.substring("text", 1, 32).alias("val"))
+        .distinct()
+    )
+    m1 = base.select(
+        F.expr("substring(val, 1, 6) || 'q' || substring(val, 8)").alias("val")
+    )
+    m2 = base.select(
+        F.expr(
+            "substring(val, 1, 6) || 'q' || substring(val, 8, 7)"
+            " || 'z' || substring(val, 16)"
+        ).alias("val")
+    )
+    vals = base.unionByName(m1).unionByName(m2).distinct()
+    out = fuzzy_join(vals, vals, "val", "val", max_dist=2, impl="passjoin")
+    return out.where(F.col("left_val") < F.col("right_val")).orderBy(
+        "left_val", "right_val"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1943,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_snapshot_diff": q89_snapshot_diff,
         "q90_pair_evidence": q90_pair_evidence,
         "q91_license_conflicts": q91_license_conflicts,
+        "q92_fuzzy_prefix_join": q92_fuzzy_prefix_join,
     }
 
 
@@ -3991,5 +4029,26 @@ SELECT repo, count(*)::BIGINT AS n_files,
     AS licenses,
   (sum(cleft) > 0 AND sum(perm) > 0) AS has_conflict
 FROM marked GROUP BY repo ORDER BY repo
+""",
+        "q92_fuzzy_prefix_join": """
+WITH base AS (
+  SELECT DISTINCT substring(text, 1, 32) AS val
+  FROM documents WHERE text IS NOT NULL
+),
+vals AS (
+  SELECT DISTINCT val FROM (
+    SELECT val FROM base
+    UNION ALL
+    SELECT substring(val, 1, 6) || 'q' || substring(val, 8) FROM base
+    UNION ALL
+    SELECT substring(val, 1, 6) || 'q' || substring(val, 8, 7)
+           || 'z' || substring(val, 16) FROM base
+  )
+)
+SELECT a.val AS left_val, b.val AS right_val,
+       levenshtein(a.val, b.val)::INTEGER AS dist
+FROM vals a, vals b
+WHERE a.val < b.val AND levenshtein(a.val, b.val) <= 2
+ORDER BY left_val, right_val
 """,
     }
