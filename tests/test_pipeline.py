@@ -624,3 +624,85 @@ def test_incremental_ingest_rejects_boilerplate_config():
 
     with _pytest.raises(ValueError, match="boilerplate"):
         IncrementalIngest(PipelineConfig(boilerplate_min_docs=2))
+
+
+def _uf_components(edges):
+    """Independent union-find oracle: {doc_id: min-id-of-component} over
+    every node that appears in an edge."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        lo = min(members)
+        for m in members:
+            out[m] = lo
+    return out
+
+
+@pytest.mark.parametrize(
+    "seed,n_nodes,n_edges",
+    [(1, 60, 20), (2, 60, 55), (3, 60, 150), (4, 200, 120)],
+)
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+    """Randomized differential: large/small-star CC equals an independent
+    union-find on random graphs across the density spectrum (fragmented,
+    near-critical ~1 edge/node, dense, and a larger sparse graph) incl.
+    self-loops and duplicate edges."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    edges = [
+        (f"d{rng.randrange(n_nodes):03d}", f"d{rng.randrange(n_nodes):03d}")
+        for _ in range(n_edges)
+    ]
+    edges += [(a, b) for (a, b) in edges[:5]]  # duplicates
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(df).collect()}
+    assert got == set(_uf_components(edges).items())
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_incremental_cc_matches_full_on_random_split(spark, seed):
+    """Randomized differential for the cluster-store maintenance path:
+    split a random edge list into yesterday's edges and today's batch
+    (with ids disjointly suffixed so new-new, new-old and old-old delta
+    shapes all occur), then incremental(store, batch) ≡ full CC(union)."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.cc import (
+        incremental_connected_components,
+    )
+
+    rng = _random.Random(seed)
+    old_edges = [
+        (f"o{rng.randrange(50):02d}", f"o{rng.randrange(50):02d}")
+        for _ in range(40)
+    ]
+    new_edges = [
+        (
+            rng.choice(["o", "n"]) + f"{rng.randrange(50):02d}",
+            rng.choice(["o", "n"]) + f"{rng.randrange(50):02d}",
+        )
+        for _ in range(30)
+    ]
+    old_df = spark.createDataFrame(old_edges, ["doc_a", "doc_b"])
+    new_df = spark.createDataFrame(new_edges, ["doc_a", "doc_b"])
+    store = connected_components(old_df)
+    got = _cc_set(incremental_connected_components(store, new_df))
+    want = _cc_set(connected_components(old_df.union(new_df)))
+    assert got == want
+    assert got == set(_uf_components(old_edges + new_edges).items())
