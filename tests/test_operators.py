@@ -1068,6 +1068,31 @@ def test_chunk_dedup_matches_brute_force(spark):
     assert got[5] == (1, 1, "")
 
 
+@pytest.mark.parametrize("seed,k", [(21, 3), (22, 3), (23, 5)])
+def test_chunk_dedup_matches_brute_force_randomized(spark, seed, k):
+    """Randomized differential: small-vocabulary random corpora (so chunk
+    collisions are frequent), ragged tail chunks, and repeated whole docs
+    — chunk_dedup equals the Python keep-first-global oracle exactly."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.dedup_text import chunk_dedup
+
+    rng = _random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 17)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((40, rows[3][1]))  # exact whole-doc repeat
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["cleaned_text"])
+        for r in chunk_dedup(df, chunk_tokens=k).collect()
+    }
+    assert got == _brute_chunk_dedup(rows, k=k)
+    assert any(v[1] > 0 for v in got.values())  # collisions actually occurred
+
+
 def test_chunk_dedup_keep_rule_is_global_first(spark):
     from iamsystem_python_spark.operators.dedup_text import chunk_dedup
 
