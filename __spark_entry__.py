@@ -1891,6 +1891,43 @@ def q92_fuzzy_prefix_join(spark, sf_dir):
     )
 
 
+def q93_sha_index_probe(spark, sf_dir):
+    """Persisted prefix-partitioned content-sha exact-dup index
+    (operators/shaindex): the exact-dup companion to the q52/q80 MinHash
+    signature store. History (docs with doc_id%3 != 0, plus a planted
+    10-doc pool — the corpus has no natural cross-split exact dups) is
+    written ONCE as a sha_p=XX hive layout; the batch (docs with
+    doc_id%3 == 0 plus 6 planted probes) probes it reading ONLY the
+    partitions whose sha prefixes occur in the batch (PartitionFilters
+    carry the literal prefix list — unit-asserted in
+    tests/test_operators.py). sha256 is uniform, so the layout is the
+    one partitioning in this engine immune to mega-repo skew by
+    construction. Output: (doc_id, dup_of=min history partner). Oracle
+    replays the sha-join SEMANTICS (DuckDB sha256 equi-join + min), not
+    the storage layout — q76 precedent."""
+    import tempfile
+
+    from iamsystem_python_spark.operators.shaindex import (
+        exact_dups_vs_sha_index,
+        write_sha_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = lambda n, base: spark.range(n).select(  # noqa: E731
+        (F.lit(base) + F.col("id")).alias("doc_id"),
+        F.concat(F.lit("planted "), F.col("id")).alias("text"),
+    )
+    hist = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text"
+    ).unionByName(planted(10, 1000000))
+    batch = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text"
+    ).unionByName(planted(6, 2000000))
+    path = tempfile.mkdtemp(prefix="shaidx_q93_")
+    write_sha_index(hist, path)
+    return exact_dups_vs_sha_index(spark, batch, path).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1981,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_pair_evidence": q90_pair_evidence,
         "q91_license_conflicts": q91_license_conflicts,
         "q92_fuzzy_prefix_join": q92_fuzzy_prefix_join,
+        "q93_sha_index_probe": q93_sha_index_probe,
     }
 
 
@@ -4050,5 +4088,21 @@ SELECT a.val AS left_val, b.val AS right_val,
 FROM vals a, vals b
 WHERE a.val < b.val AND levenshtein(a.val, b.val) <= 2
 ORDER BY left_val, right_val
+""",
+        "q93_sha_index_probe": """
+WITH h AS (
+  SELECT doc_id, sha256(text) AS sha FROM documents WHERE doc_id % 3 != 0
+  UNION ALL
+  SELECT 1000000 + i, sha256('planted ' || i::VARCHAR) FROM range(10) t(i)
+),
+b AS (
+  SELECT doc_id, sha256(text) AS sha FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 2000000 + i, sha256('planted ' || i::VARCHAR) FROM range(6) t(i)
+)
+SELECT b.doc_id AS doc_id, min(h.doc_id) AS dup_of
+FROM b JOIN h USING (sha)
+GROUP BY b.doc_id
+ORDER BY doc_id
 """,
     }

@@ -1,0 +1,92 @@
+"""Persisted content-sha exact-dup index, partitioned by sha prefix —
+the EXACT-dup companion to the MinHash signature store
+(dedup_text.build_minhash_index): the historical corpus is hashed ONCE
+into a hex-prefix-partitioned parquet layout, and a nightly batch probe
+reads ONLY the partitions whose prefixes occur in the batch.
+
+Why partition by sha prefix: at 10^12 files the index is ~10^12 narrow
+(doc_id, sha) rows. A nightly batch of 10^5-10^7 docs touches a bounded
+set of prefixes; hive-style partition pruning turns the probe from a
+full index scan into a file-listing + targeted reads of only matching
+directories. sha256 output is uniform, so the prefix partitioning is
+skew-free by construction — every partition holds ~equal row counts
+(the one partitioning key in this engine guaranteed immune to mega-repo
+skew). With prefix_len=2 → 256 partitions (coarse; prunes only small
+batches), prefix_len=3 → 4,096 (the 10^12-scale default: ~2.4×10^8
+rows per partition, and a 10^6-doc batch touches ≲22% of them).
+
+Pruning mechanism: the batch's distinct prefixes are collected driver-
+side (≤ 16^prefix_len tiny strings — a bounded small-side collect, same
+class as the dictionary load) and pushed as an ``isin`` literal filter,
+which Spark resolves at file-listing time (PartitionFilters in the
+scan node — asserted in tests via ``inputFiles``). The alternative —
+joining on the partition column and relying on runtime Dynamic
+Partition Pruning — avoids the collect but prunes after listing; the
+literal form is strictly earlier and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_sha_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    prefix_len: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (doc_id, sha) hive-partitioned by ``sha_p`` (first
+    ``prefix_len`` hex chars). ``mode='append'`` rolls the index forward
+    after a batch is admitted — new rows land inside existing prefix
+    directories, so consumers never see a partition-layout change."""
+    if not 1 <= prefix_len <= 4:
+        raise ValueError(f"prefix_len must be 1-4; got {prefix_len}")
+    (
+        df.select(
+            "doc_id", F.sha2(F.col(text_col).cast("string"), 256).alias("sha")
+        )
+        .withColumn("sha_p", F.substring("sha", 1, prefix_len))
+        # one file per (shuffle-partition, prefix) would fragment the
+        # index; repartition by the partition column so each prefix dir
+        # gets contiguous writer tasks
+        .repartition(F.col("sha_p"))
+        .write.partitionBy("sha_p")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def exact_dups_vs_sha_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """(doc_id, dup_of) for every batch doc whose content sha already
+    exists in the persisted index, dup_of = the smallest matching
+    history doc_id. Reads ONLY index partitions whose sha prefix occurs
+    in the batch (hive partition pruning on the literal prefix list);
+    the batch side is small, so the sha equi-join broadcasts it and the
+    pruned index scan streams — history is never shuffled."""
+    batch = new_df.select(
+        "doc_id", F.sha2(F.col(text_col).cast("string"), 256).alias("sha")
+    ).withColumn("sha_p", F.substring("sha", 1, prefix_len))
+    prefixes = [
+        r["sha_p"] for r in batch.select("sha_p").distinct().collect()
+    ]
+    if not prefixes:  # empty batch: nothing to probe, nothing to read
+        return batch.select("doc_id", F.col("doc_id").alias("dup_of")).limit(0)
+    idx = (
+        spark.read.parquet(index_path)
+        .where(F.col("sha_p").isin(prefixes))
+        .select(F.col("doc_id").alias("o_id"), "sha")
+    )
+    return (
+        batch.join(idx, "sha")
+        .groupBy("doc_id")
+        .agg(F.min("o_id").alias("dup_of"))
+    )
