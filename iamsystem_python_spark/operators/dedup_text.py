@@ -1314,6 +1314,37 @@ def novel_docs_verdicts(
     pairs = incremental_lsh_pairs_sql(
         new_df, index, text_col, k, num_perm, num_bands, threshold, seed
     )
+    near_min = _near_min_from_pairs(new_df, pairs)
+    return _verdict_assembly(new_df, exact_min, near_min)
+
+
+def _verdict_assembly(
+    new_df: DataFrame, exact_min: DataFrame, near_min: DataFrame
+) -> DataFrame:
+    """Final verdict rows from per-doc exact/near minimum partners: two
+    left joins onto the batch id list, precedence exact > near > novel."""
+    return (
+        new_df.select("doc_id")
+        .join(exact_min, "doc_id", "left")
+        .join(near_min, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("exact_dup_of", "near_dup_of", F.lit(-1)).alias(
+                "dup_of"
+            ),
+        )
+    )
+
+
+def _near_min_from_pairs(new_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-batch-doc smallest near-dup partner from an
+    incremental_lsh_pairs_sql result: new-new pairs mark only the larger
+    id (smaller-id-wins greedy); new-old pairs mark the new side with the
+    old partner regardless of id order."""
     nn = pairs.where(F.col("pair_side") == "new-new").select(
         F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("dup_of")
     )
@@ -1334,26 +1365,63 @@ def novel_docs_verdicts(
             .alias("dup_of"),
         )
     )
-    near_min = (
+    return (
         nn.unionByName(no).groupBy("doc_id").agg(F.min("dup_of").alias("near_dup_of"))
     )
 
-    out = (
-        new_df.select("doc_id")
-        .join(exact_min, "doc_id", "left")
-        .join(near_min, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
-            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
-            .otherwise(F.lit("novel"))
-            .alias("verdict"),
-            F.coalesce("exact_dup_of", "near_dup_of", F.lit(-1)).alias(
-                "dup_of"
-            ),
-        )
+
+def novel_docs_verdicts_vs_stores(
+    spark,
+    new_df: DataFrame,
+    sha_index_path: str,
+    minhash_index: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    sha_prefix_len: int = 2,
+) -> DataFrame:
+    """``novel_docs_verdicts`` against PERSISTED indexes only — the full
+    production nightly shape at 10^12 files, where historical TEXT is
+    never touched: the exact stage probes the prefix-partitioned content-
+    sha index (operators/shaindex — partition-pruned read of only the
+    batch's sha prefixes), the near stage probes the MinHash signature
+    store (``incremental_lsh_pairs_sql`` — band keys re-derived from the
+    stored sig columns). Verdict rules and output schema are identical to
+    ``novel_docs_verdicts`` (equivalence pinned by a randomized test);
+    the only data read beyond the batch is index rows.
+
+    Roll both stores forward after admission:
+    ``write_sha_index(admitted, path, mode='append')`` and
+    ``index.unionByName(build_minhash_index(admitted, ...))``."""
+    from iamsystem_python_spark.operators.shaindex import (
+        exact_dups_vs_sha_index,
     )
-    return out
+
+    sha = F.sha2(F.col(text_col).cast("string"), 256)
+    new_sha = new_df.select(F.col("doc_id"), sha.alias("sha"))
+    exact_hist = exact_dups_vs_sha_index(
+        spark, new_df, sha_index_path, text_col, sha_prefix_len
+    ).select("doc_id", F.col("dup_of").alias("o_id"))
+    exact_batch = (
+        new_sha.join(
+            new_sha.select(F.col("doc_id").alias("o_id"), "sha"), "sha"
+        )
+        .where(F.col("o_id") < F.col("doc_id"))
+        .select("doc_id", "o_id")
+    )
+    exact_min = (
+        exact_hist.unionByName(exact_batch)
+        .groupBy("doc_id")
+        .agg(F.min("o_id").alias("exact_dup_of"))
+    )
+    pairs = incremental_lsh_pairs_sql(
+        new_df, minhash_index, text_col, k, num_perm, num_bands, threshold, seed
+    )
+    near_min = _near_min_from_pairs(new_df, pairs)
+    return _verdict_assembly(new_df, exact_min, near_min)
 
 
 def novel_docs_filter(

@@ -253,3 +253,41 @@ def test_ingest_admission_matches_stagewise_precedence_replay(spark):
     assert got[2003][1] == min(
         o for o, t in hist.items() if t == batch[2003]
     )
+
+
+@pytest.mark.parametrize("trial", [0, 1])
+def test_store_backed_verdicts_equal_text_backed(spark, tmp_path, trial):
+    """novel_docs_verdicts_vs_stores (persisted sha index + MinHash
+    signature store; history text never read) returns IDENTICAL verdicts
+    to the text-backed novel_docs_verdicts on randomized corpora."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        novel_docs_verdicts_vs_stores,
+    )
+    from iamsystem_python_spark.operators.shaindex import write_sha_index
+
+    rng = random.Random(900 + trial)
+    hist, batch = _rand_corpus(rng, n_hist=25, n_batch=25)
+    hist_df = spark.createDataFrame(
+        [(i, t) for i, t in hist.items()], "doc_id long, text string"
+    )
+    new_df = spark.createDataFrame(
+        [(i, t) for i, t in batch.items()], "doc_id long, text string"
+    )
+    path = str(tmp_path / f"shaidx{trial}")
+    write_sha_index(hist_df, path)
+    index = build_minhash_index(
+        hist_df, "text", CFG["k"], CFG["num_perm"], CFG["seed"]
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in novel_docs_verdicts_vs_stores(
+            spark, new_df, path, index, "text", **CFG
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in novel_docs_verdicts(new_df, hist_df, "text", **CFG).collect()
+    }
+    assert got == want
+    # and both equal the independent brute-force replay
+    assert got == _py_verdicts(batch, hist, **CFG)
