@@ -42,6 +42,40 @@ def ingest_admission(
     """(doc_id, decision, dup_of) per batch doc — see module docstring
     for the precedence contract. ``dedup_kwargs`` pass through to
     ``novel_docs_verdicts`` (k, num_perm, num_bands, threshold, seed)."""
+    dedup = novel_docs_verdicts(
+        new_df, history_df, text_col, **dedup_kwargs
+    )
+    return _admission_assembly(new_df, dedup, text_col)
+
+
+def ingest_admission_vs_stores(
+    spark,
+    new_df: DataFrame,
+    sha_index_path: str,
+    minhash_index: DataFrame,
+    text_col: str = "text",
+    **dedup_kwargs,
+) -> DataFrame:
+    """``ingest_admission`` with the dedup stage pointed at the PERSISTED
+    indexes (``novel_docs_verdicts_vs_stores``) — the nightly production
+    form: historical text is never read, the sha index probe is
+    partition-pruned, the MinHash store streams once. Identical decision
+    precedence and output schema (equivalence pinned in tests)."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        novel_docs_verdicts_vs_stores,
+    )
+
+    dedup = novel_docs_verdicts_vs_stores(
+        spark, new_df, sha_index_path, minhash_index, text_col, **dedup_kwargs
+    )
+    return _admission_assembly(new_df, dedup, text_col)
+
+
+def _admission_assembly(
+    new_df: DataFrame, dedup: DataFrame, text_col: str
+) -> DataFrame:
+    """Row-local gates + the documented decision precedence over a
+    computed dedup-verdict frame."""
     scanned = license_tag(
         secret_scan(new_df, col=text_col), col=text_col
     ).select(
@@ -53,9 +87,6 @@ def ingest_admission(
     # classifies them as quality rejects, which is the right policy
     quality = gopher_rules(new_df, text_col=text_col).select(
         "doc_id", F.col("keep_flag").alias("_keep")
-    )
-    dedup = novel_docs_verdicts(
-        new_df, history_df, text_col, **dedup_kwargs
     )
     return (
         dedup.join(scanned, "doc_id")

@@ -1393,6 +1393,20 @@ def novel_docs_verdicts_vs_stores(
     ``novel_docs_verdicts`` (equivalence pinned by a randomized test);
     the only data read beyond the batch is index rows.
 
+    When to use — measured honestly (BENCH/PLANS.md): on a warm same-host
+    corpus the TEXT-backed path is FASTER (interleaved 150k×200-token
+    history: text 2.3-4.0 s vs store 3.1-5.3 s), because the store's
+    ``hset`` verification column is O(text) and, being incompressible
+    random hashes, its parquet is ~2.25× the raw text's (254 MB vs
+    113 MB here) while re-signing is cheap whole-stage-codegen CPU. The
+    store-backed path is for when history TEXT cannot be touched at all:
+    archived/cold storage tiers, a text table owned by another team, or
+    compliance boundaries — and its fixed-width part (sha + sig columns,
+    ~200 bytes/doc) is the piece that is genuinely ≪ text; for
+    byte-bound probes drop hset and use the b-bit estimation store
+    (``compress_minhash_index_bbit``, q59) which trades exact
+    verification for fixed-width-only reads.
+
     Roll both stores forward after admission:
     ``write_sha_index(admitted, path, mode='append')`` and
     ``index.unionByName(build_minhash_index(admitted, ...))``."""

@@ -291,3 +291,37 @@ def test_store_backed_verdicts_equal_text_backed(spark, tmp_path, trial):
     assert got == want
     # and both equal the independent brute-force replay
     assert got == _py_verdicts(batch, hist, **CFG)
+
+
+def test_ingest_admission_vs_stores_equals_text_backed(spark, tmp_path):
+    """The store-backed admission composition returns identical decisions
+    to the text-backed one on a randomized corpus."""
+    from iamsystem_python_spark.operators.admission import (
+        ingest_admission_vs_stores,
+    )
+    from iamsystem_python_spark.operators.shaindex import write_sha_index
+
+    rng = random.Random(31337)
+    hist, batch = _rand_corpus(rng, n_hist=20, n_batch=20)
+    hist_df = spark.createDataFrame(
+        [(i, t) for i, t in hist.items()], "doc_id long, text string"
+    )
+    new_df = spark.createDataFrame(
+        [(i, t) for i, t in batch.items()], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shaidx")
+    write_sha_index(hist_df, path)
+    index = build_minhash_index(
+        hist_df, "text", CFG["k"], CFG["num_perm"], CFG["seed"]
+    )
+    got = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in ingest_admission_vs_stores(
+            spark, new_df, path, index, "text", **CFG
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in ingest_admission(new_df, hist_df, "text", **CFG).collect()
+    }
+    assert got == want
