@@ -1,0 +1,166 @@
+"""Measured single-node head-to-head vs the ACTUAL reference library —
+the BASELINE.md "matches-or-beats single-node throughput" claim, measured
+instead of argued by construction.
+
+Same deterministic corpus + dictionary on both sides:
+  * reference: iamsystem (/root/reference/src, pure-Python loop, with the
+    same binary-dep stubs tests/conftest.py uses — none of the stubbed
+    surfaces are exercised by an exact-match dictionary bench),
+  * ours: operators/annotate over a Spark DataFrame at local[1] (per-core
+    comparison: kernel + Arrow overhead vs the reference's loop) and
+    local[32] (the single-NODE number).
+
+Equality gate: total annotation count must be identical on all legs (the
+semantic equality itself is pinned by tests/test_core_differential.py).
+Host probes recorded per leg (hypervisor variance — see BASELINE.md).
+
+Run: python scripts/bench_vs_reference.py [docs] → BENCH/vs_reference_r4.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+import types
+import unicodedata
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+DOC_TOKENS = 100
+N_KEYWORDS = 3_000
+VOCAB = [f"term{i:04d}" for i in range(2_000)]
+
+
+def _install_reference_stubs() -> None:
+    m = types.ModuleType("anyascii")
+    m.anyascii = lambda s: "".join(
+        c
+        for c in unicodedata.normalize("NFKD", s)
+        if not unicodedata.combining(c)
+    )
+    sys.modules.setdefault("anyascii", m)
+    ps = types.ModuleType("pysimstring")
+    ps.simstring = types.ModuleType("pysimstring.simstring")
+    sys.modules.setdefault("pysimstring", ps)
+    sys.modules.setdefault("pysimstring.simstring", ps.simstring)
+    sw = types.ModuleType("spellwise")
+
+    class _Unused:
+        def __init__(self, *a, **k):
+            pass
+
+    for n in ("CaverphoneOne", "CaverphoneTwo", "Editex", "Levenshtein",
+              "Soundex", "Typox"):
+        setattr(sw, n, _Unused)
+    sys.modules.setdefault("spellwise", sw)
+
+
+def corpus_and_dictionary():
+    rng = random.Random(42)
+    keywords = sorted(
+        {
+            f"{rng.choice(VOCAB)} {rng.choice(VOCAB)}"
+            for _ in range(N_KEYWORDS)
+        }
+    )
+    docs = [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(DOC_TOKENS)))
+        for i in range(N_DOCS)
+    ]
+    return docs, keywords
+
+
+def probe() -> float:
+    import numpy as np
+
+    t0 = time.time()
+    np.arange(20_000_000, dtype=np.int64)
+    return round(160.0 / max(time.time() - t0, 1e-9), 1)
+
+
+def run_reference(docs, keywords):
+    _install_reference_stubs()
+    sys.path.insert(0, "/root/reference/src")
+    from iamsystem import Matcher as RefMatcher
+
+    m = RefMatcher.build(keywords=keywords)
+    p0 = probe()
+    t0 = time.time()
+    total = 0
+    for _, text in docs:
+        total += len(m.annot_text(text))
+    dt = time.time() - t0
+    return {"seconds": round(dt, 2), "docs_per_sec": round(len(docs) / dt, 1),
+            "annotations": total, "probe_mb_s": p0}
+
+
+def run_ours(docs, keywords, cpus: int):
+    from pyspark.sql import SparkSession
+
+    from iamsystem_python_spark.core.matcher import Matcher
+    from iamsystem_python_spark.operators.annotate import annotate
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"vsref-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        m = Matcher.build(keywords=keywords)
+        df = (
+            spark.createDataFrame(docs, "doc_id long, content string")
+            .repartition(max(cpus * 2, 8))
+            .cache()
+        )
+        df.count()  # materialize input once, outside the timed section
+        p0 = probe()
+        t0 = time.time()
+        total = annotate(df, m, text_col="content", id_cols=["doc_id"]).count()
+        dt = time.time() - t0
+        return {
+            "cpus": cpus,
+            "seconds": round(dt, 2),
+            "docs_per_sec": round(len(docs) / dt, 1),
+            "annotations": total,
+            "probe_mb_s": p0,
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    docs, keywords = corpus_and_dictionary()
+    out = {
+        "n_docs": N_DOCS,
+        "doc_tokens": DOC_TOKENS,
+        "n_keywords": len(keywords),
+        # interleave reference between our two legs so every adjacent
+        # comparison shares a host window
+        "ours_local1": run_ours(docs, keywords, 1),
+        "reference": run_reference(docs, keywords),
+        "ours_local32": run_ours(docs, keywords, 32),
+    }
+    legs = [out["reference"], out["ours_local1"], out["ours_local32"]]
+    out["annotations_equal"] = len({l["annotations"] for l in legs}) == 1
+    out["speedup_local1"] = round(
+        out["ours_local1"]["docs_per_sec"] / out["reference"]["docs_per_sec"], 3
+    )
+    out["speedup_local32"] = round(
+        out["ours_local32"]["docs_per_sec"] / out["reference"]["docs_per_sec"], 3
+    )
+    path = os.path.join(REPO, "BENCH", "vs_reference_r4.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
