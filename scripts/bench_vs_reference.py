@@ -61,6 +61,10 @@ def _install_reference_stubs() -> None:
 
 
 def corpus_and_dictionary():
+    """Corpus + dictionary + abbreviation table. 30% of docs get one
+    planted dictionary phrase whose FIRST word is replaced by its short
+    form — reachable only through the Abbreviations fuzzy algo, so the
+    fuzzy legs measurably exercise that path (annotation counts rise)."""
     rng = random.Random(42)
     keywords = sorted(
         {
@@ -68,11 +72,18 @@ def corpus_and_dictionary():
             for _ in range(N_KEYWORDS)
         }
     )
-    docs = [
-        (i, " ".join(rng.choice(VOCAB) for _ in range(DOC_TOKENS)))
-        for i in range(N_DOCS)
-    ]
-    return docs, keywords
+    abbrevs = [(f"zz{j:03d}", VOCAB[j]) for j in range(300)]
+    short_of = dict((v, s) for s, v in abbrevs)
+    docs = []
+    for i in range(N_DOCS):
+        toks = [rng.choice(VOCAB) for _ in range(DOC_TOKENS)]
+        if rng.random() < 0.3:
+            kw = rng.choice(keywords).split()
+            if kw[0] in short_of:
+                pos = rng.randrange(len(toks) - 1)
+                toks[pos : pos + 2] = [short_of[kw[0]], kw[1]]
+        docs.append((i, " ".join(toks)))
+    return docs, keywords, abbrevs
 
 
 def probe() -> float:
@@ -83,12 +94,12 @@ def probe() -> float:
     return round(160.0 / max(time.time() - t0, 1e-9), 1)
 
 
-def run_reference(docs, keywords):
+def run_reference(docs, keywords, abbrevs=None):
     _install_reference_stubs()
     sys.path.insert(0, "/root/reference/src")
     from iamsystem import Matcher as RefMatcher
 
-    m = RefMatcher.build(keywords=keywords)
+    m = RefMatcher.build(keywords=keywords, abbreviations=abbrevs)
     p0 = probe()
     t0 = time.time()
     total = 0
@@ -99,7 +110,7 @@ def run_reference(docs, keywords):
             "annotations": total, "probe_mb_s": p0}
 
 
-def run_ours(docs, keywords, cpus: int):
+def run_ours(docs, keywords, cpus: int, abbrevs=None):
     from pyspark.sql import SparkSession
 
     from iamsystem_python_spark.core.matcher import Matcher
@@ -114,7 +125,7 @@ def run_ours(docs, keywords, cpus: int):
         .getOrCreate()
     )
     try:
-        m = Matcher.build(keywords=keywords)
+        m = Matcher.build(keywords=keywords, abbreviations=abbrevs)
         df = (
             spark.createDataFrame(docs, "doc_id long, content string")
             .repartition(max(cpus * 2, 8))
@@ -137,24 +148,30 @@ def run_ours(docs, keywords, cpus: int):
 
 
 def main():
-    docs, keywords = corpus_and_dictionary()
-    out = {
-        "n_docs": N_DOCS,
-        "doc_tokens": DOC_TOKENS,
-        "n_keywords": len(keywords),
-        # interleave reference between our two legs so every adjacent
-        # comparison shares a host window
-        "ours_local1": run_ours(docs, keywords, 1),
-        "reference": run_reference(docs, keywords),
-        "ours_local32": run_ours(docs, keywords, 32),
-    }
-    legs = [out["reference"], out["ours_local1"], out["ours_local32"]]
-    out["annotations_equal"] = len({l["annotations"] for l in legs}) == 1
-    out["speedup_local1"] = round(
-        out["ours_local1"]["docs_per_sec"] / out["reference"]["docs_per_sec"], 3
-    )
-    out["speedup_local32"] = round(
-        out["ours_local32"]["docs_per_sec"] / out["reference"]["docs_per_sec"], 3
+    docs, keywords, abbrevs = corpus_and_dictionary()
+    out = {"n_docs": N_DOCS, "doc_tokens": DOC_TOKENS,
+           "n_keywords": len(keywords), "n_abbrevs": len(abbrevs)}
+    # interleave reference between our two legs so every adjacent
+    # comparison shares a host window; exact-match config then the
+    # Abbreviations fuzzy config (both sides run their own implementation
+    # — no stubbed surface is exercised in either config)
+    for tag, ab in (("exact", None), ("fuzzy_abbrevs", abbrevs)):
+        out[f"{tag}_ours_local1"] = run_ours(docs, keywords, 1, ab)
+        out[f"{tag}_reference"] = run_reference(docs, keywords, ab)
+        out[f"{tag}_ours_local32"] = run_ours(docs, keywords, 32, ab)
+        legs = [out[f"{tag}_{x}"] for x in ("reference", "ours_local1", "ours_local32")]
+        out[f"{tag}_annotations_equal"] = len({l["annotations"] for l in legs}) == 1
+        for cpus in (1, 32):
+            out[f"{tag}_speedup_local{cpus}"] = round(
+                out[f"{tag}_ours_local{cpus}"]["docs_per_sec"]
+                / out[f"{tag}_reference"]["docs_per_sec"],
+                3,
+            )
+    # the fuzzy config must actually fire: planted abbreviated mentions
+    # add annotations over the exact config
+    out["fuzzy_path_exercised"] = (
+        out["fuzzy_abbrevs_reference"]["annotations"]
+        > out["exact_reference"]["annotations"]
     )
     path = os.path.join(REPO, "BENCH", "vs_reference_r4.json")
     with open(path, "w") as f:
