@@ -325,3 +325,78 @@ def test_ingest_admission_vs_stores_equals_text_backed(spark, tmp_path):
         for r in ingest_admission(new_df, hist_df, "text", **CFG).collect()
     }
     assert got == want
+
+
+def test_multi_night_store_roll_forward(spark, tmp_path):
+    """Three consecutive nightly batches against PERSISTED stores, rolling
+    both forward after each night (sha index via mode='append', MinHash
+    store via unionByName of the admitted batch's signatures): every
+    night's store-backed verdicts equal the text-backed verdicts against
+    the full accumulated history — the invariant that makes the nightly
+    loop trustworthy without ever re-reading history."""
+    from iamsystem_python_spark.operators.dedup_text import (
+        novel_docs_verdicts_vs_stores,
+    )
+    from iamsystem_python_spark.operators.shaindex import write_sha_index
+
+    rng = random.Random(7777)
+    hist, b1 = _rand_corpus(rng, n_hist=15, n_batch=10)
+    # two more batches, ids disjoint, drawn from the same generator so
+    # cross-night exact/near dups occur (copies of earlier batches too)
+    def more_batch(base):
+        docs = {}
+        pool = list(hist.values()) + list(b1.values()) + list(docs.values())
+        for j in range(10):
+            i = base + j
+            roll = rng.random()
+            if roll < 0.3:
+                docs[i] = rng.choice(pool)
+            elif roll < 0.5:
+                ts = _toks(rng.choice(pool))
+                if ts:
+                    ts[rng.randrange(len(ts))] = rng.choice(_VOCAB)
+                docs[i] = " ".join(ts)
+            else:
+                docs[i] = " ".join(
+                    rng.choice(_VOCAB) for _ in range(rng.randint(0, 10))
+                )
+        return docs
+
+    b2, b3 = more_batch(3000), more_batch(5000)
+    path = str(tmp_path / "shaidx")
+    hist_df = spark.createDataFrame(
+        list(hist.items()), "doc_id long, text string"
+    )
+    write_sha_index(hist_df, path)
+    index = build_minhash_index(
+        hist_df, "text", CFG["k"], CFG["num_perm"], CFG["seed"]
+    )
+    accumulated = dict(hist)
+    for batch in (b1, b2, b3):
+        new_df = spark.createDataFrame(
+            list(batch.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["verdict"], r["dup_of"])
+            for r in novel_docs_verdicts_vs_stores(
+                spark, new_df, path, index, "text", **CFG
+            ).collect()
+        }
+        acc_df = spark.createDataFrame(
+            list(accumulated.items()), "doc_id long, text string"
+        )
+        want = {
+            r["doc_id"]: (r["verdict"], r["dup_of"])
+            for r in novel_docs_verdicts(new_df, acc_df, "text", **CFG).collect()
+        }
+        assert got == want, f"night with batch base {min(batch)}"
+        assert got == _py_verdicts(batch, accumulated, **CFG)
+        # roll forward: the WHOLE batch is admitted to history (dup rows
+        # included — history semantics, matching the text-backed compare)
+        write_sha_index(new_df, path, mode="append")
+        index = index.unionByName(
+            build_minhash_index(
+                new_df, "text", CFG["k"], CFG["num_perm"], CFG["seed"]
+            )
+        )
+        accumulated.update(batch)
