@@ -1928,6 +1928,53 @@ def q93_sha_index_probe(spark, sf_dir):
     return exact_dups_vs_sha_index(spark, batch, path).orderBy("doc_id")
 
 
+def q94_notebook_cells(spark, sf_dir):
+    """Jupyter-notebook (.ipynb) code-cell extraction
+    (sources/notebooks.notebook_code_cells): the input-format step a
+    source-code pipeline runs before dedup/quality sees notebook files —
+    from_json with an explicit minimal schema (no inference), one
+    posexplode, row-local line joining; zero shuffles. Input notebooks
+    are derived deterministically from documents.text (q50 precedent):
+    the first 8 [a-z0-9]+ words build a 3-cell notebook (markdown +
+    2 code cells, nbformat line-arrays with escaped newlines), so the
+    JSON construction is byte-identical in both engines and the oracle
+    replays the PARSE itself via DuckDB's JSON functions — a
+    cross-engine value check of the extraction semantics."""
+    from iamsystem_python_spark.sources.notebooks import notebook_code_cells
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.expr("slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1, 8)")
+    staged = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 8)
+    )
+
+    def el(i):
+        return F.element_at("w", i)
+
+    def q(c):
+        return F.concat(F.lit('"'), c, F.lit('"'))
+
+    md = q(F.concat(el(1), F.lit(" "), el(2)))
+    l1 = q(F.concat(el(3), F.lit(" "), el(4), F.lit("\\n")))
+    l2 = q(F.concat(el(5), F.lit(" "), el(6)))
+    l3 = q(F.concat(el(7), F.lit(" "), el(8), F.lit("\\n")))
+    nb = F.concat(
+        F.lit('{"cells":[{"cell_type":"markdown","source":['),
+        md,
+        F.lit(']},{"cell_type":"code","source":['),
+        l1,
+        F.lit(","),
+        l2,
+        F.lit(']},{"cell_type":"code","source":['),
+        l3,
+        F.lit("]}]}"),
+    )
+    nbdf = staged.select("doc_id", nb.alias("text"))
+    return notebook_code_cells(nbdf).orderBy("doc_id", "cell_i")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2019,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_license_conflicts": q91_license_conflicts,
         "q92_fuzzy_prefix_join": q92_fuzzy_prefix_join,
         "q93_sha_index_probe": q93_sha_index_probe,
+        "q94_notebook_cells": q94_notebook_cells,
     }
 
 
@@ -4104,5 +4152,38 @@ SELECT b.doc_id AS doc_id, min(h.doc_id) AS dup_of
 FROM b JOIN h USING (sha)
 GROUP BY b.doc_id
 ORDER BY doc_id
+""",
+        "q94_notebook_cells": """
+WITH words AS (
+  SELECT doc_id,
+         list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 8) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+ok AS (SELECT * FROM words WHERE len(w) >= 8),
+nbs AS (
+  SELECT doc_id,
+    '{"cells":[{"cell_type":"markdown","source":["' || w[1] || ' ' || w[2]
+    || '"]},{"cell_type":"code","source":["' || w[3] || ' ' || w[4]
+    || '\\n","' || w[5] || ' ' || w[6]
+    || '"]},{"cell_type":"code","source":["' || w[7] || ' ' || w[8]
+    || '\\n"]}]}' AS nb
+  FROM ok
+),
+cells AS (
+  SELECT doc_id, i AS cell_i,
+    json_extract_string(nb, '$.cells[' || i || '].cell_type') AS ct,
+    json_transform(json_extract(nb, '$.cells[' || i || '].source'),
+                   '["VARCHAR"]') AS src
+  FROM nbs, (SELECT unnest([0, 1, 2]) AS i) t
+  -- the derivation pins 3 cells/notebook; a constant index list avoids
+  -- DuckDB's lateral-parameter limit on generate_series
+  WHERE i < json_array_length(nb, '$.cells')
+)
+SELECT doc_id, cell_i::BIGINT AS cell_i,
+       array_to_string(src, '') AS source,
+       len(src)::BIGINT AS n_lines
+FROM cells
+WHERE ct = 'code'
+ORDER BY doc_id, cell_i
 """,
     }

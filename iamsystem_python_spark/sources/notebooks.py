@@ -1,0 +1,59 @@
+"""Jupyter notebook (.ipynb) code-cell extraction — the input-format
+operator a source-code training pipeline runs over notebook files before
+any dedup/quality stage sees them (a .ipynb is JSON; its code payload is
+the ``source`` line-array of cells with ``cell_type == 'code'``).
+
+Pure relational: ``from_json`` with an explicit minimal schema (never
+schema inference — one malformed notebook must not re-type a 10^12-row
+scan), one ``posexplode`` over the cell array, row-local filtering and
+line joining. Zero shuffles — at cluster scale this fuses into the file
+scan. The DuckDB oracle (q94) replays the same extraction with DuckDB's
+JSON functions, so the parse semantics are value-checked cross-engine.
+
+nbformat notes honored here:
+- ``source`` is an ARRAY OF LINE STRINGS (each usually ending in "\\n");
+  the joined cell text is their ''-separator concatenation.
+- The spec also allows a plain-string ``source``; under the explicit
+  array schema such cells parse with source = NULL and are DROPPED
+  (counted nowhere) — the strict-array contract is documented and
+  unit-tested rather than silently coerced.
+- ``cell_i`` is the cell's position among ALL cells (markdown included),
+  so downstream tooling can map findings back to notebook positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# explicit minimal schema: only what the extraction reads — extra keys in
+# real notebooks (metadata, outputs, execution_count) are ignored by
+# from_json, which is exactly the column pruning a JSON scan wants
+NOTEBOOK_SCHEMA = (
+    "struct<cells: array<struct<cell_type: string, source: array<string>>>>"
+)
+
+
+def notebook_code_cells(
+    df: DataFrame, json_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, cell_i, source, n_lines) for every CODE cell of every parseable
+    notebook: ``source`` = the cell's line array joined with '' (lines
+    carry their own trailing newlines per nbformat), ``n_lines`` = line
+    count. Unparseable JSON rows and non-array-source cells drop out
+    (from_json yields NULL structs)."""
+    parsed = df.select(
+        F.col(id_col),
+        F.from_json(F.col(json_col), NOTEBOOK_SCHEMA).alias("nb"),
+    ).where(F.col("nb.cells").isNotNull())
+    cells = parsed.select(
+        id_col, F.posexplode("nb.cells").alias("cell_i", "cell")
+    )
+    return cells.where(
+        (F.col("cell.cell_type") == "code") & F.col("cell.source").isNotNull()
+    ).select(
+        id_col,
+        F.col("cell_i").cast("long").alias("cell_i"),
+        F.concat_ws("", F.col("cell.source")).alias("source"),
+        F.size("cell.source").cast("long").alias("n_lines"),
+    )

@@ -3780,3 +3780,50 @@ def test_sha_index_append_rolls_forward(spark, tmp_path):
         for r in exact_dups_vs_sha_index(spark, day2, path).collect()
     }
     assert got == {(20, 10), (21, 1)}
+
+
+# ---------------------------------------------------------------------------
+# notebooks — .ipynb code-cell extraction
+# ---------------------------------------------------------------------------
+
+
+def test_notebook_code_cells_extraction(spark):
+    """Real nbformat-shaped JSON: markdown skipped, code cells extracted
+    with positional cell_i and ''-joined line arrays; string-form source
+    (spec-legal, schema-strict NULL) and malformed JSON rows drop."""
+    import json as _json
+
+    from iamsystem_python_spark.sources.notebooks import notebook_code_cells
+
+    nb = _json.dumps(
+        {
+            "nbformat": 4,
+            "cells": [
+                {"cell_type": "markdown", "source": ["# Title\n"]},
+                {
+                    "cell_type": "code",
+                    "execution_count": 1,
+                    "source": ["import os\n", "print(os.sep)\n"],
+                    "outputs": [],
+                },
+                {"cell_type": "code", "source": []},
+                {"cell_type": "code", "source": "x = 1\n"},  # string form
+                {"cell_type": "code", "source": ["y = 2\n"]},
+            ],
+        }
+    )
+    rows = [
+        (1, nb),
+        (2, "{not json"),
+        (3, '{"cells": null}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.cell_i): (r.source, r.n_lines)
+        for r in notebook_code_cells(df).collect()
+    }
+    assert got == {
+        (1, 1): ("import os\nprint(os.sep)\n", 2),
+        (1, 2): ("", 0),
+        (1, 4): ("y = 2\n", 1),
+    }
