@@ -1975,6 +1975,40 @@ def q94_notebook_cells(spark, sf_dir):
     return notebook_code_cells(nbdf).orderBy("doc_id", "cell_i")
 
 
+def q95_markdown_blocks(spark, sf_dir):
+    """Markdown fenced-code-block extraction (sources/markdown.
+    markdown_code_blocks): harvesting code from READMEs/docs — the
+    Stack-style corpus step. Line-anchored fences in the Java∩RE2 regex
+    dialect (inline triple-backticks never open a block; backtick-bearing
+    bodies are skipped whole, never mis-parsed — subset contract
+    unit-tested). Input markdown derived deterministically from
+    documents.text (first 6 words → a tagged python fence + an untagged
+    fence + prose); the DuckDB oracle replays the identical pattern with
+    its own regexp_extract_all, value-checking the extraction."""
+    from iamsystem_python_spark.sources.markdown import markdown_code_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.expr("slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1, 6)")
+    staged = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 6)
+    )
+
+    def el(i):
+        return F.element_at("w", i)
+
+    md = F.concat(
+        F.lit("# "), el(1),
+        F.lit("\n```python\n"), el(2), F.lit(" "), el(3),
+        F.lit("\n"), el(4),
+        F.lit("\n```\nprose "), el(1),
+        F.lit("\n```\n"), el(5), F.lit(" "), el(6), F.lit("\n```\n"),
+    )
+    mddf = staged.select("doc_id", md.alias("text"))
+    return markdown_code_blocks(mddf).orderBy("doc_id", "block_i")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2067,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_fuzzy_prefix_join": q92_fuzzy_prefix_join,
         "q93_sha_index_probe": q93_sha_index_probe,
         "q94_notebook_cells": q94_notebook_cells,
+        "q95_markdown_blocks": q95_markdown_blocks,
     }
 
 
@@ -4185,5 +4220,33 @@ SELECT doc_id, cell_i::BIGINT AS cell_i,
 FROM cells
 WHERE ct = 'code'
 ORDER BY doc_id, cell_i
+""",
+        "q95_markdown_blocks": """
+WITH words AS (
+  SELECT doc_id,
+         list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 6) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+ok AS (SELECT * FROM words WHERE len(w) >= 6),
+md AS (
+  SELECT doc_id,
+    '# ' || w[1] || chr(10) || '```python' || chr(10) || w[2] || ' ' || w[3]
+    || chr(10) || w[4] || chr(10) || '```' || chr(10) || 'prose ' || w[1]
+    || chr(10) || '```' || chr(10) || w[5] || ' ' || w[6] || chr(10)
+    || '```' || chr(10) AS text
+  FROM ok
+),
+m AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '(?m)^```([a-zA-Z0-9+#-]*)\n([^`]*\n)```', 1)
+      AS langs,
+    regexp_extract_all(text, '(?m)^```([a-zA-Z0-9+#-]*)\n([^`]*\n)```', 2)
+      AS codes
+  FROM md
+)
+SELECT doc_id, i::BIGINT AS block_i, langs[i + 1] AS lang, codes[i + 1] AS code
+FROM m, (SELECT unnest([0, 1]) AS i) t
+WHERE i < len(langs)
+ORDER BY doc_id, block_i
 """,
     }

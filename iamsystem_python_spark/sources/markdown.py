@@ -1,0 +1,53 @@
+"""Markdown fenced-code-block extraction — the step that harvests code
+from READMEs / docs / issue bodies for a source-code training corpus
+(the Stack-style pipelines treat fenced blocks as first-class code
+documents with a language tag).
+
+Row-local regexp processing only — two ``regexp_extract_all`` passes
+(language tag group, body group) zipped positionally, then one
+``posexplode``. Zero shuffles; fuses into the scan at cluster scale.
+
+Pattern contract (deliberately in the Java-regex ∩ RE2 dialect so the
+DuckDB oracle replays it byte-for-byte, q95): an opening fence is
+LINE-ANCHORED (``(?m)^```` — inline triple-backticks never open a
+block, per CommonMark), the body contains no backtick and ends with a
+newline (so the closing fence is implicitly line-anchored too). Bodies
+WITH embedded backticks (inline code inside a fence) are skipped by
+this pattern, not mis-parsed, and — because the opener is anchored —
+a skipped block can never pair its closing fence with the next
+block's opener. The honest subset contract, documented and
+unit-tested, same stance as the q84 import-extraction limits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FENCE_PATTERN = "(?m)^```([a-zA-Z0-9+#-]*)\\n([^`]*\\n)```"
+
+
+def markdown_code_blocks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, block_i, lang, code) per fenced block, in document order
+    (block_i is 0-based). ``lang`` is the fence's info string ('' when
+    absent); ``code`` is the body WITHOUT the trailing fence, newlines
+    preserved."""
+    langs = F.expr(
+        f"regexp_extract_all({text_col}, '{FENCE_PATTERN}', 1)"
+    )
+    codes = F.expr(
+        f"regexp_extract_all({text_col}, '{FENCE_PATTERN}', 2)"
+    )
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.arrays_zip(langs.alias("lang"), codes.alias("code")).alias("_b")
+    )
+    return staged.select(
+        id_col, F.posexplode("_b").alias("block_i", "b")
+    ).select(
+        id_col,
+        F.col("block_i").cast("long").alias("block_i"),
+        F.col("b.lang").alias("lang"),
+        F.col("b.code").alias("code"),
+    )

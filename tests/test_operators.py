@@ -3827,3 +3827,35 @@ def test_notebook_code_cells_extraction(spark):
         (1, 2): ("", 0),
         (1, 4): ("y = 2\n", 1),
     }
+
+
+def test_markdown_code_blocks_extraction(spark):
+    """Fenced blocks extracted in document order with language tags;
+    untagged fences get lang=''; a fence body containing a backtick is
+    skipped whole (documented subset contract), not mis-parsed."""
+    from iamsystem_python_spark.sources.markdown import markdown_code_blocks
+
+    doc1 = (
+        "# readme\n"
+        "```python\nimport os\nprint(1)\n```\n"
+        "prose\n"
+        "```\nplain block\n```\n"
+        "```c++\nint main() {}\n```\n"
+    )
+    doc2 = "no fences here"
+    doc3 = "```python\nhas `backtick` inside\n```\n```go\nfmt.Println()\n```"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.block_i): (r.lang, r.code)
+        for r in markdown_code_blocks(df).collect()
+    }
+    assert got == {
+        (1, 0): ("python", "import os\nprint(1)\n"),
+        (1, 1): ("", "plain block\n"),
+        (1, 2): ("c++", "int main() {}\n"),
+        # doc3: the backtick-bearing block is skipped; the regex resumes
+        # at the NEXT fence — the go block survives as block 0
+        (3, 0): ("go", "fmt.Println()\n"),
+    }
