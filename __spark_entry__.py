@@ -2009,6 +2009,29 @@ def q95_markdown_blocks(spark, sf_dir):
     return markdown_code_blocks(mddf).orderBy("doc_id", "block_i")
 
 
+def q96_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunk dedup (dedup_text.cdc_chunk_dedup): chunk
+    boundaries fall where a token's portable 60-bit hash ≡ 0 (mod 8) —
+    storage-dedup CDC at token granularity, shift-resistant where q51's
+    fixed windows are not (an early edit re-hashes every fixed window
+    but leaves CDC chunks outside the neighborhood identical; property-
+    tested). Keep-globally-first rule, narrow ownership shuffle, text
+    never shuffles. Output mirrors q51: (doc_id, n_chunks, n_dropped,
+    cleaned_sha) with the rebuilt text value-checked by sha256. Oracle:
+    chunk_i replayed as a window prefix-sum of cut flags, the relational
+    twin of the operator's row-local boundary arrays."""
+    from iamsystem_python_spark.operators.dedup_text import cdc_chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cdc_chunk_dedup(docs, divisor=8)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dropped",
+        F.sha2(F.col("cleaned_text"), 256).alias("cleaned_sha"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2102,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_sha_index_probe": q93_sha_index_probe,
         "q94_notebook_cells": q94_notebook_cells,
         "q95_markdown_blocks": q95_markdown_blocks,
+        "q96_cdc_dedup": q96_cdc_dedup,
     }
 
 
@@ -4248,5 +4272,47 @@ SELECT doc_id, i::BIGINT AS block_i, langs[i + 1] AS lang, codes[i + 1] AS code
 FROM m, (SELECT unnest([0, 1]) AS i) t
 WHERE i < len(langs)
 ORDER BY doc_id, block_i
+""",
+        "q96_cdc_dedup": """
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS ord,
+         unnest(string_split(text, ' ')) AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+  WHERE text IS NOT NULL
+), flagged_words AS (
+  SELECT doc_id, ord, w,
+         CASE WHEN ord < n
+                AND ('0x' || substring(sha256(w), 1, 15))::UBIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM words
+), assigned AS (
+  SELECT doc_id, ord, w,
+         coalesce(sum(cut) OVER (
+           PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_i
+  FROM flagged_words
+), chunks AS (
+  SELECT doc_id, chunk_i::BIGINT AS chunk_i,
+         string_agg(w, ' ' ORDER BY ord) AS chunk
+  FROM assigned GROUP BY doc_id, chunk_i
+), flagged AS (
+  SELECT doc_id, chunk_i, chunk,
+         row_number() OVER (
+           PARTITION BY ('0x' || substring(sha256(chunk), 1, 15))::UBIGINT
+           ORDER BY doc_id, chunk_i) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_dropped,
+       sha256(coalesce(
+         string_agg(chunk, ' ' ORDER BY chunk_i) FILTER (WHERE rn = 1), ''
+       )) AS cleaned_sha
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
 """,
     }

@@ -795,6 +795,92 @@ def chunk_dedup(
     the document with duplicate windows removed, delimiter-rejoined.
     """
     base = chunks_projection(df, id_col, text_col, chunk_tokens, delimiter)
+    return _dedup_chunk_arrays(base, id_col, delimiter)
+
+
+def cdc_chunks_projection(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Row-local CONTENT-DEFINED chunking (the storage-dedup CDC idea at
+    token granularity): a chunk boundary falls AFTER token i whenever the
+    token's portable 60-bit hash ≡ 0 (mod ``divisor``), so expected chunk
+    length is ``divisor`` tokens. Unlike fixed windows
+    (:func:`chunks_projection`), boundaries depend only on LOCAL content:
+    inserting one token near the top of a document shifts every
+    fixed-window chunk after it (all re-hash as new), but leaves every
+    CDC chunk outside the edited neighborhood identical — the
+    shift-resistance that makes near-identical file revisions dedup
+    against each other. Same portable hash family as sqlhash (DuckDB
+    replays boundaries exactly); everything stays in one projection — no
+    word explode, no text shuffle."""
+    split_re = f"\\Q{delimiter}\\E"
+
+    def h60(tok):
+        return (
+            F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long")
+        )
+
+    return (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__words", F.split(F.col(text_col), split_re))
+        .withColumn("__n", F.size("__words"))
+        .withColumn(
+            "__cuts",
+            F.when(
+                F.col("__n") >= 2,
+                F.filter(
+                    F.sequence(F.lit(1), F.col("__n") - 1),
+                    lambda i: h60(F.element_at("__words", i)) % divisor
+                    == F.lit(0),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "__starts",
+            F.concat(F.array(F.lit(1)), F.transform("__cuts", lambda b: b + 1)),
+        )
+        .withColumn("__ends", F.concat(F.col("__cuts"), F.array(F.col("__n"))))
+        .withColumn(
+            "__chunks",
+            F.zip_with(
+                "__starts",
+                "__ends",
+                lambda s, e: F.array_join(
+                    F.slice("__words", s, e - s + 1), delimiter
+                ),
+            ),
+        )
+        .drop("__words", "__n", "__cuts", "__starts", "__ends")
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Content-defined-chunk exact dedup: :func:`chunk_dedup`'s
+    keep-globally-first rule over :func:`cdc_chunks_projection`'s
+    shift-resistant chunks — near-identical revisions of a file dedup
+    even when an early edit would have shifted every fixed window. Same
+    output schema and 100-TB shuffle shape (narrow ownership rows only)."""
+    base = cdc_chunks_projection(df, id_col, text_col, divisor, delimiter)
+    return _dedup_chunk_arrays(base, id_col, delimiter)
+
+
+def _dedup_chunk_arrays(
+    base: DataFrame, id_col: str, delimiter: str
+) -> DataFrame:
+    """Shared keep-globally-first machinery over a ``__chunks`` frame:
+    narrow (hash60, id, chunk_i) ownership shuffle, per-doc drop arrays,
+    row-local rebuild — document text never crosses a shuffle."""
     narrow = base.select(
         F.col(id_col), F.posexplode("__chunks").alias("__ci", "__chunk")
     ).select(

@@ -3859,3 +3859,105 @@ def test_markdown_code_blocks_extraction(spark):
         # at the NEXT fence — the go block survives as block 0
         (3, 0): ("go", "fmt.Println()\n"),
     }
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_dedup — content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _cdc_h60(tok):
+    import hashlib
+
+    return int(hashlib.sha256(tok.encode()).hexdigest()[:15], 16)
+
+
+def _brute_cdc_chunks(text, divisor):
+    words = text.split(" ")
+    chunks, cur = [], []
+    for i, w in enumerate(words, start=1):
+        cur.append(w)
+        if i < len(words) and _cdc_h60(w) % divisor == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    chunks.append(" ".join(cur))
+    return chunks
+
+
+def _brute_cdc_dedup(rows, divisor):
+    allc = []
+    for doc_id, text in rows:
+        for ci, c in enumerate(_brute_cdc_chunks(text, divisor)):
+            allc.append((doc_id, ci, c))
+    seen, kept = set(), {}
+    for doc_id, ci, c in sorted(allc):
+        kept.setdefault(doc_id, [])
+        if c not in seen:
+            seen.add(c)
+            kept[doc_id].append(c)
+    out = {}
+    for doc_id, text in rows:
+        n = len(_brute_cdc_chunks(text, divisor))
+        out[doc_id] = (
+            n,
+            n - len(kept.get(doc_id, [])),
+            " ".join(kept.get(doc_id, [])),
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed,divisor", [(41, 3), (42, 4)])
+def test_cdc_chunk_dedup_matches_brute_force(spark, seed, divisor):
+    """Randomized differential: CDC boundaries + keep-first-global dedup
+    equal the Python replay on collision-heavy random corpora."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.dedup_text import cdc_chunk_dedup
+
+    rng = _random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(40)
+    ]
+    rows.append((40, rows[7][1]))  # whole-doc repeat
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["cleaned_text"])
+        for r in cdc_chunk_dedup(df, divisor=divisor).collect()
+    }
+    assert got == _brute_cdc_dedup(rows, divisor)
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The CDC selling point: prepending tokens to a long document leaves
+    the chunk set outside the edited neighborhood IDENTICAL, while fixed
+    windows shift everywhere. Tail chunks of original and prefixed docs
+    must coincide."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.dedup_text import (
+        cdc_chunks_projection,
+        chunks_projection,
+    )
+
+    rng = _random.Random(99)
+    vocab = [f"w{j}" for j in range(50)]
+    body = " ".join(rng.choice(vocab) for _ in range(400))
+    edited = "zz0 zz1 " + body
+    df = spark.createDataFrame(
+        [(1, body), (2, edited)], "doc_id long, text string"
+    )
+    cdc = {
+        r["doc_id"]: r["__chunks"]
+        for r in cdc_chunks_projection(df, divisor=8).collect()
+    }
+    shared = set(cdc[1]) & set(cdc[2])
+    assert len(shared) >= 0.8 * len(cdc[1])  # all but the edited head
+    fixed = {
+        r["doc_id"]: r["__chunks"]
+        for r in chunks_projection(df, chunk_tokens=8).collect()
+    }
+    # fixed windows: the 2-token prefix shifts every window
+    assert len(set(fixed[1]) & set(fixed[2])) <= 1
