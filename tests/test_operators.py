@@ -3961,3 +3961,51 @@ def test_cdc_chunks_shift_resistance(spark):
     }
     # fixed windows: the 2-token prefix shifts every window
     assert len(set(fixed[1]) & set(fixed[2])) <= 1
+
+
+@pytest.mark.parametrize("seed,min_docs", [(51, 2), (52, 3)])
+def test_boilerplate_windows_matches_brute_force_randomized(spark, seed, min_docs):
+    """Randomized boilerplate differential: collision-heavy random corpora
+    (tiny vocabulary) with a planted license-header window shared by many
+    docs — the global-drop rule equals the Python replay exactly."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.dedup_text import boilerplate_removal
+
+    rng = _random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    header = "LIC X Y"  # planted 3-token boilerplate window
+    rows = []
+    for i in range(35):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+        rows.append((i, f"{header} {body}" if rng.random() < 0.5 else body))
+    k = 3
+    chunks = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        chunks[doc_id] = [
+            " ".join(ws[j * k : j * k + k])
+            for j in range((len(ws) + k - 1) // k)
+        ]
+    df_count = {}
+    for cs in chunks.values():
+        for c in set(cs):
+            df_count[c] = df_count.get(c, 0) + 1
+    boiler = {c for c, n in df_count.items() if n >= min_docs}
+    expect = {
+        doc_id: (
+            len(cs),
+            sum(1 for c in cs if c in boiler),
+            " ".join(c for c in cs if c not in boiler),
+        )
+        for doc_id, cs in chunks.items()
+    }
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in boilerplate_removal(
+            df, min_docs=min_docs, segmenter="windows", chunk_tokens=k
+        ).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # boilerplate actually fired
