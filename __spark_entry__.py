@@ -2032,6 +2032,35 @@ def q96_cdc_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q97_substring_search(spark, sf_dir):
+    """Trigram-indexed substring search (operators/search): the
+    code-search primitive — an inverted (trigram-hash → doc) postings
+    index prunes to docs containing ALL of a pattern's trigrams (q-gram
+    pigeonhole, plain equi-join + count), exact `instr` verify re-reads
+    text only for candidates; 1-2 char patterns fall back to a direct
+    scan (documented). Patterns derived deterministically: a 12-char
+    substring of every doc_id % 97 == 0 document (each guaranteed ≥1
+    hit) plus one never-matching literal. Oracle replays the SEMANTICS
+    (DuckDB strpos cross join), not the index — q76 precedent."""
+    from iamsystem_python_spark.operators.search import substring_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (
+        docs.where((F.col("doc_id") % 97 == 0) & (F.length("text") >= 40))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 21, 12).alias("pattern"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(999999999).cast("long").alias("query_id"),
+                F.lit("zz-never-zz").alias("pattern"),
+            )
+        )
+    )
+    return substring_search(docs, q).orderBy("query_id", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2126,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_notebook_cells": q94_notebook_cells,
         "q95_markdown_blocks": q95_markdown_blocks,
         "q96_cdc_dedup": q96_cdc_dedup,
+        "q97_substring_search": q97_substring_search,
     }
 
 
@@ -4314,5 +4344,18 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 ORDER BY doc_id
+""",
+
+        "q97_substring_search": """
+WITH q AS (
+  SELECT doc_id AS query_id, substring(text, 21, 12) AS pattern
+  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 40
+  UNION ALL
+  SELECT 999999999, 'zz-never-zz'
+)
+SELECT q.query_id AS query_id, d.doc_id AS doc_id
+FROM q, documents d
+WHERE d.text IS NOT NULL AND strpos(d.text, q.pattern) > 0
+ORDER BY query_id, doc_id
 """,
     }

@@ -1,0 +1,109 @@
+"""Trigram-indexed substring search — the code-search primitive
+(Google Code Search / Zoekt style, public design): a literal pattern can
+only occur in documents that contain EVERY character trigram of the
+pattern, so an inverted (trigram → doc) index prunes the corpus to a
+candidate set first and the exact ``contains`` verify runs only there.
+
+Relational shapes:
+- :func:`build_trigram_postings` — the persisted index: one narrow
+  (gram_h, doc_id) row per DISTINCT trigram per doc, 60-bit portable
+  hash (same family as sqlhash; hash collisions only ADD candidates —
+  the verify removes them). At 10^12 docs this is parquet bucketed by
+  gram_h; a query touches only its own grams' buckets.
+- :func:`substring_search` — per pattern: derive its trigrams
+  (row-local), equi-join the postings, keep docs matching ALL grams
+  (count == n_grams — the q-gram pigeonhole), then verify
+  ``instr(text, pattern) > 0`` re-reading text ONLY for candidates.
+  Patterns shorter than 3 chars cannot be trigram-pruned and fall back
+  to a direct contains scan (documented; at corpus scale reject or
+  length-gate such queries upstream).
+
+Everything is codegen expressions — no Python in any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_h60(g):
+    return F.conv(F.substring(F.sha2(g, 256), 1, 15), 16, 10).cast("long")
+
+
+def _trigrams(col):
+    """Distinct character trigrams of a string column (length ≥ 3)."""
+    n = F.length(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: col.substr(i, F.lit(3)),
+        )
+    )
+
+
+def build_trigram_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(gram_h, id) — one row per distinct trigram per document."""
+    staged = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= 3)
+    ).select(F.col(id_col), _trigrams(F.col(text_col)).alias("_g"))
+    return staged.select(
+        F.explode("_g").alias("_gram"), id_col
+    ).select(_gram_h60(F.col("_gram")).alias("gram_h"), id_col)
+
+
+def substring_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    pattern_col: str = "pattern",
+    postings: DataFrame = None,
+) -> DataFrame:
+    """(query_id, id) for every (pattern, document) pair where the pattern
+    occurs as a literal substring. Pass a precomputed ``postings`` frame
+    (e.g. read back from the persisted index) to skip rebuilding it."""
+    if postings is None:
+        postings = build_trigram_postings(docs, text_col, id_col)
+    q = queries.where(F.col(pattern_col).isNotNull()).select(
+        query_id_col, pattern_col
+    )
+    long_q = q.where(F.length(pattern_col) >= 3)
+    qgrams = long_q.select(
+        query_id_col,
+        pattern_col,
+        F.explode(_trigrams(F.col(pattern_col))).alias("_gram"),
+    ).select(
+        query_id_col,
+        pattern_col,
+        _gram_h60(F.col("_gram")).alias("gram_h"),
+    )
+    n_grams = qgrams.groupBy(query_id_col, pattern_col).agg(
+        F.count("*").alias("_need")
+    )
+    # candidate docs: contain ALL the pattern's distinct grams. The query
+    # side is small — Catalyst broadcasts it into the postings probe.
+    cand = (
+        qgrams.join(postings, "gram_h")
+        .groupBy(query_id_col, pattern_col, id_col)
+        .agg(F.count("*").alias("_have"))
+        .join(n_grams, [query_id_col, pattern_col])
+        .where(F.col("_have") == F.col("_need"))
+        .select(query_id_col, pattern_col, id_col)
+    )
+    verified = (
+        cand.join(docs.select(id_col, text_col), id_col)
+        .where(F.instr(F.col(text_col), F.col(pattern_col)) > 0)
+        .select(query_id_col, id_col)
+    )
+    # short patterns: no trigram pruning possible — direct contains scan
+    short_q = q.where(F.length(pattern_col).between(1, 2))
+    direct = (
+        short_q.crossJoin(docs.select(id_col, text_col))
+        .where(F.instr(F.col(text_col), F.col(pattern_col)) > 0)
+        .select(query_id_col, id_col)
+    )
+    return verified.unionByName(direct)

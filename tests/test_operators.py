@@ -4009,3 +4009,75 @@ def test_boilerplate_windows_matches_brute_force_randomized(spark, seed, min_doc
     }
     assert got == expect
     assert any(v[1] > 0 for v in got.values())  # boilerplate actually fired
+
+
+# ---------------------------------------------------------------------------
+# substring_search — trigram-indexed code search
+# ---------------------------------------------------------------------------
+
+
+def test_substring_search_matches_bruteforce(spark):
+    """Randomized differential vs Python `in`: patterns sampled from real
+    doc substrings (crossing token boundaries), planted non-matches,
+    repeated-trigram patterns, and 1-2 char fallback patterns."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.search import substring_search
+
+    rng = _random.Random(606)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+        for i in range(30)
+    ]
+    patterns = []
+    for qid in range(12):
+        _, t = docs[rng.randrange(len(docs))]
+        a = rng.randrange(max(1, len(t) - 6))
+        patterns.append((qid, t[a : a + rng.randint(3, 9)]))
+    patterns += [
+        (100, "zzz-not-there"),
+        (101, "aaa"),      # repeated-trigram pattern ('aaa' has one gram)
+        (102, "a"),        # short fallback
+        (103, "ga"),       # short fallback
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(patterns, "query_id long, pattern string")
+    got = {
+        (r.query_id, r.doc_id)
+        for r in substring_search(ddf, qdf).collect()
+    }
+    want = {
+        (qid, i)
+        for qid, p in patterns
+        for i, t in docs
+        if p in t
+    }
+    assert got == want
+    assert any(qid <= 12 for qid, _ in want)  # sampled patterns matched
+    assert not any(qid == 100 for qid, _ in want)
+
+
+def test_substring_search_reuses_persisted_postings(spark, tmp_path):
+    """The index round-trips through parquet and the search accepts it
+    prebuilt — the persisted-index production path."""
+    from iamsystem_python_spark.operators.search import (
+        build_trigram_postings,
+        substring_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "def main(): pass"), (2, "class Main: ...")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "postings")
+    build_trigram_postings(docs).write.parquet(p)
+    postings = spark.read.parquet(p)
+    q = spark.createDataFrame(
+        [(0, "main("), (1, "Main:")], "query_id long, pattern string"
+    )
+    got = {
+        (r.query_id, r.doc_id)
+        for r in substring_search(docs, q, postings=postings).collect()
+    }
+    assert got == {(0, 1), (1, 2)}
