@@ -60,11 +60,19 @@ def _install_reference_stubs() -> None:
     sys.modules.setdefault("spellwise", sw)
 
 
+def strip_s_stem(w: str) -> str:
+    """Shared strip-trailing-s stemmer (module-level so both the reference
+    build and our broadcast matcher can pickle it)."""
+    return w[:-1] if w.endswith("s") else w
+
+
 def corpus_and_dictionary():
     """Corpus + dictionary + abbreviation table. 30% of docs get one
     planted dictionary phrase whose FIRST word is replaced by its short
-    form — reachable only through the Abbreviations fuzzy algo, so the
-    fuzzy legs measurably exercise that path (annotation counts rise)."""
+    form — reachable only through the Abbreviations fuzzy algo — and 15%
+    get one phrase whose SECOND word is pluralized ('s' appended) —
+    reachable only through the stemmer config. Each fuzzy leg therefore
+    measurably exercises its path (annotation counts rise vs exact)."""
     rng = random.Random(42)
     keywords = sorted(
         {
@@ -77,11 +85,16 @@ def corpus_and_dictionary():
     docs = []
     for i in range(N_DOCS):
         toks = [rng.choice(VOCAB) for _ in range(DOC_TOKENS)]
-        if rng.random() < 0.3:
+        roll = rng.random()
+        if roll < 0.3:
             kw = rng.choice(keywords).split()
             if kw[0] in short_of:
                 pos = rng.randrange(len(toks) - 1)
                 toks[pos : pos + 2] = [short_of[kw[0]], kw[1]]
+        elif roll < 0.45:
+            kw = rng.choice(keywords).split()
+            pos = rng.randrange(len(toks) - 1)
+            toks[pos : pos + 2] = [kw[0], kw[1] + "s"]
         docs.append((i, " ".join(toks)))
     return docs, keywords, abbrevs
 
@@ -94,12 +107,12 @@ def probe() -> float:
     return round(160.0 / max(time.time() - t0, 1e-9), 1)
 
 
-def run_reference(docs, keywords, abbrevs=None):
+def run_reference(docs, keywords, build_kwargs=None):
     _install_reference_stubs()
     sys.path.insert(0, "/root/reference/src")
     from iamsystem import Matcher as RefMatcher
 
-    m = RefMatcher.build(keywords=keywords, abbreviations=abbrevs)
+    m = RefMatcher.build(keywords=keywords, **(build_kwargs or {}))
     p0 = probe()
     t0 = time.time()
     total = 0
@@ -110,7 +123,7 @@ def run_reference(docs, keywords, abbrevs=None):
             "annotations": total, "probe_mb_s": p0}
 
 
-def run_ours(docs, keywords, cpus: int, abbrevs=None):
+def run_ours(docs, keywords, cpus: int, build_kwargs=None):
     from pyspark.sql import SparkSession
 
     from iamsystem_python_spark.core.matcher import Matcher
@@ -125,7 +138,7 @@ def run_ours(docs, keywords, cpus: int, abbrevs=None):
         .getOrCreate()
     )
     try:
-        m = Matcher.build(keywords=keywords, abbreviations=abbrevs)
+        m = Matcher.build(keywords=keywords, **(build_kwargs or {}))
         df = (
             spark.createDataFrame(docs, "doc_id long, content string")
             .repartition(max(cpus * 2, 8))
@@ -152,13 +165,22 @@ def main():
     out = {"n_docs": N_DOCS, "doc_tokens": DOC_TOKENS,
            "n_keywords": len(keywords), "n_abbrevs": len(abbrevs)}
     # interleave reference between our two legs so every adjacent
-    # comparison shares a host window; exact-match config then the
-    # Abbreviations fuzzy config (both sides run their own implementation
-    # — no stubbed surface is exercised in either config)
-    for tag, ab in (("exact", None), ("fuzzy_abbrevs", abbrevs)):
-        out[f"{tag}_ours_local1"] = run_ours(docs, keywords, 1, ab)
-        out[f"{tag}_reference"] = run_reference(docs, keywords, ab)
-        out[f"{tag}_ours_local32"] = run_ours(docs, keywords, 32, ab)
+    # comparison shares a host window; exact-match config, then the
+    # Abbreviations fuzzy config, then the WordNormalizer stemmer config
+    # (every config runs each side's OWN implementation — no stubbed
+    # surface is exercised anywhere)
+    configs = (
+        ("exact", None),
+        ("fuzzy_abbrevs", {"abbreviations": abbrevs}),
+        (
+            "fuzzy_stemmer",
+            {"normalizers": [dict(name="s_stem", norm_fun=strip_s_stem)]},
+        ),
+    )
+    for tag, kw in configs:
+        out[f"{tag}_ours_local1"] = run_ours(docs, keywords, 1, kw)
+        out[f"{tag}_reference"] = run_reference(docs, keywords, kw)
+        out[f"{tag}_ours_local32"] = run_ours(docs, keywords, 32, kw)
         legs = [out[f"{tag}_{x}"] for x in ("reference", "ours_local1", "ours_local32")]
         out[f"{tag}_annotations_equal"] = len({l["annotations"] for l in legs}) == 1
         for cpus in (1, 32):
@@ -167,10 +189,13 @@ def main():
                 / out[f"{tag}_reference"]["docs_per_sec"],
                 3,
             )
-    # the fuzzy config must actually fire: planted abbreviated mentions
-    # add annotations over the exact config
+    # each fuzzy config must actually fire: its planted mentions add
+    # annotations over the exact config
     out["fuzzy_path_exercised"] = (
         out["fuzzy_abbrevs_reference"]["annotations"]
+        > out["exact_reference"]["annotations"]
+    ) and (
+        out["fuzzy_stemmer_reference"]["annotations"]
         > out["exact_reference"]["annotations"]
     )
     path = os.path.join(REPO, "BENCH", "vs_reference_r4.json")
