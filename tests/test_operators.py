@@ -608,11 +608,16 @@ def test_streaming_exact_dedup(spark, tmp_path):
         import time
 
         deadline = time.time() + 30
-        n = 0
+        n = total = 0
         while time.time() < deadline:
             q.processAllAvailable()
-            n = spark.sql("SELECT count(DISTINCT content) c FROM dedup_test").collect()[0].c
-            total = spark.sql("SELECT count(*) c FROM dedup_test").collect()[0].c
+            # BOTH counts from ONE query: reading them separately raced
+            # against micro-batches landing in between (observed flake:
+            # n read at 0, total read at 5 a moment later)
+            row = spark.sql(
+                "SELECT count(DISTINCT content) c, count(*) t FROM dedup_test"
+            ).collect()[0]
+            n, total = row.c, row.t
             if total >= 5:
                 break
             time.sleep(1)
