@@ -99,8 +99,14 @@ def substring_search(
         .where(F.instr(F.col(text_col), F.col(pattern_col)) > 0)
         .select(query_id_col, id_col)
     )
-    # short patterns: no trigram pruning possible — direct contains scan
+    # short patterns: no trigram pruning possible — direct contains scan.
+    # The branch is a BroadcastNestedLoopJoin over the WHOLE corpus, so
+    # plan it only when a short pattern actually exists: one driver-side
+    # take(1) on the query table (small by contract) keeps the full-scan
+    # branch out of the plan for the common all-long-patterns case.
     short_q = q.where(F.length(pattern_col).between(1, 2))
+    if not short_q.take(1):
+        return verified
     direct = (
         short_q.crossJoin(docs.select(id_col, text_col))
         .where(F.instr(F.col(text_col), F.col(pattern_col)) > 0)
