@@ -400,3 +400,57 @@ def test_multi_night_store_roll_forward(spark, tmp_path):
             )
         )
         accumulated.update(batch)
+
+
+def test_pair_evidence_matches_hashlib_replay(spark):
+    """Randomized differential for the q90 audit magnifying glass: shared
+    shingle counts, exact Jaccard and SimHash Hamming vs a pure-Python
+    replay of the portable spec (60-bit shingle hashes, low-32 masking,
+    majority vote with ties→1), incl. the identity pair and a
+    no-overlap pair."""
+    from iamsystem_python_spark.operators.dedup_text import pair_evidence
+
+    rng = random.Random(2468)
+    _, docs = _rand_corpus(rng, n_hist=0, n_batch=20)
+    docs[1500] = docs[1000]  # exact copy → jaccard 1 pair
+    pairs = [(1000, 1000), (1000, 1500)] + [
+        tuple(sorted(rng.sample(sorted(docs), 2))) for _ in range(15)
+    ]
+    pairs = sorted(set(pairs))
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.shared_shingles,
+            r.n_sh_a,
+            r.n_sh_b,
+            r.jaccard,
+            r.hamming,
+        )
+        for r in pair_evidence(ddf, pdf, "text", k=3, bits=32).collect()
+    }
+
+    def simhash(hset):
+        hvs = [h & 0xFFFFFFFF for h in hset]
+        n = len(hvs)
+        s = 0
+        for j in range(32):
+            if 2 * sum((h >> j) & 1 for h in hvs) >= n:
+                s |= 1 << j
+        return s
+
+    want = {}
+    for a, b in pairs:
+        ha, hb = _hset(docs[a], 3), _hset(docs[b], 3)
+        shared = len(ha & hb)
+        want[(a, b)] = (
+            shared,
+            len(ha),
+            len(hb),
+            _jacc6(ha, hb),
+            bin(simhash(ha) ^ simhash(hb)).count("1"),
+        )
+    assert got == want
+    assert got[(1000, 1500)][3] == 1.0 and got[(1000, 1500)][4] == 0
