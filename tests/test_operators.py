@@ -4086,3 +4086,41 @@ def test_substring_search_reuses_persisted_postings(spark, tmp_path):
         for r in substring_search(docs, q, postings=postings).collect()
     }
     assert got == {(0, 1), (1, 2)}
+
+
+def test_snapshot_diff_matches_dict_replay_randomized(spark):
+    """Randomized snapshot_diff differential: random (repo, path) → sha
+    maps for old/new with overlapping keys and sha churn vs a plain
+    Python dict replay of the four-status rules."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.treedup import snapshot_diff
+
+    rng = _random.Random(1357)
+    keys = [(f"r{rng.randrange(4)}", f"src/f{j}.py") for j in range(40)]
+    old = {k: f"sha{rng.randrange(6)}" for k in keys if rng.random() < 0.7}
+    new = {k: f"sha{rng.randrange(6)}" for k in keys if rng.random() < 0.7}
+    old_df = spark.createDataFrame(
+        [(r, p, s) for (r, p), s in old.items()], "repo string, path string, sha string"
+    )
+    new_df = spark.createDataFrame(
+        [(r, p, s) for (r, p), s in new.items()], "repo string, path string, sha string"
+    )
+    got = {
+        (r.repo, r.path): (r.status, r.old_sha, r.new_sha)
+        for r in snapshot_diff(old_df, new_df).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        o, n = old.get(k), new.get(k)
+        status = (
+            "added" if o is None
+            else "removed" if n is None
+            else "unchanged" if o == n
+            else "modified"
+        )
+        # the operator coalesces absent shas to '' (portable across the
+        # DuckDB oracle's null-sort differences)
+        want[k] = (status, o or "", n or "")
+    assert got == want
+    assert len({v[0] for v in want.values()}) == 4  # all four statuses hit
