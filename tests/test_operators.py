@@ -4124,3 +4124,67 @@ def test_snapshot_diff_matches_dict_replay_randomized(spark):
         want[k] = (status, o or "", n or "")
     assert got == want
     assert len({v[0] for v in want.values()}) == 4  # all four statuses hit
+
+
+def test_repo_manifest_matches_dict_replay_randomized(spark):
+    """Randomized repo_manifest differential vs a Python dict replay:
+    cross-repo content reuse (planted shared files), modal-extension
+    ties broken lexicographically, extensionless paths, multi-lang."""
+    import random as _random
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from iamsystem_python_spark.operators.treedup import repo_manifest
+
+    rng = _random.Random(8642)
+    exts = ["py", "rs", "md", ""]
+    langs = ["python", "rust", "markdown"]
+    contents = [f"content-{j}" for j in range(12)]  # small pool → sharing
+    rows = []
+    for i in range(80):
+        ext = rng.choice(exts)
+        rows.append(
+            (
+                f"r{rng.randrange(5)}",
+                f"src/f{i}" + (f".{ext}" if ext else ""),
+                rng.choice(langs),
+                rng.choice(contents),
+            )
+        )
+    df = spark.createDataFrame(rows, "repo string, path string, lang string, content string")
+    got = {
+        r.repo: (
+            r.n_files, r.n_langs, r.total_chars, r.top_ext,
+            r.shared_files, r.reuse_frac,
+        )
+        for r in repo_manifest(df).collect()
+    }
+    content_repos = {}
+    for repo, path, lang, content in rows:
+        content_repos.setdefault(content, set()).add(repo)
+    want = {}
+    for repo in {r for r, *_ in rows}:
+        mine = [t for t in rows if t[0] == repo]
+        ecount = Counter(
+            (_re.search(r"\.([A-Za-z0-9_]+)$", p).group(1)
+             if _re.search(r"\.([A-Za-z0-9_]+)$", p) else "")
+            for _, p, _, _ in mine
+        )
+        top = sorted(ecount.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        shared = sum(1 for _, _, _, c in mine if len(content_repos[c]) > 1)
+        frac = float(
+            Decimal(repr(shared / len(mine))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        want[repo] = (
+            len(mine),
+            len({l for _, _, l, _ in mine}),
+            sum(len(c) for _, _, _, c in mine),
+            top,
+            shared,
+            frac,
+        )
+    assert got == want
+    assert any(v[4] > 0 for v in want.values())  # sharing actually occurred
