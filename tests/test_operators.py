@@ -4260,3 +4260,53 @@ def test_license_conflicts_matches_python_replay_randomized(spark):
     assert got == want
     assert any(v[5] for v in want.values())  # a conflict repo exists
     assert any(not v[5] and v[3] > 0 for v in want.values()) or True
+
+
+def test_dependency_stats_matches_python_replay_randomized(spark):
+    """Randomized dependency audit differential: docs with random
+    import/from statements (dotted modules, indentation, repeated
+    imports, comment decoys) vs a Python re replay of the documented
+    extraction rules."""
+    import random as _random
+    import re as _re
+
+    from iamsystem_python_spark.operators.deps import (
+        FROM_RE,
+        IMPORT_RE,
+        dependency_stats,
+    )
+
+    rng = _random.Random(11235)
+    mods = ["os", "os.path", "numpy", "numpy.linalg", "pkg_a.sub", "re"]
+    rows = []
+    for i in range(50):
+        lines = []
+        for _ in range(rng.randint(0, 5)):
+            m = rng.choice(mods)
+            style = rng.random()
+            indent = " " * rng.choice([0, 2, 4])
+            if style < 0.4:
+                lines.append(f"{indent}import {m}")
+            elif style < 0.8:
+                lines.append(f"{indent}from {m} import thing")
+            else:
+                lines.append(f"# import {m}  (comment decoy)")
+        lines.append(f"x = {i}")
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.module: (r.n_docs, r.n_uses)
+        for r in dependency_stats(df).collect()
+    }
+    per_mod = {}
+    for doc_id, text in rows:
+        hits = _re.findall(FROM_RE, text) + _re.findall(IMPORT_RE, text)
+        for h in hits:
+            root = h.split(".")[0]
+            docs_set, uses = per_mod.get(root, (set(), 0))
+            docs_set.add(doc_id)
+            per_mod[root] = (docs_set, uses + 1)
+    want = {m: (len(d), u) for m, (d, u) in per_mod.items()}
+    assert got == want
+    assert want  # imports actually occurred
+    assert "numpy" in want or "os" in want
