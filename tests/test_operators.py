@@ -4368,3 +4368,48 @@ def test_secret_scan_matches_python_replay_randomized(spark):
     assert got == want
     assert any(v[0] > 0 for v in want.values())
     assert any(v[0] == 0 for v in want.values())  # clean docs exist too
+
+
+def test_dup_fraction_matches_python_replay_randomized(spark):
+    """Randomized dup_fraction differential: collision-heavy corpora vs a
+    Python replay of lowercase-tokenize → fixed windows → global
+    first-occurrence marking in (doc_id, chunk_i) order."""
+    import random as _random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from iamsystem_python_spark.operators.textstats import dup_fraction
+
+    rng = _random.Random(24680)
+    vocab = ["A", "b", "C", "d"]  # mixed case: lowercase matters
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(40)
+    ]
+    k = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_frac)
+        for r in dup_fraction(df, chunk_tokens=k).collect()
+    }
+    chunks = []
+    for doc_id, text in rows:
+        ws = [w.lower() for w in text.split() if w]
+        for ci in range((len(ws) + k - 1) // k):
+            chunks.append((doc_id, ci, " ".join(ws[ci * k : ci * k + k])))
+    seen = set()
+    per_doc = {}
+    for doc_id, ci, c in sorted(chunks):
+        n, d = per_doc.get(doc_id, (0, 0))
+        dup = c in seen
+        seen.add(c)
+        per_doc[doc_id] = (n + 1, d + (1 if dup else 0))
+    want = {
+        doc_id: (
+            n,
+            d,
+            float(Decimal(repr(d / n)).quantize(Decimal("0.000001"), ROUND_HALF_UP)),
+        )
+        for doc_id, (n, d) in per_doc.items()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())
