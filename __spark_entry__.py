@@ -2062,57 +2062,16 @@ def q97_substring_search(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict INSERTION ORDER is deliberate: the driver's correctness harness
+    # records only the first 50 entries per round. Rounds 1-4 recorded
+    # q01-q54 green (see CORRECTNESS_r0{1..4}.json); q55-q97 were verified
+    # only by the mirrored pytest gate (tests/test_driver_contract.py, which
+    # still covers ALL entries regardless of order). Round 5 rotates the 43
+    # previously-unrecorded queries q55-q97 to the front — plus q29/q33 (the
+    # two rows-only-by-nature entries, pinned by exact pytest value oracles)
+    # and the flagship/dedup headliners q01/q20/q25/q27/q28 — so every query
+    # gains a driver-recorded green CORRECTNESS row across the round history.
     return {
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_top_customers": q02_top_customers,
-        "q03_region_rollup": q03_region_rollup,
-        "q04_top_orders_per_customer": q04_top_orders_per_customer,
-        "q05_user_sessions": q05_user_sessions,
-        "q06_semi_anti": q06_semi_anti,
-        "q07_set_ops": q07_set_ops,
-        "q08_scalar_funcs": q08_scalar_funcs,
-        "q09_topk_parts_per_brand": q09_topk_parts_per_brand,
-        "q10_events_hourly": q10_events_hourly,
-        "q11_brand_revenue": q11_brand_revenue,
-        "q12_priority_matrix": q12_priority_matrix,
-        "q13_rollup": q13_rollup,
-        "q14_percentiles": q14_percentiles,
-        "q15_json_extract": q15_json_extract,
-        "q20_exact_dedup": q20_exact_dedup,
-        "q21_fingerprint": q21_fingerprint,
-        "q22_token_counts": q22_token_counts,
-        "q23_quality": q23_quality,
-        "q24_lang_id": q24_lang_id,
-        "q25_minhash_pairs": q25_minhash_pairs,
-        "q26_ngram_jaccard": q26_ngram_jaccard,
-        "q27_neardup_clusters": q27_neardup_clusters,
-        "q28_simhash_pairs": q28_simhash_pairs,
-        "q29_clone_spans": q29_clone_spans,
-        "q30_ann_topk": q30_ann_topk,
-        "q31_embedding_neardup": q31_embedding_neardup,
-        "q32_lsh_ann": q32_lsh_ann,
-        "q33_ivf_ann": q33_ivf_ann,
-        "q34_contamination": q34_contamination,
-        "q35_repetition": q35_repetition,
-        "q36_stratified_sample": q36_stratified_sample,
-        "q37_vocab_topk": q37_vocab_topk,
-        "q38_redaction": q38_redaction,
-        "q39_asof_join": q39_asof_join,
-        "q48_session_overlap": q48_session_overlap,
-        "q49_pivot": q49_pivot,
-        "q40_keyword_matches": q40_keyword_matches,
-        "q41_keyword_doc_freq": q41_keyword_doc_freq,
-        "q42_nested_keywords": q42_nested_keywords,
-        "q43_abbreviation_matches": q43_abbreviation_matches,
-        "q44_levenshtein_matches": q44_levenshtein_matches,
-        "q45_stem_matches": q45_stem_matches,
-        "q46_brat_export": q46_brat_export,
-        "q47_soundex_blocking": q47_soundex_blocking,
-        "q50_media_features": q50_media_features,
-        "q51_chunk_dedup": q51_chunk_dedup,
-        "q52_incremental_dedup": q52_incremental_dedup,
-        "q53_repo_similarity": q53_repo_similarity,
-        "q54_unigram_logprob": q54_unigram_logprob,
         "q55_semantic_dedup": q55_semantic_dedup,
         "q56_boilerplate_removal": q56_boilerplate_removal,
         "q57_containment_pairs": q57_containment_pairs,
@@ -2156,6 +2115,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_markdown_blocks": q95_markdown_blocks,
         "q96_cdc_dedup": q96_cdc_dedup,
         "q97_substring_search": q97_substring_search,
+        # --- slots 44-50 of the recorded window ---
+        "q29_clone_spans": q29_clone_spans,
+        "q33_ivf_ann": q33_ivf_ann,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q25_minhash_pairs": q25_minhash_pairs,
+        "q27_neardup_clusters": q27_neardup_clusters,
+        "q28_simhash_pairs": q28_simhash_pairs,
+        # --- beyond the 50-query window: recorded green in rounds 1-4 ---
+        "q02_top_customers": q02_top_customers,
+        "q03_region_rollup": q03_region_rollup,
+        "q04_top_orders_per_customer": q04_top_orders_per_customer,
+        "q05_user_sessions": q05_user_sessions,
+        "q06_semi_anti": q06_semi_anti,
+        "q07_set_ops": q07_set_ops,
+        "q08_scalar_funcs": q08_scalar_funcs,
+        "q09_topk_parts_per_brand": q09_topk_parts_per_brand,
+        "q10_events_hourly": q10_events_hourly,
+        "q11_brand_revenue": q11_brand_revenue,
+        "q12_priority_matrix": q12_priority_matrix,
+        "q13_rollup": q13_rollup,
+        "q14_percentiles": q14_percentiles,
+        "q15_json_extract": q15_json_extract,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_token_counts": q22_token_counts,
+        "q23_quality": q23_quality,
+        "q24_lang_id": q24_lang_id,
+        "q26_ngram_jaccard": q26_ngram_jaccard,
+        "q30_ann_topk": q30_ann_topk,
+        "q31_embedding_neardup": q31_embedding_neardup,
+        "q32_lsh_ann": q32_lsh_ann,
+        "q34_contamination": q34_contamination,
+        "q35_repetition": q35_repetition,
+        "q36_stratified_sample": q36_stratified_sample,
+        "q37_vocab_topk": q37_vocab_topk,
+        "q38_redaction": q38_redaction,
+        "q39_asof_join": q39_asof_join,
+        "q48_session_overlap": q48_session_overlap,
+        "q49_pivot": q49_pivot,
+        "q40_keyword_matches": q40_keyword_matches,
+        "q41_keyword_doc_freq": q41_keyword_doc_freq,
+        "q42_nested_keywords": q42_nested_keywords,
+        "q43_abbreviation_matches": q43_abbreviation_matches,
+        "q44_levenshtein_matches": q44_levenshtein_matches,
+        "q45_stem_matches": q45_stem_matches,
+        "q46_brat_export": q46_brat_export,
+        "q47_soundex_blocking": q47_soundex_blocking,
+        "q50_media_features": q50_media_features,
+        "q51_chunk_dedup": q51_chunk_dedup,
+        "q52_incremental_dedup": q52_incremental_dedup,
+        "q53_repo_similarity": q53_repo_similarity,
+        "q54_unigram_logprob": q54_unigram_logprob,
     }
 
 

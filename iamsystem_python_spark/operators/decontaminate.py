@@ -34,6 +34,7 @@ def contamination_scores(
     k: int = 5,
     prefilter: str | None = None,
     bloom_fpp: float = 0.01,
+    max_ref_grams: int = 100_000_000,
 ) -> DataFrame:
     """(doc_id, n_grams, n_hit, contamination) per corpus doc:
     contamination = |doc's distinct k-gram hashes ∩ ref gram set| /
@@ -85,6 +86,19 @@ def contamination_scores(
     # ref is the small side by construction (a benchmark suite); its
     # distinct hashes fit the driver (8 B/gram) even when the JOIN-side
     # exact set exceeds the broadcast threshold's serialized-row budget
+    # driver-side size guard (VERDICT r04 task 5): the bloom path pulls the
+    # ref gram hashes to the driver to build the filter. "Ref side is small"
+    # is a contract (benchmark suites), not a law — fail loudly with the
+    # bound in the message rather than OOM the driver on a misuse.
+    n_ref = ref_grams.count()
+    if n_ref > max_ref_grams:
+        raise ValueError(
+            f"contamination_scores(prefilter='bloom'): reference corpus has "
+            f"{n_ref:,} distinct {k}-gram hashes, above max_ref_grams="
+            f"{max_ref_grams:,}. The bloom build pulls ref hashes to the "
+            f"driver (8 B/gram); raise max_ref_grams only if the driver has "
+            f"the memory, or decontaminate against a smaller reference set."
+        )
     ref_hashes = ref_grams.toPandas()["h60"].to_numpy(dtype=np.int64)
     m_bits, k_hashes = bloom.bloom_params(max(len(ref_hashes), 1), bloom_fpp)
     words_bc = grams.sparkSession.sparkContext.broadcast(

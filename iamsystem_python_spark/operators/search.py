@@ -102,11 +102,23 @@ def substring_search(
     # short patterns: no trigram pruning possible — direct contains scan.
     # The branch is a BroadcastNestedLoopJoin over the WHOLE corpus, so
     # plan it only when a short pattern actually exists: one driver-side
-    # take(1) on the query table (small by contract) keeps the full-scan
-    # branch out of the plan for the common all-long-patterns case.
-    short_q = q.where(F.length(pattern_col).between(1, 2))
-    if not short_q.take(1):
+    # aggregate on the query table (small by contract) keeps the full-scan
+    # branch out of the plan for the common all-long-patterns case. The
+    # same probe makes the lower boundary explicit: NULL or empty-string
+    # patterns are rejected loudly instead of silently matching nothing
+    # (ADVICE r04) — an empty needle has no defined containment semantics.
+    probe = queries.agg(
+        F.min(F.length(pattern_col)).alias("min_len"),
+        F.sum(F.col(pattern_col).isNull().cast("int")).alias("n_null"),
+    ).first()
+    if probe["n_null"] or probe["min_len"] == 0:
+        raise ValueError(
+            "substring_search: NULL or empty-string patterns are not "
+            "allowed; filter them out of the query table first"
+        )
+    if probe["min_len"] is None or probe["min_len"] >= 3:
         return verified
+    short_q = q.where(F.length(pattern_col).between(1, 2))
     direct = (
         short_q.crossJoin(docs.select(id_col, text_col))
         .where(F.instr(F.col(text_col), F.col(pattern_col)) > 0)

@@ -45,7 +45,12 @@ def write_sha_index(
     if not 1 <= prefix_len <= 4:
         raise ValueError(f"prefix_len must be 1-4; got {prefix_len}")
     (
-        df.select(
+        # null-text rows would land as sha=NULL in __HIVE_DEFAULT_PARTITION__
+        # — unmatchable by any probe (null join keys), pure index bloat;
+        # drop them before the write like the notNull guards elsewhere
+        # (ADVICE r04)
+        df.where(F.col(text_col).isNotNull())
+        .select(
             "doc_id", F.sha2(F.col(text_col).cast("string"), 256).alias("sha")
         )
         .withColumn("sha_p", F.substring("sha", 1, prefix_len))

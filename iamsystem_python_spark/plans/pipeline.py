@@ -49,8 +49,16 @@ def _partition_lineage(path: str) -> Dict:
     row count + byte size per part-file (parquet footer metadata only —
     the data pages are never read), plus summary skew indicators. At
     cluster scale the footer reads are O(#files) driver-side metadata
-    calls, the same cost class as the file listing the write itself did."""
-    import pyarrow.parquet as pq
+    calls, the same cost class as the file listing the write itself did.
+
+    pyarrow is an optional pyspark dependency: when absent, return a
+    null lineage block instead of raising AFTER the expensive stage
+    write succeeded — the manifest (and stage resumability) must never
+    be lost to a missing diagnostics library (ADVICE r04)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return {"n_files": None, "unavailable": "pyarrow not installed"}
 
     parts = []
     for name in sorted(os.listdir(path)):

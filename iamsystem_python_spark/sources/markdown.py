@@ -34,11 +34,16 @@ def markdown_code_blocks(
     (block_i is 0-based). ``lang`` is the fence's info string ('' when
     absent); ``code`` is the body WITHOUT the trailing fence, newlines
     preserved."""
+    # backtick-quote the identifier so column names with spaces/hyphens/
+    # reserved words parse, matching the F.col discipline used everywhere
+    # else (ADVICE r04); embedded backticks are escaped by doubling per
+    # the SQL quoted-identifier rule
+    quoted = "`" + text_col.replace("`", "``") + "`"
     langs = F.expr(
-        f"regexp_extract_all({text_col}, '{FENCE_PATTERN}', 1)"
+        f"regexp_extract_all({quoted}, '{FENCE_PATTERN}', 1)"
     )
     codes = F.expr(
-        f"regexp_extract_all({text_col}, '{FENCE_PATTERN}', 2)"
+        f"regexp_extract_all({quoted}, '{FENCE_PATTERN}', 2)"
     )
     staged = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.arrays_zip(langs.alias("lang"), codes.alias("code")).alias("_b")

@@ -183,6 +183,15 @@ def main():
         out[f"{tag}_ours_local32"] = run_ours(docs, keywords, 32, kw)
         legs = [out[f"{tag}_{x}"] for x in ("reference", "ours_local1", "ours_local32")]
         out[f"{tag}_annotations_equal"] = len({l["annotations"] for l in legs}) == 1
+        # hard equality gate (ADVICE r04): never publish speedup numbers
+        # built on unequal work — abort loudly on any semantic mismatch
+        if not out[f"{tag}_annotations_equal"]:
+            print(json.dumps(out, indent=1))
+            sys.exit(
+                f"FATAL: annotation counts differ on config {tag!r}: "
+                + str({x: out[f'{tag}_{x}']['annotations']
+                       for x in ('reference', 'ours_local1', 'ours_local32')})
+            )
         for cpus in (1, 32):
             out[f"{tag}_speedup_local{cpus}"] = round(
                 out[f"{tag}_ours_local{cpus}"]["docs_per_sec"]

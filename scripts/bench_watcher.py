@@ -31,8 +31,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 BENCH_DIR = os.path.join(REPO, "BENCH")
-LOG = os.path.join(BENCH_DIR, "probe_log_r4.jsonl")
-OUT = os.path.join(BENCH_DIR, "bench_r4_healthy.json")
+LOG = os.path.join(BENCH_DIR, os.environ.get("WATCH_LOG", "probe_log_r4.jsonl"))
+OUT = os.path.join(BENCH_DIR, os.environ.get("WATCH_OUT", "bench_r4_healthy.json"))
 SCALING_OUT = os.path.join(
     BENCH_DIR, os.environ.get("WATCH_SCALING_OUT", "scaling_interleaved_r4.json")
 )

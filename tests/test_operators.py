@@ -4413,3 +4413,157 @@ def test_dup_fraction_matches_python_replay_randomized(spark):
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values())
+
+
+# --- round-5 ADVICE guards --------------------------------------------------
+
+
+def test_substring_search_rejects_empty_and_null_patterns(spark):
+    """ADVICE r04: an empty pattern must fail loudly at plan construction,
+    not silently return no rows."""
+    from iamsystem_python_spark.operators.search import substring_search
+
+    ddf = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    for bad in [("", "empty")]:
+        qdf = spark.createDataFrame([(0, bad[0])], "query_id long, pattern string")
+        with pytest.raises(ValueError, match="empty-string patterns"):
+            substring_search(ddf, qdf)
+    qdf = spark.createDataFrame(
+        [(0, None), (1, "alpha")], "query_id long, pattern string"
+    )
+    with pytest.raises(ValueError, match="NULL or empty-string"):
+        substring_search(ddf, qdf)
+    # the all-long-patterns fast path is unaffected
+    qdf = spark.createDataFrame([(0, "alpha")], "query_id long, pattern string")
+    got = {(r.query_id, r.doc_id) for r in substring_search(ddf, qdf).collect()}
+    assert got == {(0, 1)}
+
+
+def test_contamination_bloom_ref_size_guard(spark):
+    """VERDICT r04 task 5: the bloom path's driver-side ref pull fails
+    loudly past max_ref_grams instead of attempting the toPandas."""
+    from iamsystem_python_spark.operators.decontaminate import (
+        contamination_scores,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_ref_grams"):
+        contamination_scores(
+            corpus, ref, k=3, prefilter="bloom", max_ref_grams=2
+        )
+    # at/under the bound the path still runs and equals the exact path
+    exact = {
+        (r.doc_id, r.contamination)
+        for r in contamination_scores(corpus, ref, k=3).collect()
+    }
+    bloom = {
+        (r.doc_id, r.contamination)
+        for r in contamination_scores(
+            corpus, ref, k=3, prefilter="bloom", max_ref_grams=10_000
+        ).collect()
+    }
+    assert exact == bloom
+
+
+def test_sha_index_drops_null_text_rows(spark, tmp_path):
+    """ADVICE r04: null-text rows must not land in the persisted index as
+    sha=NULL under __HIVE_DEFAULT_PARTITION__."""
+    import os as _os
+
+    from iamsystem_python_spark.operators.shaindex import (
+        exact_dups_vs_sha_index,
+        write_sha_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "alpha")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_sha_index(df, path)
+    dirs = [d for d in _os.listdir(path) if d.startswith("sha_p=")]
+    assert dirs and not any("__HIVE_DEFAULT_PARTITION__" in d
+                            for d in _os.listdir(path))
+    idx = spark.read.parquet(path)
+    assert idx.where(F.col("sha").isNull()).count() == 0
+    assert idx.count() == 2  # null-text row dropped
+    probe = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    got = exact_dups_vs_sha_index(spark, probe, path).collect()
+    assert [(r.doc_id, r.dup_of) for r in got] == [(9, 1)]
+
+
+def test_markdown_code_blocks_odd_column_name(spark):
+    """ADVICE r04: text column names with hyphens/spaces must parse (the
+    expr identifier is backtick-quoted)."""
+    from iamsystem_python_spark.sources.markdown import markdown_code_blocks
+
+    md = "intro\n```python\nx = 1\n```\ntail"
+    df = spark.createDataFrame([(1, md)], ["doc_id", "body text-col"])
+    rows = markdown_code_blocks(
+        df, text_col="body text-col", id_col="doc_id"
+    ).collect()
+    assert [(r.block_i, r.lang, r.code) for r in rows] == [(0, "python", "x = 1\n")]
+
+
+def test_partition_lineage_survives_missing_pyarrow(tmp_path, monkeypatch):
+    """ADVICE r04: the stage manifest must still be written when pyarrow is
+    absent — lineage degrades to a null block, resumability survives."""
+    import sys as _sys
+
+    from iamsystem_python_spark.plans.pipeline import _partition_lineage
+
+    monkeypatch.setitem(_sys.modules, "pyarrow.parquet", None)
+    monkeypatch.setitem(_sys.modules, "pyarrow", None)
+    block = _partition_lineage(str(tmp_path))
+    assert block["n_files"] is None and "unavailable" in block
+
+
+def test_treedup_mega_dir_cap_skew_valve(spark):
+    """VERDICT r04 task 4 / SURVEY §8: a planted 1M-file single directory
+    (degenerate generated-bundle layout) flows through cap_mega_dirs →
+    duplicate_subtrees. The valve drops exactly the mega-dir rows, the
+    drop count surfaces via the treedup_dir_cap observe metric (never
+    silent), planted duplicate subtrees elsewhere in the corpus still
+    come out, and the mega dir never reaches the ancestor explode (the
+    capped plan's explode input is bounded)."""
+    from iamsystem_python_spark.operators.treedup import (
+        cap_mega_dirs,
+        duplicate_subtrees,
+    )
+
+    n_mega = 1_000_000
+    mega = spark.range(n_mega).select(
+        F.lit("megarepo").alias("repo"),
+        F.concat(F.lit("dump/f"), F.col("id"), F.lit(".txt")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("sha"),
+    )
+    planted = spark.createDataFrame(
+        [
+            ("r1", "lib/a.py", "s1"),
+            ("r1", "lib/sub/b.py", "s2"),
+            ("r1", "main.py", "s9"),
+            ("r2", "lib/a.py", "s1"),
+            ("r2", "lib/sub/b.py", "s2"),
+            ("r2", "app.py", "s8"),
+        ],
+        ["repo", "path", "sha"],
+    )
+    capped = cap_mega_dirs(
+        mega.unionByName(planted), max_files_per_dir=100_000
+    )
+    dups = duplicate_subtrees(capped, min_files=2)
+    rows = dups.collect()
+    # planted lib/ subtree recurs in r1+r2; mega dir must be gone
+    locs = {loc for r in rows for loc in r.locations}
+    assert "r1::lib" in locs and "r2::lib" in locs
+    assert not any(loc.startswith("megarepo") for loc in locs)
+    # the valve's drops are observable, exact, and attributable
+    jm = dups._jdf.queryExecution().observedMetrics()
+    dropped = jm.get("treedup_dir_cap").get().getLong(0)
+    assert dropped == n_mega
+    # survivors: only the 6 planted rows pass the cap
+    assert capped.count() == 6
