@@ -108,27 +108,49 @@ def _passjoin_index_rows(df: DataFrame, col: str, d: int) -> DataFrame:
     )
 
 
-def _passjoin_probe_rows(df: DataFrame, col: str, d: int) -> DataFrame:
+def _passjoin_probe_rows(
+    df: DataFrame, col: str, d: int, position_aware: bool = True
+) -> DataFrame:
     """(val, key) — every substring of each distinct value that could equal
     a segment of a string within Levenshtein distance d: for each target
     length l ∈ [m-d, m+d] and segment i, substrings of the segment's
-    length at start positions within ±d of the segment's start (an edit
-    script of ≤ d operations shifts an untouched segment by at most d).
-    This is PassJoin's substring selection (Li/Deng/Feng, PVLDB 2011)
-    with the simpler ±d window instead of the paper's multi-match-aware
-    tightening — a superset of its candidates, so completeness is
-    preserved and the exact verify keeps the result identical.
+    length at start positions near the segment's start. This is PassJoin's
+    substring selection (Li/Deng/Feng, PVLDB 2011).
+
+    ``position_aware`` (default, VERDICT r04 task 7) applies the paper's
+    position-aware offset window instead of the naive ±d one: with
+    Δ = m - l, a substring at offset ``off`` from segment i's start can
+    only witness a ≤ d-edit match when
+
+        max(-i, Δ-(d-i)) <= off <= min(i, Δ+(d-i))
+
+    (≤ i edits can land before segment i without some EARLIER segment
+    matching exactly at its own selected position — the multi-match
+    argument — and the string tail pins ``off`` near Δ symmetrically).
+    The whole (Δ, i, off) grid is made of plan-time literals, so the
+    filter prunes the combo ARRAY in Python before anything executes:
+    75 → 19 combos at d=2, 18 → 6 at d=1 — ~4× fewer exploded probe
+    rows, zero runtime cost, and completeness is the paper's Lemma 2
+    (re-verified here by the randomized brute-force equality tests).
+    ``position_aware=False`` keeps the naive superset for measurement.
 
     Plan shape: the (Δlength, segment, offset) grid is exploded FIRST
-    (one literal struct array → (2d+1)²(d+1) narrow rows per value) and
-    the key is then ONE small expression over the combo columns. The
-    initial formulation inlined all 75 per-combo key expressions into a
+    (one literal struct array → narrow rows per value) and the key is
+    then ONE small expression over the combo columns. The initial
+    formulation inlined all 75 per-combo key expressions into a
     single projection — the generated code blew past the JIT/codegen
     method limits and fell back to interpreted evaluation: ~5× slower
     at a 14k-value dictionary (34.4 s → 7.0 s measured in a WORSE host
     window; the d+1-expression index side, which never hit the limit,
     runs the same row count in 0.9 s — BENCH/PLANS.md)."""
     k = d + 1
+
+    def _admissible(dl: int, i: int, off: int) -> bool:
+        if not position_aware:
+            return True
+        delta = -dl  # dl shifts the TARGET length: l = m + dl, Δ = m - l
+        return max(-i, delta - (d - i)) <= off <= min(i, delta + (d - i))
+
     vals = df.select(F.col(col).alias("val")).where(
         F.col("val").isNotNull()
     ).distinct()
@@ -142,6 +164,7 @@ def _passjoin_probe_rows(df: DataFrame, col: str, d: int) -> DataFrame:
             for delta in range(-d, d + 1)
             for i in range(k)
             for off in range(-d, d + 1)
+            if _admissible(delta, i, off)
         ]
     )
     e = vals.select("val", F.explode(combos).alias("c"))
@@ -203,7 +226,12 @@ def fuzzy_join(
     Measured interleaved (same host windows) on the 200k × 25-char
     dictionary at d=2: passjoin 40-53 s vs fastss 298-307 s (6-7×);
     probe-side key rows 11.0M vs 57.9M variant rows (BENCH/PLANS.md),
-    and the gap widens quadratically with string length. Very
+    and the gap widens quadratically with string length. The
+    position-aware offset window (on by default, see
+    _passjoin_probe_rows) cuts the probe side a further 2.9×:
+    3.8M probe rows / 8.3-9.3 s vs the naive ±d window's 11.0M /
+    24.4-32.5 s, identical 447,110 result pairs, interleaved ABAB
+    (BENCH/passjoin_posaware_r5.json). Very
     short values (len ≤ d) degrade to empty-segment keys that bucket by
     length — the same hot-key caveat as fastss's 1-2 char tokens."""
     if impl == "passjoin":

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Interleaved measurement for the PassJoin position-aware substring
+selection (VERDICT r04 task 7): 200k x ~25-char dictionary, d=2,
+naive ±d offset window vs the Li/Deng position-aware window, alternated
+within the same host window so every adjacent pair is comparable.
+Records probe-row counts (the structural effect: 75 → 19 combos per
+value before dedup) and end-to-end fuzzy_join wall clock, plus result
+equality between the two selections. Writes
+BENCH/passjoin_posaware_r5.json."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_VALS = int(os.environ.get("PJ_N", "200000"))
+STR_LEN = 25
+D = 2
+ROUNDS = int(os.environ.get("PJ_ROUNDS", "2"))
+OUT = os.path.join(REPO, "BENCH", "passjoin_posaware_r5.json")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from iamsystem_python_spark.operators.fuzzyjoin import (
+        _passjoin_index_rows,
+        _passjoin_probe_rows,
+    )
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("passjoin_posaware")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    rng = random.Random(2025)
+    # ~25-char identifiers with planted near-duplicates (edits anywhere,
+    # including boundary positions) so the verify path does real work
+    base = [
+        "".join(rng.choice("abcdefghij_") for _ in range(STR_LEN))
+        for _ in range(N_VALS // 2)
+    ]
+    vals = set(base)
+    while len(vals) < N_VALS:
+        s = list(rng.choice(base))
+        for _ in range(rng.randint(1, D)):
+            pos = rng.choice([0, len(s) - 1, rng.randrange(len(s))])
+            kind = rng.choice(["del", "ins", "sub"])
+            if kind == "del" and len(s) > 1:
+                del s[pos]
+            elif kind == "ins":
+                s.insert(pos, rng.choice("abcdefghij_"))
+            else:
+                s[pos] = rng.choice("abcdefghij_")
+        vals.add("".join(s))
+    df = spark.createDataFrame(
+        [(v,) for v in sorted(vals)], ["name"]
+    ).repartition(32).persist()
+    df.count()
+
+    index = _passjoin_index_rows(df, "name", D).persist()
+    n_index = index.count()
+
+    def leg(position_aware: bool) -> dict:
+        t0 = time.time()
+        probe = _passjoin_probe_rows(df, "name", D, position_aware=position_aware)
+        n_probe = probe.count()
+        t_probe = time.time() - t0
+        t0 = time.time()
+        cand = (
+            probe.select(F.col("val").alias("left_val"), "key")
+            .join(index.select(F.col("val").alias("right_val"), "key"), "key")
+            .select("left_val", "right_val")
+            .distinct()
+        )
+        res = cand.where(
+            F.levenshtein(F.col("left_val"), F.col("right_val")) <= D
+        )
+        n_pairs = res.count()
+        t_join = time.time() - t0
+        return {
+            "position_aware": position_aware,
+            "probe_rows": n_probe,
+            "probe_build_s": round(t_probe, 2),
+            "join_verify_s": round(t_join, 2),
+            "total_s": round(t_probe + t_join, 2),
+            "result_pairs": n_pairs,
+        }
+
+    legs = []
+    for r in range(ROUNDS):
+        for pa in (False, True):
+            l = leg(pa)
+            l["round"] = r
+            legs.append(l)
+            print(json.dumps(l))
+    naive = [l for l in legs if not l["position_aware"]]
+    tight = [l for l in legs if l["position_aware"]]
+    out = {
+        "n_vals": df.count(),
+        "str_len": STR_LEN,
+        "d": D,
+        "index_rows": n_index,
+        "legs": legs,
+        "pairs_equal": len({l["result_pairs"] for l in legs}) == 1,
+        "probe_rows_ratio": round(naive[0]["probe_rows"] / tight[0]["probe_rows"], 2),
+        "speedup_best": round(
+            min(l["total_s"] for l in naive) / min(l["total_s"] for l in tight), 2
+        ),
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v for k, v in out.items() if k != "legs"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4567,3 +4567,69 @@ def test_treedup_mega_dir_cap_skew_valve(spark):
     assert dropped == n_mega
     # survivors: only the 6 planted rows pass the cap
     assert capped.count() == 6
+
+
+def test_passjoin_position_aware_selection_equals_naive(spark):
+    """VERDICT r04 task 7: the position-aware offset window (75→19 combos
+    at d=2) must select a candidate superset that loses NO true pair —
+    tightened and naive selections verified identical to each other and
+    to Python brute force, on corpora with edits planted at string
+    boundaries (the adversarial case for position pruning: a deletion at
+    position 0 shifts every later segment maximally)."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.fuzzyjoin import (
+        _passjoin_probe_rows,
+        fuzzy_join,
+    )
+
+    rng = _random.Random(75019)
+    base = ["".join(rng.choice("abcd") for _ in range(rng.randint(4, 14)))
+            for _ in range(40)]
+    mutated = []
+    for s in base:
+        for _ in range(2):
+            t = list(s)
+            for _e in range(rng.randint(1, 2)):
+                kind = rng.choice(["del", "ins", "sub"])
+                # bias edits to the ends — worst case for offset windows
+                pos = rng.choice([0, len(t) - 1, rng.randrange(len(t))])
+                if kind == "del" and len(t) > 1:
+                    del t[pos]
+                elif kind == "ins":
+                    t.insert(pos, rng.choice("abcd"))
+                else:
+                    t[pos] = rng.choice("abcd")
+            mutated.append("".join(t))
+    vals = sorted(set(base + mutated))
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for d in (1, 2):
+        got = {
+            (r.left_val, r.right_val, r.dist)
+            for r in fuzzy_join(df, df, "name", "name", max_dist=d,
+                                impl="passjoin").collect()
+        }
+        want = {
+            (a, b, lev(a, b))
+            for a in vals for b in vals if lev(a, b) <= d
+        }
+        assert got == want, f"d={d}"
+        # tightened probe keys are a subset of the naive ones
+        tight = {(r.val, r.key) for r in
+                 _passjoin_probe_rows(df, "name", d).collect()}
+        naive = {(r.val, r.key) for r in
+                 _passjoin_probe_rows(df, "name", d,
+                                      position_aware=False).collect()}
+        assert tight <= naive
+        assert len(tight) < len(naive)
