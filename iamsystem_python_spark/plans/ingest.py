@@ -59,7 +59,12 @@ from iamsystem_python_spark.plans.pipeline import (
     _write_stage,
 )
 
-_DOC_ID = F.sha2(F.concat("repo", "path", "commit"), 256)
+def _doc_id():
+    """doc_id derivation (sha2(repo||path||commit)), built lazily: a
+    module-level Column would require an active SparkContext at IMPORT
+    time, making `import ingest` before SparkSession.getOrCreate() blow
+    up (pyspark Columns are JVM handles, not pure expressions)."""
+    return F.sha2(F.concat("repo", "path", "commit"), 256)
 
 
 def _incremental_band_candidates(
@@ -246,10 +251,10 @@ class IncrementalIngest:
         cand = _read_stage(spark, out_dir, "candidates")
 
         if not (resume and _stage_done(out_dir, "verified_pairs")):
-            docs = new_df.select(_DOC_ID.alias("doc_id"), "content")
+            docs = new_df.select(_doc_id().alias("doc_id"), "content")
             if hist_docs is not None:
                 docs = docs.union(
-                    hist_docs.select(_DOC_ID.alias("doc_id"), "content")
+                    hist_docs.select(_doc_id().alias("doc_id"), "content")
                 )
             else:
                 new_ids = new_sig.select("doc_id")
