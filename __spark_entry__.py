@@ -2061,6 +2061,60 @@ def q97_substring_search(spark, sf_dir):
     return substring_search(docs, q).orderBy("query_id", "doc_id")
 
 
+def q98_function_clones(spark, sf_dir):
+    """Function-level clone groups (operators/codeunits.function_clones):
+    files split into top-level def/class units ENTIRELY row-locally
+    (filter/zip_with/slice over the lines array — no line explode, no
+    UDF, text never shuffles during extraction), then one aggregation
+    over narrow (sha, header, n_lines, doc, unit_i) rows finds units
+    whose exact text recurs across the corpus. Code content is planted
+    deterministically from doc_id (q84/q50 precedent): a shared
+    function per doc_id%7 residue, a shared class per doc_id%5 on
+    doc_id%3==0 docs, and a per-doc unique function embedding a text
+    snippet."""
+    from iamsystem_python_spark.operators.codeunits import function_clones
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.concat(
+        F.lit("import os\n# auto\n"),
+        F.lit("def shared_"), did % 7, F.lit("():\n    return "), did % 7,
+        F.lit("\n"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("class C"), did % 5, F.lit(":\n    pass\n")),
+        ).otherwise(F.lit("")),
+        F.lit("def uniq_"), did, F.lit("():\n    return '"),
+        F.substring(F.col("text"), 1, 24), F.lit("'"),
+    )
+    planted = docs.select(did.alias("doc_id"), content.alias("text"))
+    return function_clones(planted, min_lines=2).orderBy("unit_sha")
+
+
+def q99_code_metrics(spark, sf_dir):
+    """Per-file layout metrics (operators/codeunits.code_metrics):
+    comment/blank ratios, max indentation depth, average line length —
+    one row-local aggregate projection, zero shuffles bar the
+    presentation orderBy. Content is planted deterministically from
+    doc_id: a '#' header, a doc_id%8-space-indented assignment, a blank
+    line on doc_id%4==0, a '//' comment on doc_id%5==0, then a raw text
+    snippet."""
+    from iamsystem_python_spark.operators.codeunits import code_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.concat(
+        F.lit("# hdr\n"),
+        F.repeat(F.lit(" "), (did % 8).cast("int")),
+        F.lit("v = "), did, F.lit("\n"),
+        F.when(did % 4 == 0, F.lit("\n")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("// c2\n")).otherwise(F.lit("")),
+        F.substring(F.col("text"), 1, 60),
+    )
+    planted = docs.select(did.alias("doc_id"), content.alias("text"))
+    return code_metrics(planted).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict INSERTION ORDER is deliberate: the driver's correctness harness
     # records only the first 50 entries per round. Rounds 1-4 recorded
@@ -2116,14 +2170,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_cdc_dedup": q96_cdc_dedup,
         "q97_substring_search": q97_substring_search,
         # --- slots 44-50 of the recorded window ---
+        "q98_function_clones": q98_function_clones,
+        "q99_code_metrics": q99_code_metrics,
         "q29_clone_spans": q29_clone_spans,
         "q33_ivf_ann": q33_ivf_ann,
         "q01_pricing_summary": q01_pricing_summary,
         "q20_exact_dedup": q20_exact_dedup,
         "q25_minhash_pairs": q25_minhash_pairs,
+        # --- beyond the 50-query window: recorded green in rounds 1-4 ---
         "q27_neardup_clusters": q27_neardup_clusters,
         "q28_simhash_pairs": q28_simhash_pairs,
-        # --- beyond the 50-query window: recorded green in rounds 1-4 ---
         "q02_top_customers": q02_top_customers,
         "q03_region_rollup": q03_region_rollup,
         "q04_top_orders_per_customer": q04_top_orders_per_customer,
@@ -4368,5 +4424,84 @@ SELECT q.query_id AS query_id, d.doc_id AS doc_id
 FROM q, documents d
 WHERE d.text IS NOT NULL AND strpos(d.text, q.pattern) > 0
 ORDER BY query_id, doc_id
+""",
+        "q98_function_clones": """
+WITH planted AS (
+  SELECT doc_id,
+         'import os' || chr(10) || '# auto' || chr(10) ||
+         'def shared_' || (doc_id % 7) || '():' || chr(10) ||
+         '    return ' || (doc_id % 7) || chr(10) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'class C' || (doc_id % 5) || ':' || chr(10)
+                   || '    pass' || chr(10)
+              ELSE '' END ||
+         'def uniq_' || doc_id || '():' || chr(10) ||
+         '    return ''' || substring(text, 1, 24) || '''' AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS i,
+         unnest(string_split(text, chr(10))) AS line
+  FROM planted
+), marked AS (
+  SELECT doc_id, i, line,
+         CASE WHEN regexp_matches(line, '^(def |class |async def )')
+              THEN 1 ELSE 0 END AS is_b
+  FROM lines
+), cum AS (
+  SELECT doc_id, i, line, is_b,
+         SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i) AS b,
+         MAX(CASE WHEN i = 0 THEN 1 - is_b END)
+           OVER (PARTITION BY doc_id) AS has_pre
+  FROM marked
+), units AS (
+  SELECT doc_id, (b + has_pre - 1)::BIGINT AS unit_i,
+         COUNT(*)::BIGINT AS n_lines,
+         string_agg(line, chr(10) ORDER BY i) AS utext,
+         arg_min(line, i) AS header
+  FROM cum
+  WHERE b >= 1
+  GROUP BY doc_id, b, has_pre
+), eligible AS (
+  SELECT sha256(utext) AS unit_sha, header, n_lines,
+         doc_id::VARCHAR AS doc, unit_i
+  FROM units WHERE n_lines >= 2
+)
+SELECT unit_sha, MIN(header) AS header, MIN(n_lines) AS n_lines,
+       COUNT(*)::BIGINT AS n_copies,
+       COUNT(DISTINCT doc)::BIGINT AS n_docs,
+       (list_sort(list(doc || ':' || unit_i)))[1:5] AS sample_locations
+FROM eligible
+GROUP BY unit_sha
+HAVING COUNT(*) >= 2
+ORDER BY unit_sha
+""",
+        "q99_code_metrics": """
+WITH planted AS (
+  SELECT doc_id,
+         '# hdr' || chr(10) ||
+         repeat(' ', (doc_id % 8)::INT) || 'v = ' || doc_id || chr(10) ||
+         CASE WHEN doc_id % 4 = 0 THEN chr(10) ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN '// c2' || chr(10) ELSE '' END ||
+         substring(text, 1, 60) AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM planted
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_lines,
+       ROUND(SUM(CASE WHEN ltrim(line, ' ') LIKE '#%'
+                        OR ltrim(line, ' ') LIKE '//%'
+                      THEN 1 ELSE 0 END) / COUNT(*), 6) AS comment_ratio,
+       ROUND(SUM(CASE WHEN trim(line, ' ') = '' THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS blank_ratio,
+       COALESCE(MAX(CASE WHEN trim(line, ' ') != ''
+                         THEN length(line) - length(ltrim(line, ' '))
+                    END), 0)::BIGINT AS max_indent,
+       ROUND(SUM(length(line)) / COUNT(*), 6) AS avg_line_len
+FROM lines
+GROUP BY doc_id
+ORDER BY doc_id
 """,
     }

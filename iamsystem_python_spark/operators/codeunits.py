@@ -1,0 +1,183 @@
+"""Function-level code units: extraction, cross-corpus clone groups, and
+per-file source metrics.
+
+File-granularity dedup (dedup_text.py) misses the dominant real-world
+clone unit in source code: the copied FUNCTION pasted into an otherwise
+unique file. This module splits each file into top-level units at
+boundary lines (``def ``/``class ``/``async def `` by default — a
+line-anchored prefix spec in the Java∩RE2 dialect so a DuckDB oracle can
+replay it exactly) and finds units whose exact text recurs across the
+corpus; plus row-local per-file layout metrics (comment/blank ratios,
+indentation depth) for quality filtering.
+
+Spark-first shape (100-TB lens): unit extraction is ENTIRELY row-local —
+split to a lines array, boundary indices via ``filter(sequence(...))``,
+units via ``zip_with(starts, ends, slice(...))`` — one projection, no
+line-level explode, text never crosses a shuffle during extraction. The
+clone aggregation shuffles only narrow (sha, header, n_lines, doc_id,
+unit_i) rows: unit TEXT is dropped before the exchange (the sha is the
+identity; the header line rides along for reporting). A mega-file costs
+its own row only. Metrics are one aggregate projection per row, zero
+shuffles.
+
+No reference-repo counterpart; added per the round brief's
+training-data-pipeline menu (code payload), alongside file-level type-1/
+type-2 clones (dedup_text.py) and winnowing (q68).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# line-anchored unit-boundary prefixes; Java regex ∩ RE2 (portable to the
+# DuckDB oracle). Applied per LINE, so ^ anchors at line start.
+BOUNDARY_RE = "^(def |class |async def )"
+
+
+def _units_col(lines, n):
+    """Array<struct(start, n_lines, is_def, header, text)> of top-level
+    units of a lines array: a unit starts at each boundary line; lines
+    before the first boundary form a preamble unit (is_def=false). All
+    plan-side array ops — no explode, no UDF."""
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.get(lines, i).rlike(BOUNDARY_RE),
+    )
+    # prepend the preamble start (0) when line 0 is not itself a boundary;
+    # size==0 short-circuits the null F.get comparison
+    starts_full = F.when(
+        (F.size(starts) == 0) | (F.get(starts, F.lit(0)) != 0),
+        F.concat(F.array(F.lit(0)), starts),
+    ).otherwise(starts)
+    ends = F.transform(
+        F.sequence(F.lit(1), F.size(starts_full)),
+        lambda j: F.coalesce(F.get(starts_full, j), n),
+    )
+    return F.zip_with(
+        starts_full,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("start"),
+            (e - s).alias("n_lines"),
+            F.get(lines, s).rlike(BOUNDARY_RE).alias("is_def"),
+            F.get(lines, s).alias("header"),
+            F.concat_ws("\n", F.slice(lines, s + 1, e - s)).alias("text"),
+        ),
+    )
+
+
+def function_units(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, unit_i, start_line, n_lines, is_def, header, unit_sha,
+    unit_text) — one row per top-level unit per document, in document
+    order (unit_i 0-based over ALL units including the preamble;
+    start_line 0-based). unit_sha = sha2(unit text, 256)."""
+    c = F.col(text_col)
+    staged = df.where(c.isNotNull()).select(
+        F.col(id_col), F.split(c, "\n").alias("__lines")
+    )
+    # stage the units array as its own projection before exploding (the
+    # Catalyst re-inlining hazard — see dedup_text.winnow_fingerprints)
+    with_units = staged.select(
+        id_col, _units_col(F.col("__lines"), F.size("__lines")).alias("__units")
+    )
+    return with_units.select(
+        id_col, F.posexplode("__units").alias("unit_i", "u")
+    ).select(
+        id_col,
+        F.col("unit_i").cast("long").alias("unit_i"),
+        F.col("u.start").cast("long").alias("start_line"),
+        F.col("u.n_lines").cast("long").alias("n_lines"),
+        F.col("u.is_def").alias("is_def"),
+        F.col("u.header").alias("header"),
+        F.sha2(F.col("u.text"), 256).alias("unit_sha"),
+        F.col("u.text").alias("unit_text"),
+    )
+
+
+def function_clones(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_lines: int = 2,
+    max_locations: int = 5,
+) -> DataFrame:
+    """Cross-corpus duplicated function/class units: (unit_sha, header,
+    n_lines, n_copies, n_docs, sample_locations) for every def/class unit
+    of >= ``min_lines`` lines whose exact text occurs >= 2 times.
+    sample_locations = first ``max_locations`` of the sorted
+    '<doc_id>:<unit_i>' location list (bounded output row width — the
+    full membership is recoverable by re-joining function_units on
+    unit_sha). Unit text never crosses the shuffle: rows narrow to
+    (sha, header, n_lines, doc, unit_i) before the one aggregation."""
+    units = function_units(df, text_col, id_col)
+    narrow = units.where(
+        F.col("is_def") & (F.col("n_lines") >= min_lines)
+    ).select(
+        "unit_sha",
+        "header",
+        "n_lines",
+        F.col(id_col).cast("string").alias("__doc"),
+        "unit_i",
+    )
+    return (
+        narrow.groupBy("unit_sha")
+        .agg(
+            F.min("header").alias("header"),
+            F.min("n_lines").alias("n_lines"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("__doc").alias("n_docs"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", "__doc", F.col("unit_i").cast("string"))
+                    )
+                ),
+                1,
+                max_locations,
+            ).alias("sample_locations"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
+
+
+def code_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-file layout metrics, one row-local projection (zero shuffles):
+    (doc_id, n_lines, comment_ratio, blank_ratio, max_indent,
+    avg_line_len). Spec (portable, oracle-replayable):
+
+    - lines: split on \\n; every line counts toward n_lines/avg_line_len;
+    - blank: trim(line) = '' (space-trim only);
+    - comment: ltrim(line) starts with '#' or '//';
+    - max_indent: max over NON-blank lines of leading-space count
+      (length - length(ltrim)); 0 when no non-blank line;
+    - ratios/averages rounded to 6 places."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    n_blank = F.size(F.filter(lines, lambda l: F.trim(l) == ""))
+    n_comment = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("#") | F.ltrim(l).startswith("//"),
+        )
+    )
+    indents = F.transform(
+        F.filter(lines, lambda l: F.trim(l) != ""),
+        lambda l: F.length(l) - F.length(F.ltrim(l)),
+    )
+    total_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    return df.where(c.isNotNull()).select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        F.round(n_comment / n, 6).alias("comment_ratio"),
+        F.round(n_blank / n, 6).alias("blank_ratio"),
+        F.coalesce(F.array_max(indents), F.lit(0)).cast("long").alias("max_indent"),
+        F.round(total_len / n, 6).alias("avg_line_len"),
+    )

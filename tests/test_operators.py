@@ -4633,3 +4633,121 @@ def test_passjoin_position_aware_selection_equals_naive(spark):
                                       position_aware=False).collect()}
         assert tight <= naive
         assert len(tight) < len(naive)
+
+
+# --- codeunits: function-level clones + code metrics (round-5) --------------
+
+
+def test_function_units_extraction(spark):
+    from iamsystem_python_spark.operators.codeunits import function_units
+
+    code = (
+        "import os\n"
+        "# helper\n"
+        "def a():\n"
+        "    return 1\n"
+        "\n"
+        "class B:\n"
+        "    pass\n"
+        "async def c():\n"
+        "    await x\n"
+    )
+    df = spark.createDataFrame([("d1", code)], ["doc_id", "text"])
+    rows = function_units(df).orderBy("unit_i").collect()
+    got = [(r.unit_i, r.start_line, r.n_lines, r.is_def, r.header) for r in rows]
+    assert got == [
+        (0, 0, 2, False, "import os"),
+        (1, 2, 3, True, "def a():"),
+        (2, 5, 2, True, "class B:"),
+        (3, 7, 3, True, "async def c():"),  # includes the trailing '' line
+    ]
+    # a doc that IS one def from line 0 has no preamble unit
+    df2 = spark.createDataFrame([("d2", "def z():\n    return 0")], ["doc_id", "text"])
+    rows2 = function_units(df2).collect()
+    assert [(r.unit_i, r.is_def) for r in rows2] == [(0, True)]
+
+
+def test_function_clones_and_metrics_match_python_replay(spark):
+    """Randomized differential vs a pure-Python replay of the portable
+    spec: synthetic files assembled from a small pool of shared and
+    unique function bodies (so exact cross-file unit clones exist by
+    construction), plus preambles, comments, blanks and indents."""
+    import hashlib
+    import random as _random
+
+    from iamsystem_python_spark.operators.codeunits import (
+        code_metrics,
+        function_clones,
+    )
+
+    rng = _random.Random(98099)
+    shared = [
+        "def util_%d():\n    x = %d\n    return x" % (i, i) for i in range(6)
+    ]
+    docs = []
+    for d in range(40):
+        parts = []
+        if rng.random() < 0.5:
+            parts.append("# file %d\nimport sys" % d)
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.6:
+                parts.append(rng.choice(shared))
+            else:
+                parts.append(
+                    "def own_%d_%d():\n        return %d" % (d, rng.randrange(9), d)
+                )
+        if rng.random() < 0.3:
+            parts.append("")  # trailing blank line
+        docs.append((str(d), "\n".join(parts)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # python replay: unit split + clone groups
+    units = {}
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        starts = [i for i, l in enumerate(lines)
+                  if l.startswith(("def ", "class ", "async def "))]
+        if not starts or starts[0] != 0:
+            starts = [0] + starts
+        for ui, s in enumerate(starts):
+            e = starts[ui + 1] if ui + 1 < len(starts) else len(lines)
+            utext = "\n".join(lines[s:e])
+            is_def = lines[s].startswith(("def ", "class ", "async def "))
+            if is_def and e - s >= 2:
+                sha = hashlib.sha256(utext.encode()).hexdigest()
+                units.setdefault(sha, []).append((doc_id, ui, lines[s], e - s))
+    want = {
+        sha: (
+            min(h for _, _, h, _ in locs),
+            len(locs),
+            len({d for d, _, _, _ in locs}),
+            sorted("%s:%d" % (d, u) for d, u, _, _ in locs)[:5],
+        )
+        for sha, locs in units.items()
+        if len(locs) >= 2
+    }
+    got = {
+        r.unit_sha: (r.header, r.n_copies, r.n_docs, list(r.sample_locations))
+        for r in function_clones(df, min_lines=2).collect()
+    }
+    assert got == want
+    assert want, "no clone groups planted — generator broken"
+
+    # python replay: metrics
+    gotm = {r.doc_id: (r.n_lines, r.comment_ratio, r.blank_ratio,
+                       r.max_indent, r.avg_line_len)
+            for r in code_metrics(df).collect()}
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        n = len(lines)
+        blank = sum(1 for l in lines if l.strip(" ") == "")
+        comm = sum(1 for l in lines if l.lstrip(" ").startswith(("#", "//")))
+        indents = [len(l) - len(l.lstrip(" ")) for l in lines if l.strip(" ") != ""]
+        wantm = (
+            n,
+            round(comm / n, 6),
+            round(blank / n, 6),
+            max(indents) if indents else 0,
+            round(sum(len(l) for l in lines) / n, 6),
+        )
+        assert gotm[doc_id] == wantm, doc_id
