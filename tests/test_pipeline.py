@@ -736,7 +736,7 @@ def test_stream_crash_kill9_restart_differential(tmp_path):
     )
     p = _sp.run(
         [_sys.executable, _os.path.join(repo, "scripts", "stream_crash_demo.py")],
-        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+        capture_output=True, text=True, env=env, cwd=repo, timeout=1800,
     )
     assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-2000:]
     res = _json.load(open(out_json))
