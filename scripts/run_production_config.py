@@ -61,8 +61,15 @@ def main() -> None:
     from iamsystem_python_spark.plans.pipeline import NearDupPipeline
     from iamsystem_python_spark.sources.codegen import generate_corpus_df
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/prod_spill,/tmp")
+    # Memory budget (the r4 10M postmortem, re-learned the hard way this
+    # round): the corpus + stage outputs + shuffle spill all live on tmpfs
+    # = RAM, so a big JVM heap STARVES the data. 16g heap (bench default)
+    # + striped spill is the proven 10M posture; a 48g heap OOM-killed the
+    # JVM mid-signatures with 24 GB of corpus resident in /dev/shm.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault(
+        "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local,/tmp/spark_local"
+    )
     spark = bench.make_spark("32")
     out = {
         "rows": N_ROWS,
