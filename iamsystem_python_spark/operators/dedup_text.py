@@ -917,6 +917,86 @@ def _dedup_chunk_arrays(
     )
 
 
+def _boilerplate_rebuild_broadcast(
+    base: DataFrame,
+    boiler: DataFrame,
+    id_col: str,
+    carry: list,
+    text_col: str,
+    segmenter: str,
+    sep: str,
+    chunk_tokens: int,
+    delimiter: str,
+) -> DataFrame:
+    """Row-local boilerplate rebuild: the (small) boiler hash set is
+    driver-collected, broadcast as a sorted int64 array, and one
+    Arrow-batched mapInPandas kernel re-segments each document and drops
+    segments whose portable 60-bit hash is in the set (vectorized
+    np.isin). Replays the relational path's exact segmentation/key/hash
+    spec, so both rebuild strategies are output-identical (differential-
+    tested): lines → split('\\n') keeping trailing empties, key =
+    space-trimmed line, blank keys never counted or removed; windows →
+    ceil(n/k) k-token windows of the literal-delimiter split; hash =
+    int(sha256(key)[:15 hex], 16)."""
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    harr = np.sort(boiler.toPandas()["__h"].to_numpy(dtype=np.int64))
+    bc = base.sparkSession.sparkContext.broadcast(harr)
+    k = int(chunk_tokens)
+
+    in_df = base.select(id_col, *carry, text_col)
+    out_schema = T.StructType(
+        [f for f in in_df.schema.fields if f.name != text_col]
+        + [
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("n_removed", T.LongType()),
+            T.StructField("cleaned_text", T.StringType()),
+        ]
+    )
+
+    def _h60(key: str) -> int:
+        return int(hashlib.sha256(key.encode("utf-8")).hexdigest()[:15], 16)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = bc.value
+        for pdf in batches:
+            n_seg, n_rm, cleaned = [], [], []
+            for text in pdf[text_col].tolist():
+                if segmenter == "lines":
+                    chunks = text.split("\n")
+                    keys = [c.strip(" ") for c in chunks]
+                else:
+                    words = text.split(delimiter)
+                    nc = max(1, -(-len(words) // k)) if words else 0
+                    chunks = [
+                        delimiter.join(words[i * k : (i + 1) * k])
+                        for i in range(nc)
+                    ]
+                    keys = chunks
+                hashes = np.fromiter(
+                    (_h60(key) if key != "" else -1 for key in keys),
+                    dtype=np.int64,
+                    count=len(keys),
+                )
+                drop = np.isin(hashes, H) & (hashes != -1)
+                kept = [c for c, d in zip(chunks, drop) if not d]
+                n_seg.append(len(chunks))
+                n_rm.append(int(drop.sum()))
+                cleaned.append(sep.join(kept))
+            out = pdf.drop(columns=[text_col])
+            out["n_segments"] = pd.Series(n_seg, dtype="int64")
+            out["n_removed"] = pd.Series(n_rm, dtype="int64")
+            out["cleaned_text"] = cleaned
+            yield out
+
+    return in_df.mapInPandas(kernel, schema=out_schema)
+
+
 def boilerplate_removal(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -926,6 +1006,8 @@ def boilerplate_removal(
     chunk_tokens: int = 10,
     delimiter: str = " ",
     carry_cols: tuple = (),
+    rebuild: str = "auto",
+    max_broadcast_boiler: int = 5_000_000,
 ) -> DataFrame:
     """Corpus-frequency boilerplate removal (the C4 "repeated line" filter,
     pointed at source code): a segment that occurs in ``min_docs`` or more
@@ -945,12 +1027,32 @@ def boilerplate_removal(
 
     100-TB shape (same skeleton as chunk_dedup): segmentation is row-local
     (one projection, no word explode); the only corpus shuffles move
-    narrow (hash60, id, seg_i) rows — first a countDistinct(id) per hash
-    (map-side partial agg), then the drop-set groupBy; document text never
-    crosses a shuffle. The boilerplate set is document-frequency-bounded
-    (≤ distinct segments / min_docs) and joins back on the 60-bit hash as
-    a plain equi-join — no broadcast assumption needed. Degenerate skew (a
-    header in millions of files) concentrates only narrow rows.
+    narrow (hash60, id, seg_i) rows — a countDistinct(id) per hash with
+    map-side partial agg; document text never crosses a shuffle. The
+    REBUILD step has two strategies (``rebuild``):
+
+    - ``'broadcast'`` — the boilerplate hash set (document-frequency
+      bounded: ≤ distinct segments / min_docs, i.e. SMALL at any sane
+      production min_docs) is pulled to the driver, broadcast as a sorted
+      int64 numpy array, and every document is cleaned ROW-LOCALLY by one
+      Arrow-batched mapInPandas kernel (vectorized np.isin membership on
+      the same portable sha256-based 60-bit hashes). Zero text-bearing
+      shuffles end to end — this is the 10M-run-proven path (the join
+      strategy's rebuild spilled ~2× corpus text and died on scratch at
+      10M docs with stripping active; round-5 postmortem in
+      BENCH/BASELINE.md).
+    - ``'join'`` — the original all-relational rebuild: per-doc drop
+      indices joined back onto the corpus. The per-doc drop frame can
+      exceed the auto-broadcast threshold at corpus scale, and then the
+      TEXT side shuffles — keep it for oracle-parity contexts and
+      degenerate configs (min_docs so low the boiler set explodes).
+    - ``'auto'`` (default) — broadcast when a count of the boiler set is
+      ≤ ``max_broadcast_boiler`` (one narrow-agg job; 5M hashes = 40 MB
+      broadcast), else join.
+
+    Both strategies are output-identical (differentially tested on
+    randomized corpora). Degenerate skew (a header in millions of files)
+    concentrates only narrow rows in the counting shuffle either way.
 
     Returns (id_col, *carry_cols, n_segments, n_removed, cleaned_text):
     cleaned_text is the document with boilerplate segments deleted,
@@ -996,13 +1098,26 @@ def boilerplate_removal(
         .where(F.col("__nd") >= int(min_docs))
         .select("__h")
     )
+    if rebuild not in ("auto", "broadcast", "join"):
+        raise ValueError(f"rebuild must be auto|broadcast|join; got {rebuild!r}")
+    strategy = rebuild
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if boiler.count() <= max_broadcast_boiler else "join"
+        )
+    if strategy == "broadcast":
+        return _boilerplate_rebuild_broadcast(
+            base, boiler, id_col, carry, text_col, segmenter, sep,
+            chunk_tokens, delimiter,
+        )
     dropped = (
         narrow.join(boiler, "__h")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__ci")).alias("__dropped"))
     )
     return (
-        base.join(dropped, on=id_col, how="left")
+        base.drop(text_col)
+        .join(dropped, on=id_col, how="left")
         .withColumn(
             "__kept",
             F.when(F.col("__dropped").isNull(), F.col("__chunks")).otherwise(

@@ -4751,3 +4751,57 @@ def test_function_clones_and_metrics_match_python_replay(spark):
             round(sum(len(l) for l in lines) / n, 6),
         )
         assert gotm[doc_id] == wantm, doc_id
+
+
+def test_boilerplate_rebuild_strategies_identical(spark):
+    """Round-5 10M postmortem: the 'join' rebuild shuffles corpus text
+    once the per-doc drop frame outgrows the broadcast threshold, so the
+    'broadcast' rebuild (driver-collected boiler set + row-local np.isin
+    kernel) is the scale path. Both strategies must be output-identical —
+    randomized corpora with planted shared headers, trailing blank lines,
+    space-padded lines (the trim-spec edge), repeated-delimiter windows,
+    and both segmenters."""
+    import random as _random
+
+    from iamsystem_python_spark.operators.dedup_text import (
+        boilerplate_removal,
+    )
+
+    rng = _random.Random(5610)
+    header = "// Copyright MegaCorp\n// All rights reserved"
+    rows = []
+    for d in range(30):
+        body = "\n".join(
+            "  " * rng.randint(0, 2)
+            + " ".join(rng.choice("abcdef") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 8))
+        )
+        text = (header + "\n" if rng.random() < 0.6 else "") + body
+        if rng.random() < 0.3:
+            text += "\n"          # trailing empty line
+        if rng.random() < 0.3:
+            text += "\n   "       # trailing space-only line (trim edge)
+        rows.append((str(d), text))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for seg, kw in (("lines", {}), ("windows", {"chunk_tokens": 3})):
+        res = {}
+        for strat in ("join", "broadcast"):
+            res[strat] = {
+                r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+                for r in boilerplate_removal(
+                    df, min_docs=3, segmenter=seg, rebuild=strat, **kw
+                ).collect()
+            }
+        assert res["join"] == res["broadcast"], seg
+        assert any(v[1] > 0 for v in res["join"].values()), seg
+    # auto resolves to broadcast under the cap and to join above it
+    a = {r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+         for r in boilerplate_removal(
+             df, min_docs=3, rebuild="auto", max_broadcast_boiler=0
+         ).collect()}
+    b = {r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+         for r in boilerplate_removal(df, min_docs=3, rebuild="auto").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="rebuild"):
+        boilerplate_removal(df, rebuild="bogus")
