@@ -1092,30 +1092,45 @@ def boilerplate_removal(
             .alias("__h"),
         )
     )
+    # Counting shuffle payload (10M postmortem, round 5): the doc identity
+    # for countDistinct rides as xxhash64(id) — 8 bytes instead of e.g. a
+    # 64-char sha-hex doc_id string, ~6× less exchange volume on the
+    # operator's one corpus-wide shuffle. A 64-bit collision can only
+    # merge two docs' identities for one segment's count (P ≈ n²/2⁶⁴ —
+    # vanishing at any real corpus; same collision class the engine's
+    # 60-bit segment hashes already accept by convention).
     boiler = (
-        narrow.groupBy("__h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
+        narrow.select("__h", F.xxhash64(F.col(id_col).cast("string")).alias("__did"))
+        .groupBy("__h")
+        .agg(F.countDistinct("__did").alias("__nd"))
         .where(F.col("__nd") >= int(min_docs))
         .select("__h")
     )
     if rebuild not in ("auto", "broadcast", "join"):
         raise ValueError(f"rebuild must be auto|broadcast|join; got {rebuild!r}")
     strategy = rebuild
+    if strategy in ("auto", "broadcast"):
+        # persist the (small) boiler result so auto's count() and the
+        # broadcast collect don't each re-run the corpus-wide counting
+        # shuffle — the single heaviest job in the operator
+        boiler = boiler.persist()
     if strategy == "auto":
         strategy = (
             "broadcast" if boiler.count() <= max_broadcast_boiler else "join"
         )
     if strategy == "broadcast":
-        return _boilerplate_rebuild_broadcast(
+        out = _boilerplate_rebuild_broadcast(
             base, boiler, id_col, carry, text_col, segmenter, sep,
             chunk_tokens, delimiter,
         )
+        boiler.unpersist()
+        return out
     dropped = (
         narrow.join(boiler, "__h")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__ci")).alias("__dropped"))
     )
-    return (
+    out = (
         base.drop(text_col)
         .join(dropped, on=id_col, how="left")
         .withColumn(
@@ -1135,6 +1150,9 @@ def boilerplate_removal(
             F.array_join("__kept", sep).alias("cleaned_text"),
         )
     )
+    # auto→join leaves boiler persisted (its count gated the strategy);
+    # scope the cache to the result so the join reuses it, then releases
+    return tie_cache(out, boiler)
 
 
 def winnow_fingerprints(

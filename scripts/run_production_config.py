@@ -67,9 +67,10 @@ def main() -> None:
     # + striped spill is the proven 10M posture; a 48g heap OOM-killed the
     # JVM mid-signatures with 24 GB of corpus resident in /dev/shm.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
-    os.environ.setdefault(
-        "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local,/tmp/spark_local"
-    )
+    # spill to DISK only: tmpfs spill is RAM, and with the 24 GB corpus
+    # already resident in /dev/shm the kernel OOM-killed two attempts
+    # whose spill was striped across tmpfs (round-5 postmortem)
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/spark_local")
     spark = bench.make_spark("32")
     out = {
         "rows": N_ROWS,
