@@ -128,11 +128,20 @@ class NearDupPipeline:
         materialize_exact_groups: bool = True,
         collect_bucket_stats: bool = True,
         checkpoint_dir: Optional[str] = None,
+        materialize_signing_view: bool = False,
     ):
         self.cfg = cfg
         self.use_simhash = use_simhash
         self.materialize_exact_groups = materialize_exact_groups
         self.collect_bucket_stats = collect_bucket_stats
+        # With boilerplate signing on, the stripped view's rebuild kernel
+        # and the signature kernel otherwise FUSE into one stage — two
+        # chained mapInPandas per task doubles peak Python-worker memory
+        # (the 10M round-5 OOM). True writes the signing view as its own
+        # resumable stage ("signing_view") and feeds downstream from the
+        # read-back: one Python kernel per stage, plus resume coverage
+        # for the strip itself. No-op when boilerplate signing is off.
+        self.materialize_signing_view = materialize_signing_view
         # reliable checkpoint location for the iterative CC stage (HDFS /
         # object store on a real cluster); None → localCheckpoint
         self.checkpoint_dir = checkpoint_dir
@@ -154,6 +163,12 @@ class NearDupPipeline:
         # verification recompute — sees the stripped view, while sha256 /
         # exact groups stay bound to raw content (signatures.signing_view).
         src = signatures.signing_view(df, cfg)
+        if cfg.boilerplate_min_docs and self.materialize_signing_view:
+            if not (resume and _stage_done(out_dir, "signing_view")):
+                metrics["signing_view"] = _write_stage(
+                    src, out_dir, "signing_view", cfg
+                )
+            src = _read_stage(spark, out_dir, "signing_view")
 
         # -- signatures ------------------------------------------------------
         if not (resume and _stage_done(out_dir, "signatures")):

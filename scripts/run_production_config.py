@@ -55,7 +55,7 @@ def main() -> None:
     import bench
     from pyspark.sql import functions as F
 
-    from iamsystem_python_spark.operators import dedup, signatures
+    from iamsystem_python_spark.operators import dedup
     from iamsystem_python_spark.plans.config import PipelineConfig
     from iamsystem_python_spark.plans.ingest import IncrementalIngest
     from iamsystem_python_spark.plans.pipeline import NearDupPipeline
@@ -121,11 +121,16 @@ def main() -> None:
 
     # -- full pipeline run -------------------------------------------------
     full_dir = os.path.join(WORK, "full")
-    shutil.rmtree(full_dir, ignore_errors=True)
+    resume = os.environ.get("PROD_RESUME", "") == "1"
+    if not resume:
+        shutil.rmtree(full_dir, ignore_errors=True)
     t0 = time.time()
     clusters = NearDupPipeline(
-        cfg, materialize_exact_groups=False, collect_bucket_stats=False
-    ).run(spark, corpus, full_dir)
+        cfg, materialize_exact_groups=False, collect_bucket_stats=False,
+        # one Python kernel per stage: the strip rebuild and the signature
+        # kernel must not fuse into one task chain (round-5 OOM postmortem)
+        materialize_signing_view=True,
+    ).run(spark, corpus, full_dir, resume=resume)
     n_clustered = clusters.count()
     full_s = time.time() - t0
     out["full_run"] = {
@@ -155,11 +160,9 @@ def main() -> None:
     # exact-dup truth pairs count unconditionally (jaccard 1.0 on any view);
     # near-dup truth pairs must clear the exact Jaccard threshold computed
     # on the SAME signing view (boilerplate-stripped) the pipeline used.
-    src = signatures.signing_view(corpus, cfg)
-    if "doc_id" not in src.columns:
-        src = src.withColumn(
-            "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
-        )
+    # the SAME stripped view the pipeline signed — read back from the
+    # materialized stage rather than re-running the strip
+    src = spark.read.parquet(os.path.join(full_dir, "signing_view"))
     near_oracle = dedup.verify_pairs_recompute(
         pairs.where(~F.col("exact")).select("doc_a", "doc_b"), src, cfg
     ).select("doc_a", "doc_b")

@@ -744,3 +744,46 @@ def test_stream_crash_kill9_restart_differential(tmp_path):
     for op in res["ops"]:
         assert op["crash"]["killed_mid_batch"] is not None
         assert op["compare"]["clean_eq_resumed"]
+
+
+def test_materialize_signing_view_stage_and_resume(spark, tmp_path):
+    """materialize_signing_view writes the stripped view as its own
+    manifest-carrying stage (one Python kernel per stage — the 10M OOM
+    fix), downstream results are identical to the fused path, and resume
+    skips the strip."""
+    import json as _json
+    import os as _os
+
+    from iamsystem_python_spark.plans.config import PipelineConfig
+    from iamsystem_python_spark.plans.pipeline import NearDupPipeline
+
+    rows = [
+        ("r1", "a.py", "c1", "py", "# HDR\n# HDR2\nuniq one two three"),
+        ("r2", "b.py", "c1", "py", "# HDR\n# HDR2\nother words here"),
+        ("r3", "c.py", "c1", "py", "# HDR\n# HDR2\nuniq one two three"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    )
+    cfg = PipelineConfig(shuffle_partitions=4, boilerplate_min_docs=2)
+    out_a = str(tmp_path / "fused")
+    out_b = str(tmp_path / "staged")
+    ca = NearDupPipeline(
+        cfg, materialize_exact_groups=False, collect_bucket_stats=False
+    ).run(spark, df, out_a)
+    cb = NearDupPipeline(
+        cfg, materialize_exact_groups=False, collect_bucket_stats=False,
+        materialize_signing_view=True,
+    ).run(spark, df, out_b)
+    assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, cb.collect()))
+    man = _os.path.join(out_b, "signing_view", "_MANIFEST.json")
+    assert _os.path.exists(man)
+    sv = spark.read.parquet(_os.path.join(out_b, "signing_view"))
+    assert not any("HDR" in r.content for r in sv.collect())  # stripped
+    mtime = _os.path.getmtime(man)
+    # resume: the signing_view stage (and all others) must be skipped
+    NearDupPipeline(
+        cfg, materialize_exact_groups=False, collect_bucket_stats=False,
+        materialize_signing_view=True,
+    ).run(spark, df, out_b, resume=True)
+    assert _os.path.getmtime(man) == mtime
