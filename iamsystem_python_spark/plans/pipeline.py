@@ -162,13 +162,18 @@ class NearDupPipeline:
         # text consumer downstream — the signature kernel AND the Jaccard
         # verification recompute — sees the stripped view, while sha256 /
         # exact groups stay bound to raw content (signatures.signing_view).
-        src = signatures.signing_view(df, cfg)
         if cfg.boilerplate_min_docs and self.materialize_signing_view:
             if not (resume and _stage_done(out_dir, "signing_view")):
+                # built only when the stage will actually run: signing_view's
+                # boilerplate 'auto' rebuild fires driver actions (boiler
+                # count + collect) at BUILD time, which a resumed run must
+                # not pay for a stage it is about to skip
                 metrics["signing_view"] = _write_stage(
-                    src, out_dir, "signing_view", cfg
+                    signatures.signing_view(df, cfg), out_dir, "signing_view", cfg
                 )
             src = _read_stage(spark, out_dir, "signing_view")
+        else:
+            src = signatures.signing_view(df, cfg)
 
         # -- signatures ------------------------------------------------------
         if not (resume and _stage_done(out_dir, "signatures")):

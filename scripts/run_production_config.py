@@ -90,7 +90,13 @@ def main() -> None:
     #    separate sampled parquet so the pipeline input matches production:
     #    no label column) --------------------------------------------------
     os.makedirs(WORK, exist_ok=True)
-    corpus_path = os.path.join(WORK, "corpus")
+    # tmpfs is unevictable RAM: with the stripped signing view also
+    # materialized there (~corpus-sized), keeping the RAW corpus on tmpfs
+    # too leaves no headroom for the kernel workers — put it on disk
+    # (overridable; it is read once per stage, sequentially)
+    corpus_path = os.environ.get(
+        "PROD_CORPUS_DIR", os.path.join(WORK, "corpus")
+    )
     truth_path = os.path.join(WORK, "truth_sample")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         full = generate_corpus_df(spark, N_ROWS, seed=42, partitions=256)
