@@ -174,6 +174,15 @@ def main() -> None:
             worth_it = best is None or (
                 not best.get("probe_gate", {}).get("met")
                 and (mb >= MIN_MB_S or mb >= 1.3 * best_probe)
+            ) or (
+                # a met=true capture from a CONTENDED window (value above
+                # target) is still improvable: better() replaces met=true
+                # only with a lower-value met=true, so re-capturing can
+                # only help (round-5: a 58 s met-true capture taken while
+                # a 10M benchmark ran would otherwise have frozen the
+                # watcher for the rest of the round)
+                best.get("probe_gate", {}).get("met")
+                and best.get("value", 1e18) > TARGET_S
             )
             gap_ok = time.time() - last_capture_t >= MIN_CAPTURE_GAP_S or mb >= MIN_MB_S
             done_enough = (
