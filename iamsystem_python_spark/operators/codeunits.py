@@ -111,7 +111,17 @@ def function_clones(
     '<doc_id>:<unit_i>' location list (bounded output row width — the
     full membership is recoverable by re-joining function_units on
     unit_sha). Unit text never crosses the shuffle: rows narrow to
-    (sha, header, n_lines, doc, unit_i) before the one aggregation."""
+    (sha, header, n_lines, doc, unit_i) before the aggregations.
+
+    Mega-clone skew: the sample is row_number-bounded BEFORE its
+    collect_list, so no aggregation buffer ever holds more than
+    ``max_locations`` entries per sha — a vendored function with 10⁸
+    copies costs a spillable window sort, never an unspillable
+    in-memory array (a direct collect_list-then-slice would). The
+    stats and sample aggregations share the unit_sha partitioning, so
+    their join adds no extra exchange."""
+    from pyspark.sql import Window
+
     units = function_units(df, text_col, id_col)
     narrow = units.where(
         F.col("is_def") & (F.col("n_lines") >= min_lines)
@@ -119,28 +129,30 @@ def function_clones(
         "unit_sha",
         "header",
         "n_lines",
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("unit_i").cast("string")
+        ).alias("__loc"),
         F.col(id_col).cast("string").alias("__doc"),
-        "unit_i",
     )
-    return (
+    stats = (
         narrow.groupBy("unit_sha")
         .agg(
             F.min("header").alias("header"),
             F.min("n_lines").alias("n_lines"),
             F.count("*").alias("n_copies"),
             F.countDistinct("__doc").alias("n_docs"),
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.concat_ws(":", "__doc", F.col("unit_i").cast("string"))
-                    )
-                ),
-                1,
-                max_locations,
-            ).alias("sample_locations"),
         )
         .where(F.col("n_copies") >= 2)
     )
+    w = Window.partitionBy("unit_sha").orderBy("__loc")
+    sample = (
+        narrow.select("unit_sha", "__loc")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_locations)
+        .groupBy("unit_sha")
+        .agg(F.sort_array(F.collect_list("__loc")).alias("sample_locations"))
+    )
+    return stats.join(sample, "unit_sha")
 
 
 def code_metrics(
