@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iamsystem_python_spark.functions.scoped_cache import tie_cache
+
 # line-anchored unit-boundary prefixes; Java regex ∩ RE2 (portable to the
 # DuckDB oracle). Applied per LINE, so ^ anchors at line start.
 BOUNDARY_RE = "^(def |class |async def )"
@@ -134,8 +136,18 @@ def function_clones(
         ).alias("__loc"),
         F.col(id_col).cast("string").alias("__doc"),
     )
+    # both aggregations read the SAME persisted windowed frame, so the
+    # extraction pipeline (split/regex/sha over every unit) runs ONCE —
+    # not once per branch (round-5 review finding). An un-persisted
+    # shared subplan does NOT get exchange reuse here: column pruning
+    # projects different column sets below each branch's Exchange, so
+    # Catalyst/AQE see two distinct exchanges and re-run the scan. The
+    # cached rows are narrow (no unit text) and the cache is scoped to
+    # the returned frame (tie_cache releases it with the result).
+    w = Window.partitionBy("unit_sha").orderBy("__loc")
+    winframe = narrow.withColumn("__rn", F.row_number().over(w)).persist()
     stats = (
-        narrow.groupBy("unit_sha")
+        winframe.groupBy("unit_sha")
         .agg(
             F.min("header").alias("header"),
             F.min("n_lines").alias("n_lines"),
@@ -144,15 +156,12 @@ def function_clones(
         )
         .where(F.col("n_copies") >= 2)
     )
-    w = Window.partitionBy("unit_sha").orderBy("__loc")
     sample = (
-        narrow.select("unit_sha", "__loc")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= max_locations)
+        winframe.where(F.col("__rn") <= max_locations)
         .groupBy("unit_sha")
         .agg(F.sort_array(F.collect_list("__loc")).alias("sample_locations"))
     )
-    return stats.join(sample, "unit_sha")
+    return tie_cache(stats.join(sample, "unit_sha"), winframe)
 
 
 def code_metrics(

@@ -90,8 +90,12 @@ def contamination_scores(
     # ref gram hashes to the driver to build the filter. "Ref side is small"
     # is a contract (benchmark suites), not a law — fail loudly with the
     # bound in the message rather than OOM the driver on a misuse.
+    # persist across the guard count and the collect — without it the
+    # full ref shingle+distinct job runs twice (round-5 review finding)
+    ref_grams = ref_grams.persist()
     n_ref = ref_grams.count()
     if n_ref > max_ref_grams:
+        ref_grams.unpersist()
         raise ValueError(
             f"contamination_scores(prefilter='bloom'): reference corpus has "
             f"{n_ref:,} distinct {k}-gram hashes, above max_ref_grams="
@@ -99,6 +103,9 @@ def contamination_scores(
             f"driver (8 B/gram); raise max_ref_grams only if the driver has "
             f"the memory, or decontaminate against a smaller reference set."
         )
+    # NOT unpersisted here: the exact bloom-false-positive join below
+    # reads ref_grams again at execution time — the cache is scoped to
+    # the returned frame via tie_cache instead
     ref_hashes = ref_grams.toPandas()["h60"].to_numpy(dtype=np.int64)
     m_bits, k_hashes = bloom.bloom_params(max(len(ref_hashes), 1), bloom_fpp)
     words_bc = grams.sparkSession.sparkContext.broadcast(
@@ -140,6 +147,7 @@ def contamination_scores(
             ).alias("contamination"),
         ),
         grams,
+        ref_grams,
     )
 
 

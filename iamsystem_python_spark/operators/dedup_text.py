@@ -971,8 +971,10 @@ def _boilerplate_rebuild_broadcast(
                     chunks = text.split("\n")
                     keys = [c.strip(" ") for c in chunks]
                 else:
+                    # str.split never returns [], so nc >= 1 always —
+                    # exactly chunks_projection's ceil(size/k)
                     words = text.split(delimiter)
-                    nc = max(1, -(-len(words) // k)) if words else 0
+                    nc = -(-len(words) // k)
                     chunks = [
                         delimiter.join(words[i * k : (i + 1) * k])
                         for i in range(nc)

@@ -14,7 +14,9 @@ Equality gate: total annotation count must be identical on all legs (the
 semantic equality itself is pinned by tests/test_core_differential.py).
 Host probes recorded per leg (hypervisor variance — see BASELINE.md).
 
-Run: python scripts/bench_vs_reference.py [docs] → BENCH/vs_reference_r4.json
+Run: python scripts/bench_vs_reference.py [docs] → BENCH/$VSREF_OUT
+(default vs_reference_r5.json — override so a rerun can never clobber a
+committed historical artifact)
 """
 
 from __future__ import annotations
@@ -207,7 +209,9 @@ def main():
         out["fuzzy_stemmer_reference"]["annotations"]
         > out["exact_reference"]["annotations"]
     )
-    path = os.path.join(REPO, "BENCH", "vs_reference_r4.json")
+    path = os.path.join(
+        REPO, "BENCH", os.environ.get("VSREF_OUT", "vs_reference_r5.json")
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

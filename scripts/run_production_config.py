@@ -101,6 +101,10 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         full = generate_corpus_df(spark, N_ROWS, seed=42, partitions=256)
         full.drop("cluster_id").write.mode("overwrite").parquet(corpus_path)
+    # own guard: truth lives under WORK while the corpus may be elsewhere
+    # (PROD_CORPUS_DIR) — a surviving corpus must not skip the truth write
+    # and crash the recall gate hours later (round-5 review finding)
+    if not os.path.exists(os.path.join(truth_path, "_SUCCESS")):
         # deterministic 1/MOD sample of PLANTED clusters (block ids) with
         # every member row — the recall denominator's source
         (
@@ -147,8 +151,10 @@ def main() -> None:
     }
 
     # -- in-run recall gate ------------------------------------------------
+    from iamsystem_python_spark.plans.ingest import _doc_id
+
     truth = spark.read.parquet(truth_path).withColumn(
-        "doc_id", F.sha2(F.concat("repo", "path", "commit"), 256)
+        "doc_id", _doc_id()
     ).persist()
     n_truth_docs = truth.count()
     tp = truth.select("cluster_id", "doc_id", F.sha2("content", 256).alias("raw_sha"))
